@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode is a single JVM; the settings that matter there are shuffle
+partition count (~cores) and driver memory. The same builder flags are
+the right defaults on a real cluster: AQE re-plans skewed shuffles at
+runtime, and Arrow keeps any pandas-UDF path vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "slurm2sql_spark",
+    master: str | None = None,
+    shuffle_partitions: str | int | None = None,
+    tz: str = "UTC",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    ``tz`` pins ``spark.sql.session.timeZone``: the reference parses
+    sacct timestamps in the machine's local zone (reference
+    slurm2sql.py:67-73); we make the zone explicit so results are
+    reproducible and comparable against a UTC-naive oracle.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", tz)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # Engine semantics: the reference tolerates malformed values by
+        # mapping them to NULL per-converter; we use try_* functions for
+        # those paths explicitly, so ANSI mode stays off for SQLite-like
+        # laxness on the remaining arithmetic (div-by-zero -> NULL).
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, str(v))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
