@@ -1,0 +1,93 @@
+"""CSV and raw sacct-line sources.
+
+- ``read_csv``: sacct-shaped CSV (reference csv_input path,
+  slurm2sql.py:995-1004): header row, everything string-typed, values
+  stripped, missing columns tolerated (the transform nulls them).
+- ``read_sacct_lines`` + ``stitch_lines``: the reference's pipe-delimited
+  sacct stream format with the continuation-stitching quirk (reference
+  sacct_iter, slurm2sql.py:877-914): sacct output has no quoting, so a
+  JobName containing a newline splits one record across physical lines.
+  A line with too few fields is buffered and glued to the next; a line
+  with too many fields is counted as an error and skipped.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SACCT_DELIMITER = ";|;"
+
+__all__ = ["read_csv", "stitch_lines", "read_sacct_lines", "sacct_lines_to_df"]
+
+
+def read_csv(spark: SparkSession, path: str, delimiter: str = ",") -> DataFrame:
+    """String-typed, trimmed CSV read (reference slurm2sql.py:995-1004)."""
+    df = spark.read.option("header", True).option("sep", delimiter).csv(path)
+    return df.select(
+        *[F.trim(F.col(f"`{c}`")).alias(c.strip()) for c in df.columns]
+    )
+
+
+def stitch_lines(
+    lines: Iterable[str], n_fields: int, errors: list | None = None
+) -> Iterator[list[str]]:
+    """Reassemble logical sacct records from physical lines.
+
+    Pure-Python kernel mirroring the reference's iterator semantics
+    (slurm2sql.py:877-914): fewer fields than the header -> the record
+    continues on the next physical line (rejoined with ``\\n``); more
+    fields -> unrecoverable, count and skip.
+    """
+    buf: str | None = None
+    for line in lines:
+        line = line.rstrip("\n")
+        if buf is not None:
+            line = buf + "\n" + line
+            buf = None
+        fields = line.split(SACCT_DELIMITER)
+        if len(fields) < n_fields:
+            buf = line
+            continue
+        if len(fields) > n_fields:
+            if errors is not None:
+                errors.append(line)
+            continue
+        yield fields
+
+
+def read_sacct_lines(
+    spark: SparkSession, lines: Iterable[str] | str
+) -> DataFrame:
+    """Parse raw sacct-format text (header line first) into a string
+    DataFrame.
+
+    Accepts an iterable of lines or a whole-text blob (the reference's
+    ``raw_sacct`` injection seam, slurm2sql.py:881-883). Stitching is
+    order-sensitive, so records are reassembled before parallelizing —
+    matching the reference, where the stream is a single sacct pipe
+    anyway. For file-shaped input at scale use ``spark.read.csv`` with
+    the multi-char delimiter directly (no stitching needed when JobNames
+    are newline-free).
+    """
+    if isinstance(lines, str):
+        lines = lines.splitlines()
+    from pyspark.sql import types as T
+
+    it = iter(lines)
+    header = next(it).rstrip("\n").split(SACCT_DELIMITER)
+    errors: list = []
+    schema = T.StructType(
+        [T.StructField(h, T.StringType(), True) for h in header]
+    )
+    rows = [tuple(f) for f in stitch_lines(it, len(header), errors)]
+    return spark.createDataFrame(rows, schema)
+
+
+def sacct_lines_to_df(spark: SparkSession, path: str) -> DataFrame:
+    """File of sacct pipe-delimited lines -> string DataFrame (happy
+    path: no embedded newlines, so Spark's CSV reader handles the
+    multi-char delimiter distributedly with pushdown-friendly scans)."""
+    return spark.read.option("header", True).option("sep", SACCT_DELIMITER).csv(path)
