@@ -1,0 +1,684 @@
+"""Query catalog: every operator from SURVEY.md §2, demonstrated on the
+driver's synthetic tables, each paired with a DuckDB oracle SQL twin.
+
+Two kinds of entries:
+
+- **Operator demonstrations** (Group A): the reference's query shapes
+  (aggregation A1-A9, conditional-first J1/J2, window/upsert K2,
+  group_concat A5, distinct A10, plus the Spark-free additions from
+  SURVEY §7: joins, set ops, rollup, top-k, sessionization) expressed as
+  idiomatic DataFrame plans on the TPC-H-ish tables.
+
+- **Engine round-trips** (Group B): the sacct converter pipeline driven
+  end-to-end on *synthesized* sacct-shaped strings derived
+  deterministically from the numeric tables. Spark builds the strings,
+  parses them back through the real transform/views, and must land on
+  the numbers the oracle computes directly — a true round-trip proof of
+  the duration/unit/TRES/JobID grammars and the eff math.
+
+Float parity rules (driver hashes values): ratios are rounded to 6
+decimals on both sides; order-dependent double sums are rounded; pure
+integer-valued doubles are compared exactly. Column names and types are
+normalized on both sides (BIGINT for counts, DOUBLE for measures).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from slurm2sql_spark.operators.transform import slurm_transform
+from slurm2sql_spark.operators.views import eff, user_rollup
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def _(fn):
+        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return _
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); Spark reads it as a
+        # nanosecond LONG under this (runtime-settable) flag. Queries
+        # use `ts div 1000` (micros) to align with DuckDB's epoch_us.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts_us() -> Column:
+    """events.ts (nanos long) -> microseconds, floor division."""
+    return F.expr("ts div 1000")
+
+
+def _q6(c: Column | str) -> Column:
+    """Quantize a ratio to 6 decimals via floor — bit-deterministic
+    across engines, unlike round(), whose decimal-tie behavior differs
+    between Spark (BigDecimal HALF_UP on the shortest repr) and DuckDB
+    (numeric rounding on the raw double)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.floor(c * 1e6) / F.lit(1e6)
+
+
+# =====================================================================
+# Group A — operator demonstrations on the TPC-H-ish tables
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan with pushed-down date filter + 8-agg groupBy (A2/A4).",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_top_revenue",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-01-01'
+      AND l_shipdate > DATE '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: broadcast dim join + agg + deterministic top-k.",
+)
+def q3_top_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="Multi-join star query: fact + 3 broadcast dims, single shuffle for the agg.",
+)
+def q5_nation_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    dims = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "conditional_first",
+    """
+    SELECT l_orderkey,
+           max(CASE WHEN l_linenumber = 1 THEN l_returnflag END) AS first_flag,
+           max(CASE WHEN l_linenumber = 1 THEN CAST(l_shipdate AS DATE) END) AS first_ship,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    doc="J1/J2: the reference's correlated scalar subqueries (slurm2sql.py:954,957) "
+    "decorrelated into conditional aggregates — zero extra shuffles.",
+)
+def conditional_first(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    is_first = F.col("l_linenumber") == 1
+    return li.groupBy("l_orderkey").agg(
+        F.max(F.when(is_first, F.col("l_returnflag"))).alias("first_flag"),
+        F.max(F.when(is_first, F.col("l_shipdate").cast("date"))).alias("first_ship"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "group_concat",
+    """
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderpriority, '\n' ORDER BY o_orderpriority) AS priorities,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="A5 group_concat with canonical ordering (sort_array + concat_ws).",
+)
+def group_concat(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.concat_ws(
+            "\n", F.array_sort(F.collect_set("o_orderpriority"))
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="K2 upsert shape: row_number() over recency picks the surviving row per key.",
+)
+def latest_event_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            _ts_us().alias("ts_us"),
+            "event_type",
+            F.col("value"),
+        )
+    )
+
+
+@register(
+    "rollup_counts",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(l_quantity) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Grouping-sets rollup (free Spark addition, SURVEY §2.7 note).",
+)
+def rollup_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").cast("double").alias("qty"),
+    )
+
+
+@register(
+    "setops_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 300
+    """,
+    doc="Set operations (SURVEY §2.10): clickers without a high-value error.",
+)
+def setops_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    erroring = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 300)
+    ).select("user_id")
+    # subtract == EXCEPT DISTINCT (set semantics, matching SQL EXCEPT)
+    return clickers.subtract(erroring)
+
+
+@register(
+    "sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+    doc="Sessionization via lag + gap threshold (30 min) — windowed, shuffle on user.",
+)
+def sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _ts_us()
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | ((us - prev) > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "distinct_values",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="A10/A11: distinct + counts per type.",
+)
+def distinct_values(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "json_props",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="JSON field extraction (the reference's Comment JSON path, R11) via from_json.",
+)
+def json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).cast("long").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
+# Group B — sacct engine round-trips on synthesized strings
+# =====================================================================
+
+# Deterministic derivations, identical on both sides (all integer math):
+#   o = l_orderkey, ln = l_linenumber, q = CAST(l_quantity AS BIGINT)
+#   elapsed_s  = q * 60                       (< 3600s)
+#   ncpus      = ln % 4 + 1
+#   cputime_s  = elapsed_s * ncpus
+#   used_s     = (cputime_s * (ln % 10)) / 10  (integer floor)
+#   alloc_kb   = (o % 100) * 100               (0 for o%100==0 -> NULL MemEff)
+#   used_kb    = (alloc_kb * (ln % 5)) / 5     (integer floor)
+#   gpus       = ln % 3
+#   util       = o % 200                       (GpuUtil = util/100.0)
+
+
+def _sacct_raw_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a sacct-shaped string DataFrame (steps + allocation rows)
+    from lineitem, exercising duration/TRES/JobID formats."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey")
+    ln = F.col("l_linenumber").cast("long")
+    q = F.col("l_quantity").cast("long")
+    elapsed_s = q * 60
+    ncpus = ln % 4 + 1
+    cputime_s = elapsed_s * ncpus
+    used_s = (cputime_s * (ln % 10) / 10).cast("long")
+    alloc_kb = (o % 100) * 100
+    used_kb = (alloc_kb * (ln % 5) / 5).cast("long")
+    gpus = ln % 3
+    util = o % 200
+
+    def dur(sec):
+        return F.format_string(
+            "%d:%02d:%02d", (sec / 3600).cast("long"), (sec % 3600 / 60).cast("long"),
+            (sec % 60).cast("long"),
+        )
+
+    steps = li.select(
+        F.concat(o.cast("string"), F.lit("."), ln.cast("string")).alias("JobID"),
+        F.concat(o.cast("string"), F.lit("."), ln.cast("string")).alias("JobIDRaw"),
+        F.lit("").alias("JobName"),
+        F.lit("").alias("User"),
+        F.lit("COMPLETED").alias("State"),
+        ncpus.cast("string").alias("NCPUS"),
+        dur(elapsed_s).alias("Elapsed"),
+        dur(cputime_s).alias("CPUTime"),
+        F.format_string(
+            "cpu=%s,mem=%dK,gres/gpuutil=%d", dur(used_s), used_kb, util
+        ).alias("TRESUsageInTot"),
+        F.format_string(
+            "cpu=%d,mem=%dK,gres/gpu=%d,billing=%d", ncpus, alloc_kb, gpus, ncpus
+        ).alias("AllocTRES"),
+    )
+    allocs = (
+        li.select(o.alias("ok"))
+        .distinct()
+        .select(
+            F.col("ok").cast("string").alias("JobID"),
+            F.col("ok").cast("string").alias("JobIDRaw"),
+            F.concat(F.lit("job"), F.col("ok").cast("string")).alias("JobName"),
+            F.concat(F.lit("u"), (F.col("ok") % 50).cast("string")).alias("User"),
+            F.lit("COMPLETED").alias("State"),
+            F.lit("").alias("NCPUS"),
+            F.lit("").alias("Elapsed"),
+            F.lit("").alias("CPUTime"),
+            F.lit("").alias("TRESUsageInTot"),
+            F.lit("").alias("AllocTRES"),
+        )
+    )
+    return steps.unionByName(allocs)
+
+
+_SACCT_EFF_ORACLE_BASE = """
+WITH s AS (
+  SELECT l_orderkey AS o,
+         l_linenumber AS ln,
+         CAST(l_quantity AS BIGINT) * 60 AS elapsed_s,
+         l_linenumber % 4 + 1 AS ncpus,
+         CAST(l_quantity AS BIGINT) * 60 * (l_linenumber % 4 + 1) AS cputime_s,
+         (CAST(l_quantity AS BIGINT) * 60 * (l_linenumber % 4 + 1) * (l_linenumber % 10)) // 10 AS used_s,
+         (l_orderkey % 100) * 100 AS alloc_kb,
+         ((l_orderkey % 100) * 100 * (l_linenumber % 5)) // 5 AS used_kb,
+         l_linenumber % 3 AS gpus,
+         l_orderkey % 200 AS util
+  FROM lineitem
+),
+e AS (
+  SELECT CAST(o AS VARCHAR) AS JobID,
+         'job' || CAST(o AS VARCHAR) AS JobName,
+         'u' || CAST(o % 50 AS VARCHAR) AS "User",
+         'COMPLETED' AS State,
+         floor(CAST(sum(used_s) AS DOUBLE) / max(cputime_s) * 1000000) / 1000000 AS CPUeff,
+         CAST(max(cputime_s) AS DOUBLE) AS cpu_s_reserved,
+         CAST(sum(used_s) AS DOUBLE) AS cpu_s_used,
+         floor(max(CAST(used_kb AS DOUBLE) * 1024 / nullif(CAST(alloc_kb AS DOUBLE) * 1024, 0.0)) * 1000000) / 1000000 AS MemEff,
+         CAST(max(alloc_kb) AS DOUBLE) * 1024 AS AllocMem,
+         CAST(max(used_kb) AS DOUBLE) * 1024 AS TotalMem,
+         CAST(max(elapsed_s) AS DOUBLE) AS Elapsed,
+         CAST(max(ncpus) AS BIGINT) AS NCPUS,
+         CAST(max(gpus) AS DOUBLE) AS NGpus,
+         floor(sum((util / 100.0) * elapsed_s) / nullif(max(gpus * CAST(elapsed_s AS DOUBLE)), 0.0) * 1000000) / 1000000 AS GpuEff,
+         CAST(max(gpus) AS DOUBLE) * max(elapsed_s) AS gpu_s_reserved
+  FROM s GROUP BY o
+)
+"""
+
+_SACCT_EFF_ORACLE = (
+    _SACCT_EFF_ORACLE_BASE
+    + """
+SELECT JobID, JobName, "User", State, CPUeff, cpu_s_reserved, cpu_s_used,
+       MemEff, AllocMem, TotalMem, Elapsed, NCPUS, NGpus, GpuEff,
+       gpu_s_reserved
+FROM e
+"""
+)
+
+
+def _sacct_eff_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _sacct_raw_from_lineitem(spark, sf_dir)
+    slurm = slurm_transform(raw, now=1_700_000_000)
+    return eff(slurm).select(
+        F.col("JobID"),
+        F.col("JobName"),
+        F.col("User"),
+        F.col("State"),
+        _q6("CPUeff").alias("CPUeff"),
+        F.col("cpu_s_reserved"),
+        F.col("cpu_s_used"),
+        _q6("MemEff").alias("MemEff"),
+        F.col("AllocMem"),
+        F.col("TotalMem"),
+        F.col("Elapsed"),
+        F.col("NCPUS"),
+        F.col("NGpus"),
+        _q6("GpuEff").alias("GpuEff"),
+        F.col("gpu_s_reserved"),
+    )
+
+
+register(
+    "sacct_eff",
+    _SACCT_EFF_ORACLE,
+    doc="FLAGSHIP: synthesized sacct strings -> full ingest transform -> eff "
+    "rollup (A1-A8 + J1/J2); oracle computes the same numbers directly.",
+)(_sacct_eff_df)
+
+
+@register(
+    "sacct_user_rollup",
+    _SACCT_EFF_ORACLE_BASE
+    + """
+SELECT "User",
+       count(*) AS NJobs,
+       floor(sum(Elapsed) / 86400.0 * 1000000) / 1000000 AS ElapsedDays,
+       floor(sum(Elapsed * NCPUS) / 86400.0 * 1000000) / 1000000 AS CpuDays,
+       floor(sum(Elapsed * NCPUS * CPUeff) / nullif(sum(Elapsed * NCPUS), 0.0) * 1000000) / 1000000 AS CPUeff
+FROM e GROUP BY "User"
+""",
+    doc="A9: second-level per-user rollup of the eff view with weighted means.",
+)
+def sacct_user_rollup(spark, sf_dir):
+    raw = _sacct_raw_from_lineitem(spark, sf_dir)
+    slurm = slurm_transform(raw, now=1_700_000_000)
+    e = eff(slurm).withColumn("CPUeff", _q6("CPUeff"))
+    return user_rollup(e).select(
+        "User",
+        "NJobs",
+        _q6("ElapsedDays").alias("ElapsedDays"),
+        _q6("CpuDays").alias("CpuDays"),
+        _q6("CPUeff").alias("CPUeff"),
+    )
+
+
+@register(
+    "slurmtime_roundtrip",
+    """
+    SELECT event_id,
+           CAST(event_id % 500000 AS DOUBLE) AS parsed_s,
+           CAST((event_id % 120) * 60 AS DOUBLE) AS bare_minutes_s
+    FROM events
+    """,
+    doc="C7 round-trip: seconds -> 'D-HH:MM:SS' string -> slurmtime parser "
+    "must return the original seconds; bare numbers parse as minutes.",
+)
+def slurmtime_roundtrip(spark, sf_dir):
+    from slurm2sql_spark.functions import converters as C
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("event_id") % 500000
+    dur = F.format_string(
+        "%d-%02d:%02d:%02d",
+        (sec / 86400).cast("long"),
+        (sec % 86400 / 3600).cast("long"),
+        (sec % 3600 / 60).cast("long"),
+        (sec % 60).cast("long"),
+    )
+    bare = (F.col("event_id") % 120).cast("string")
+    return ev.select(
+        "event_id",
+        C.slurmtime(dur).alias("parsed_s"),
+        C.slurmtime(bare).alias("bare_minutes_s"),
+    )
+
+
+@register(
+    "units_roundtrip",
+    """
+    SELECT event_id,
+           CAST(event_id % 1000 AS DOUBLE) * 1048576 AS mem_bytes,
+           CAST(event_id % 97 AS DOUBLE) * 1000000 AS metric_val,
+           CAST(event_id % 53 AS DOUBLE) * 1024 AS mem_k_bytes
+    FROM events
+    """,
+    doc="C10-C13 round-trip: 'NM'/'Nk' strings -> binary/metric parsers.",
+)
+def units_roundtrip(spark, sf_dir):
+    from slurm2sql_spark.functions import converters as C
+
+    ev = _t(spark, sf_dir, "events")
+    m_str = F.concat((F.col("event_id") % 1000).cast("string"), F.lit("M"))
+    metric_str = F.concat((F.col("event_id") % 97).cast("string"), F.lit("M"))
+    k_str = F.concat((F.col("event_id") % 53).cast("string"), F.lit("Kn"))
+    return ev.select(
+        "event_id",
+        C.float_bytes(m_str).alias("mem_bytes"),
+        C.float_metric(metric_str).alias("metric_val"),
+        C.slurmmem(k_str).alias("mem_k_bytes"),
+    )
+
+
+@register(
+    "jobid_roundtrip",
+    """
+    SELECT event_id,
+           CAST(event_id AS BIGINT) AS jobid_only,
+           CASE WHEN event_id % 3 = 0 THEN event_id % 1000 END AS array_task,
+           CASE WHEN event_id % 2 = 0 THEN 'batch' END AS step,
+           CAST(event_id AS VARCHAR) ||
+             CASE WHEN event_id % 3 = 0 THEN '_' || CAST(event_id % 1000 AS VARCHAR) ELSE '' END
+             AS nostep
+    FROM events
+    """,
+    doc="R15-R20 round-trip: synthesized JobID grammar strings decomposed back.",
+)
+def jobid_roundtrip(spark, sf_dir):
+    from slurm2sql_spark.functions import jobid as J
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    jid = F.concat(
+        eid.cast("string"),
+        F.when(eid % 3 == 0, F.concat(F.lit("_"), (eid % 1000).cast("string"))).otherwise(""),
+        F.when(eid % 5 == 0, F.lit("+1")).otherwise(""),
+        F.when(eid % 2 == 0, F.lit(".batch")).otherwise(""),
+    )
+    return ev.select(
+        "event_id",
+        J.job_id_only(jid).alias("jobid_only"),
+        J.array_task_id(jid).alias("array_task"),
+        J.job_step(jid).alias("step"),
+        J.job_id_nostep(jid).alias("nostep"),
+    )
+
+
+@register(
+    "tres_roundtrip",
+    """
+    SELECT event_id,
+           CAST(event_id % 64 AS BIGINT) AS cpu,
+           CAST(event_id % 1000 AS DOUBLE) * 1073741824 AS mem,
+           CAST(event_id % 8 AS DOUBLE) AS gpu,
+           CAST(event_id % 17 AS BIGINT) AS billing
+    FROM events
+    """,
+    doc="C14 round-trip: TRES k=v strings -> typed field extraction.",
+)
+def tres_roundtrip(spark, sf_dir):
+    from slurm2sql_spark.functions import converters as C
+    from slurm2sql_spark.functions.tres import tres_field
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    tres = F.format_string(
+        "cpu=%d,mem=%dG,gres/gpu=%d,billing=%d",
+        eid % 64, eid % 1000, eid % 8, eid % 17,
+    )
+    return ev.select(
+        "event_id",
+        tres_field(tres, "cpu", C.int_metric).alias("cpu"),
+        tres_field(tres, "mem", C.float_bytes).alias("mem"),
+        tres_field(tres, "gres/gpu", C.float_metric).alias("gpu"),
+        tres_field(tres, "billing", C.int_metric).alias("billing"),
+    )

@@ -20,14 +20,15 @@ def tres_field(
     col: Column | str,
     field: str,
     converter: Callable[[Column], Column] | None = None,
-    scale: float | None = None,
+    wrap: Callable[[Column], Column] | None = None,
 ) -> Column:
     """Extract ``field=<value>`` from a TRES-style string column.
 
     ``converter`` is one of the scalar converters (e.g. ``float_bytes``,
-    ``float_metric``, ``slurmtime``); ``scale`` multiplies afterwards
-    (the reference's ``wrap`` hook, used for gpuutil/100 at
-    slurm2sql.py:684).
+    ``float_metric``, ``slurmtime``); ``wrap`` post-processes the typed
+    value (the reference's ``wrap`` hook, used for gpuutil/100 at
+    slurm2sql.py:684 — kept as a division, not a *0.01, for bit-exact
+    float parity).
 
     Field names may contain ``/`` (``gres/gpu``); the match mirrors the
     reference's word-boundary regex ``\\bfield=([^,]*)\\b`` exactly, so
@@ -44,6 +45,6 @@ def tres_field(
     # reference returns NULL for no-match and converts '' -> NULL too.
     value = F.when(raw == "", F.lit(None).cast("string")).otherwise(raw)
     out = converter(value) if converter is not None else value
-    if scale is not None:
-        out = out * F.lit(scale)
+    if wrap is not None:
+        out = wrap(out)
     return out

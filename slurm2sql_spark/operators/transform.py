@@ -1,10 +1,35 @@
 """The ingest projection: raw sacct text -> typed ``slurm`` DataFrame.
 
 This is the Spark re-expression of the reference's row loop + converter
-registry (reference slurm2sql.py:1008-1034, COLUMNS at 580-687): one wide
-``select`` of ~70 Column expressions that Catalyst fuses into a single
-whole-stage-codegen'd projection. No Python runs per row — at 100 TB this
-is a pure map stage with no shuffle.
+registry (reference slurm2sql.py:1008-1034, COLUMNS at 580-687). No
+Python runs per row — it is a pure map stage (no shuffle) that Catalyst
+whole-stage-codegens.
+
+Performance shape: the projection is STAGED. Naively nesting converter
+expressions duplicates expensive subtrees — a null-guarded unit
+conversion references its input ~5 times, so ``Billing`` built directly
+on ``regexp_extract`` would run the regex 9x per row, and Spark's
+subexpression elimination does not reach inside CASE WHEN branches.
+Instead:
+
+1. stage 1 parses each TRES ``k=v,k=v`` string ONCE into a MapType
+   column (``str_to_map``) — replacing ~12 per-field regex passes with
+   4 single passes (the reference compiles one regex per field,
+   slurm2sql.py:178-197);
+2. stage 2 materializes every shared/expensive parse (durations, the
+   ExitCode split, slurmmem) as an intermediate column;
+3. stage 3 derives the computed columns from those cheap references.
+
+Catalyst's CollapseProject deliberately keeps non-cheap aliases that are
+referenced more than once in separate projections, so each parse runs
+once per row; column pruning still flows through all stages, so a query
+touching 10 output columns pays for 10 parses only.
+
+Semantics note: map-based TRES lookup matches the reference's
+``\\bfield=([^,]*)\\b`` regex for every real TRES key; they differ only
+for hypothetical keys where one key is a ``/``-suffix of another (the
+regex would match ``fs/gpu=`` for field ``gpu``; the map does not).
+The public ``functions.tres.tres_field`` keeps exact regex semantics.
 
 Missing input columns (schema evolution, e.g. post-20.11 sacct without
 ``ReqGRES``, reference slurm2sql.py:311-324 and test.py:373-380) become
@@ -18,186 +43,13 @@ from pyspark.sql import functions as F
 
 from slurm2sql_spark.functions import converters as C
 from slurm2sql_spark.functions import jobid as J
-from slurm2sql_spark.functions.tres import tres_field
-from slurm2sql_spark.schema import RAW_FIELDS
+from slurm2sql_spark.schema import RAW_FIELDS, SLURM_FIELDS
 
-__all__ = ["slurm_transform", "slurm_columns"]
-
-
-def _default_time(now: Column) -> Column:
-    """Latest-active time (reference slurmDefaultTime, slurm2sql.py:205-219):
-    ``End`` if known, else *now* for running jobs, else ``Submit``."""
-    # Branching mirrors the reference exactly: *any* End except the
-    # literal 'Unknown' (including '') short-circuits to unixtime(End);
-    # likewise any Start except 'Unknown' means "running" -> now. A
-    # missing column behaves like '' (the reference's defaultdict(str)).
-    end, start = F.col("End"), F.col("Start")
-    return (
-        F.when(end.isNull() | (end != "Unknown"), C.unixtime(end))
-        .when(start.isNull() | (start != "Unknown"), now)
-        .otherwise(C.unixtime(F.col("Submit")))
-    )
+__all__ = ["slurm_transform"]
 
 
-def _cpu_eff() -> Column:
-    """Step CPU efficiency = TRESUsageInTot[cpu] / (Elapsed * AllocTRES[cpu])
-    (reference slurmCPUEff, slurm2sql.py:510-544). The reference returns
-    Python NaN on a zero denominator, which SQLite then stores as NULL —
-    we emit NULL directly."""
-    walltime = C.slurmtime(F.col("Elapsed"))
-    cpu_alloc = tres_field("AllocTRES", "cpu", C.int_metric)
-    cpu_used = tres_field("TRESUsageInTot", "cpu", C.slurmtime)
-    return F.when(
-        walltime.isNull() | (walltime == 0.0), F.lit(None).cast("double")
-    ).otherwise(cpu_used / F.nullif(walltime * cpu_alloc, F.lit(0.0)))
-
-
-def _mem_eff() -> Column:
-    """TRESUsageInTot[mem] / AllocTRES[mem]; 0-alloc -> NULL
-    (reference slurmMemEff2, slurm2sql.py:492-508)."""
-    used = tres_field("TRESUsageInTot", "mem", C.float_bytes)
-    alloc = tres_field("AllocTRES", "mem", C.float_bytes)
-    return used / F.nullif(alloc, F.lit(0.0))
-
-
-def _gpu_eff() -> Column:
-    """(TRESUsageInTot[gres/gpuutil]/100) / AllocTRES[gres/gpu]
-    (reference slurmGPUEff2, slurm2sql.py:395-407)."""
-    used = tres_field("TRESUsageInTot", "gres/gpuutil", C.float_metric)
-    alloc = tres_field("AllocTRES", "gres/gpu", C.float_metric)
-    return (used / F.lit(100.0)) / F.nullif(alloc, F.lit(0.0))
-
-
-def _mem_node() -> Column:
-    """ReqMem (total across nodes) / NNodes; 0 cpus -> 0, 0 nodes -> NULL
-    (reference slurmMemNode, slurm2sql.py:267-278)."""
-    ncpus = F.col("NCPUS").cast("long")
-    nnodes = F.col("NNodes").cast("long")
-    return F.when(
-        F.col("ReqMem").isNull() | (F.col("ReqMem") == ""), F.lit(None).cast("double")
-    ).when(ncpus == 0, F.lit(0.0)).otherwise(
-        C.slurmmem(F.col("ReqMem")) / F.nullif(nnodes, F.lit(0)).cast("double")
-    )
-
-
-def _mem_cpu() -> Column:
-    """ReqMem / NCPUS; zero nodes or cpus -> NULL (reference
-    slurmMemCPU, slurm2sql.py:280-291)."""
-    ncpus = F.col("NCPUS").cast("long")
-    nnodes = F.col("NNodes").cast("long")
-    return F.when(
-        F.col("ReqMem").isNull() | (F.col("ReqMem") == "") | (nnodes == 0),
-        F.lit(None).cast("double"),
-    ).otherwise(C.slurmmem(F.col("ReqMem")) / F.nullif(ncpus, F.lit(0)).cast("double"))
-
-
-def slurm_columns(now: int | None = None) -> list[Column]:
-    """The full output projection, in the reference registry's column
-    order (reference slurm2sql.py:580-687). ``now`` injects a fixed
-    "current time" for the running-job ``Time`` column (nondeterministic
-    otherwise; the reference tests tolerate +-5 s, test.py:139-141)."""
-    now_col = (
-        F.lit(now).cast("long")
-        if now is not None
-        else F.unix_timestamp(F.current_timestamp())
-    )
-    jid = F.col("JobID")
-    exit_parts = F.split(F.col("ExitCode"), ":")
-    nullexit = F.col("ExitCode").isNull() | (F.col("ExitCode") == "")
-    return [
-        # Identity (reference slurm2sql.py:586-594; grammar 412-462)
-        jid.alias("JobID"),
-        J.job_id_nostep(jid).alias("JobIDnostep"),
-        J.job_id_only(jid).alias("JobIDonly"),
-        J.job_step(jid).alias("JobStep"),
-        J.array_task_id(jid).alias("ArrayTaskID"),
-        J.job_id_raw_only(F.col("JobIDRaw")).alias("JobIDRawonly"),
-        # Metadata
-        C.nullstr("JobName").alias("JobName"),
-        C.nullstr("User").alias("User"),
-        C.nullstr("Group").alias("Group"),
-        C.nullstr("Account").alias("Account"),
-        C.nullstr("SubmitLine").alias("SubmitLine"),
-        tres_field("AllocTRES", "billing", C.int_metric).alias("Billing"),
-        # Times (reference slurm2sql.py:205-253, 607-615)
-        C.nullstr("State").alias("State"),
-        C.slurmtime("Timelimit").alias("Timelimit"),
-        C.slurmtime("Elapsed").alias("Elapsed"),
-        _default_time(now_col).alias("Time"),
-        C.unixtime("Submit").alias("Submit"),
-        C.unixtime("Start").alias("Start"),
-        C.unixtime("End").alias("End"),
-        (C.unixtime("Start") - C.unixtime("Submit")).alias("QueueTime"),
-        C.nullstr("Partition").alias("Partition"),
-        # Exit codes (reference slurm2sql.py:553-572)
-        C.nullstr("ExitCode").alias("ExitCodeRaw"),
-        F.when(nullexit, F.lit(None).cast("long"))
-        .otherwise(F.element_at(exit_parts, 1).cast("long"))
-        .alias("ExitCode"),
-        F.when(nullexit, F.lit(None).cast("long"))
-        .otherwise(F.element_at(exit_parts, 2).cast("long"))
-        .alias("ExitSignal"),
-        C.nullstr("NodeList").alias("NodeList"),
-        C.nullint("Priority").alias("Priority"),
-        C.nullint("ConsumedEnergyRaw").alias("ConsumedEnergy"),
-        # Node counts
-        C.int_bytes("ReqNodes").alias("ReqNodes"),
-        C.nullint("NNodes").alias("NNodes"),
-        C.nullint("AllocNodes").alias("AllocNodes"),
-        # TRES passthrough
-        C.nullstr("ReqTRES").alias("ReqTRES"),
-        C.nullint("NTasks").alias("NTasks"),
-        C.nullstr("AllocTRES").alias("AllocTRES"),
-        C.nullstr("TRESUsageInTot").alias("TRESUsageInTot"),
-        C.nullstr("TRESUsageOutTot").alias("TRESUsageOutTot"),
-        # CPU (reference slurm2sql.py:639-650; TotalCPU comes from the
-        # TRESUsageInTot cpu= field, not sacct's TotalCPU column — 643)
-        C.nullint("NCPUS").alias("NCPUS"),
-        C.nullint("ReqCPUS").alias("ReqCPUS"),
-        C.nullint("AllocCPUS").alias("AllocCPUS"),
-        C.slurmtime("CPUTime").alias("CPUTime"),
-        tres_field("TRESUsageInTot", "cpu", C.slurmtime).alias("TotalCPU"),
-        C.slurmtime("UserCPU").alias("UserCPU"),
-        C.slurmtime("SystemCPU").alias("SystemCPU"),
-        _cpu_eff().alias("CPUEff"),
-        C.slurmtime("MinCPU").alias("MinCPU"),
-        C.nullstr("MinCPUNode").alias("MinCPUNode"),
-        C.nullstr("MinCPUTask").alias("MinCPUTask"),
-        # Memory (reference slurm2sql.py:652-665)
-        tres_field("TRESUsageInTot", "mem", C.float_bytes).alias("TotalMem"),
-        tres_field("AllocTRES", "mem", C.float_bytes).alias("AllocMem"),
-        _mem_eff().alias("MemEff"),
-        C.float_bytes("ReqMem").alias("ReqMem"),
-        _mem_node().alias("ReqMemNode"),
-        _mem_cpu().alias("ReqMemCPU"),
-        C.slurmmem("AveRSS").alias("AveRSS"),
-        C.slurmmem("MaxRSS").alias("MaxRSS"),
-        C.nullstr("MaxRSSNode").alias("MaxRSSNode"),
-        C.nullstr("MaxRSSTask").alias("MaxRSSTask"),
-        C.int_metric("MaxPages").alias("MaxPages"),
-        C.slurmmem("MaxVMSize").alias("MaxVMSize"),
-        # Disk (reference slurm2sql.py:667-673)
-        C.int_bytes("AveDiskRead").alias("AveDiskRead"),
-        C.int_bytes("AveDiskWrite").alias("AveDiskWrite"),
-        C.int_bytes("MaxDiskRead").alias("MaxDiskRead"),
-        C.int_bytes("MaxDiskWrite").alias("MaxDiskWrite"),
-        tres_field("TRESUsageInTot", "fs/disk", C.float_bytes).alias("TotDiskRead"),
-        tres_field("TRESUsageOutTot", "fs/disk", C.float_bytes).alias("TotDiskWrite"),
-        # GPU (reference slurm2sql.py:676-686)
-        tres_field("ReqTRES", "gres/gpu", C.float_metric).alias("ReqGPUS"),
-        C.nullstr_strip("Comment").alias("Comment"),
-        _gpu_eff().alias("GpuEff"),
-        tres_field("AllocTRES", "gres/gpu", C.float_metric).alias("NGpus"),
-        F.nullif(
-            F.regexp_extract(F.col("AllocTRES"), r"\bgres/gpu:([^=]+)=", 1), F.lit("")
-        ).alias("GpuType"),
-        tres_field("TRESUsageInTot", "gres/gpuutil", C.float_metric, scale=0.01).alias(
-            "GpuUtil"
-        ),
-        tres_field("TRESUsageInTot", "gres/gpumem", C.float_metric).alias("GpuMem"),
-        tres_field("TRESUsageInTot", "gres/gpuutil", C.float_metric).alias("GpuUtilTot"),
-        tres_field("TRESUsageInTot", "gres/gpumem", C.float_metric).alias("GpuMemTot"),
-    ]
+def _null_if_empty(c: Column, dtype: str = "string") -> Column:
+    return F.when(c.isNull() | (c == ""), F.lit(None).cast(dtype)).otherwise(c)
 
 
 def slurm_transform(
@@ -205,16 +57,183 @@ def slurm_transform(
 ) -> DataFrame:
     """Raw string-typed sacct DataFrame -> typed ``slurm`` DataFrame.
 
+    ``now`` injects a fixed "current time" for the running-job ``Time``
+    column (reference slurmDefaultTime, slurm2sql.py:205-219; its
+    nondeterminism is tolerated +-5s by reference test.py:139-141).
     ``jobs_only`` drops step rows during ingest (reference --jobs-only,
-    slurm2sql.py:720-721 and 1010-1014).
+    slurm2sql.py:720-721, 1010-1014).
     """
     present = set(raw.columns)
     missing = [f for f in RAW_FIELDS if f not in present]
     if missing:
-        raw = raw.withColumns(
-            {f: F.lit(None).cast("string") for f in missing}
-        )
-    out = raw.select(*slurm_columns(now=now))
+        raw = raw.withColumns({f: F.lit(None).cast("string") for f in missing})
+
+    now_col = (
+        F.lit(now).cast("long")
+        if now is not None
+        else F.unix_timestamp(F.current_timestamp())
+    )
+
+    # --- stage 1: one-pass TRES map parses (C14 x9, slurm2sql.py:643-686)
+    stage1 = raw.withColumns(
+        {
+            "_tin": F.str_to_map(F.col("TRESUsageInTot"), F.lit(","), F.lit("=")),
+            "_tal": F.str_to_map(F.col("AllocTRES"), F.lit(","), F.lit("=")),
+            "_tout": F.str_to_map(F.col("TRESUsageOutTot"), F.lit(","), F.lit("=")),
+            "_treq": F.str_to_map(F.col("ReqTRES"), F.lit(","), F.lit("=")),
+        }
+    )
+
+    # --- stage 2: shared expensive parses, materialized once each
+    stage2 = stage1.withColumns(
+        {
+            # identity grammar (R15-R20, slurm2sql.py:412-462)
+            "JobIDnostep": J.job_id_nostep(F.col("JobID")),
+            "JobIDonly": J.job_id_only(F.col("JobID")),
+            "JobStep": J.job_step(F.col("JobID")),
+            "ArrayTaskID": J.array_task_id(F.col("JobID")),
+            "JobIDRawonly": J.job_id_raw_only(F.col("JobIDRaw")),
+            # durations (C7)
+            "Timelimit": C.slurmtime(F.col("Timelimit")),
+            "_elapsed_s": C.slurmtime(F.col("Elapsed")),
+            "CPUTime": C.slurmtime(F.col("CPUTime")),
+            "UserCPU": C.slurmtime(F.col("UserCPU")),
+            "SystemCPU": C.slurmtime(F.col("SystemCPU")),
+            "MinCPU": C.slurmtime(F.col("MinCPU")),
+            # timestamps (C5) — parsed once; Time derives from these
+            "_submit_ts": C.unixtime(F.col("Submit")),
+            "_start_ts": C.unixtime(F.col("Start")),
+            "_end_ts": C.unixtime(F.col("End")),
+            # TRES-derived base values
+            "TotalCPU": C.slurmtime(F.col("_tin")["cpu"]),
+            "_cpu_alloc": C.int_metric(F.col("_tal")["cpu"]),
+            "TotalMem": C.float_bytes(F.col("_tin")["mem"]),
+            "AllocMem": C.float_bytes(F.col("_tal")["mem"]),
+            "NGpus": C.float_metric(F.col("_tal")["gres/gpu"]),
+            "GpuUtilTot": C.float_metric(F.col("_tin")["gres/gpuutil"]),
+            "GpuMemTot": C.float_metric(F.col("_tin")["gres/gpumem"]),
+            "TotDiskRead": C.float_bytes(F.col("_tin")["fs/disk"]),
+            "TotDiskWrite": C.float_bytes(F.col("_tout")["fs/disk"]),
+            "ReqGPUS": C.float_metric(F.col("_treq")["gres/gpu"]),
+            "Billing": C.int_metric(F.col("_tal")["billing"]),
+            # memory (C10/C12)
+            "ReqMem": C.float_bytes(F.col("ReqMem")),
+            "_reqmem_nc": C.slurmmem(F.col("ReqMem")),
+            "AveRSS": C.slurmmem(F.col("AveRSS")),
+            "MaxRSS": C.slurmmem(F.col("MaxRSS")),
+            "MaxVMSize": C.slurmmem(F.col("MaxVMSize")),
+            "MaxPages": C.int_metric(F.col("MaxPages")),
+            # disk (C12)
+            "AveDiskRead": C.int_bytes(F.col("AveDiskRead")),
+            "AveDiskWrite": C.int_bytes(F.col("AveDiskWrite")),
+            "MaxDiskRead": C.int_bytes(F.col("MaxDiskRead")),
+            "MaxDiskWrite": C.int_bytes(F.col("MaxDiskWrite")),
+            "ReqNodes": C.int_bytes(F.col("ReqNodes")),
+            # misc
+            "_exit_parts": F.split(F.col("ExitCode"), ":"),
+            "_gputype_raw": F.regexp_extract(
+                F.col("AllocTRES"), r"\bgres/gpu:([^=]+)=", 1
+            ),
+            "_ncpus": C.nullint(F.col("NCPUS")),
+            "_nnodes": C.nullint(F.col("NNodes")),
+        }
+    )
+
+    # --- stage 3: derived columns over cheap references
+    end, start = F.col("End"), F.col("Start")
+    nullexit = F.col("ExitCode").isNull() | (F.col("ExitCode") == "")
+    reqmem_known = F.col("ReqMem").isNotNull()
+    stage3 = stage2.withColumns(
+        {
+            # R1/R2: latest-active time. Branching mirrors the reference
+            # exactly: *any* End except the literal 'Unknown' (including
+            # '') short-circuits to unixtime(End); likewise any Start
+            # except 'Unknown' means "running" -> now (slurm2sql.py:205-226).
+            "Time": F.when(end.isNull() | (end != "Unknown"), F.col("_end_ts"))
+            .when(start.isNull() | (start != "Unknown"), now_col)
+            .otherwise(F.col("_submit_ts")),
+            "QueueTime": F.col("_start_ts") - F.col("_submit_ts"),
+            # R23: step CPU efficiency (slurm2sql.py:510-544). The
+            # reference returns NaN on zero cpu_alloc, which SQLite
+            # stores as NULL — we emit NULL directly.
+            "CPUEff": F.when(
+                F.col("_elapsed_s").isNull() | (F.col("_elapsed_s") == 0.0),
+                F.lit(None).cast("double"),
+            ).otherwise(
+                F.col("TotalCPU")
+                / F.nullif(F.col("_elapsed_s") * F.col("_cpu_alloc"), F.lit(0.0))
+            ),
+            # R22: TRESUsageInTot[mem] / AllocTRES[mem], 0-alloc -> NULL
+            # (slurm2sql.py:492-508)
+            "MemEff": F.col("TotalMem") / F.nullif(F.col("AllocMem"), F.lit(0.0)),
+            # R14: (gpuutil/100) / ngpus (slurm2sql.py:395-407)
+            "GpuEff": (F.col("GpuUtilTot") / F.lit(100.0))
+            / F.nullif(F.col("NGpus"), F.lit(0.0)),
+            "GpuUtil": F.col("GpuUtilTot") / F.lit(100.0),
+            "GpuMem": F.col("GpuMemTot"),
+            # R6/R7: ReqMem is total across nodes (slurm2sql.py:267-291)
+            "ReqMemNode": F.when(~reqmem_known, F.lit(None).cast("double"))
+            .when(F.col("_ncpus") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("_reqmem_nc")
+                / F.nullif(F.col("_nnodes"), F.lit(0)).cast("double")
+            ),
+            "ReqMemCPU": F.when(
+                ~reqmem_known | (F.col("_nnodes") == 0), F.lit(None).cast("double")
+            ).otherwise(
+                F.col("_reqmem_nc") / F.nullif(F.col("_ncpus"), F.lit(0)).cast("double")
+            ),
+            # R25: ExitCode 'code:signal' split (slurm2sql.py:553-572)
+            "ExitCodeRaw": _null_if_empty(F.col("ExitCode")),
+            "_exit_code": F.when(nullexit, F.lit(None).cast("long")).otherwise(
+                F.element_at(F.col("_exit_parts"), 1).cast("long")
+            ),
+            "ExitSignal": F.when(nullexit, F.lit(None).cast("long")).otherwise(
+                F.element_at(F.col("_exit_parts"), 2).cast("long")
+            ),
+            "GpuType": F.nullif(F.col("_gputype_raw"), F.lit("")),
+        }
+    )
+
+    # --- final projection: registry order, null-guarded passthroughs
+    passthrough_str = {
+        "JobName", "User", "Group", "Account", "SubmitLine", "State",
+        "Partition", "NodeList", "ReqTRES", "AllocTRES", "TRESUsageInTot",
+        "TRESUsageOutTot", "MinCPUNode", "MinCPUTask", "MaxRSSNode",
+        "MaxRSSTask",
+    }
+    renames = {
+        "Elapsed": "_elapsed_s",
+        "Submit": "_submit_ts",
+        "Start": "_start_ts",
+        "End": "_end_ts",
+        "ExitCode": "_exit_code",
+        "NCPUS": "_ncpus",
+        "NNodes": "_nnodes",
+    }
+    cols: list[Column] = []
+    for name, _dtype in SLURM_FIELDS:
+        if name in passthrough_str:
+            cols.append(_null_if_empty(F.col(name)).alias(name))
+        elif name == "Comment":
+            cols.append(C.nullstr_strip(F.col("Comment")).alias("Comment"))
+        elif name == "Priority":
+            cols.append(C.nullint(F.col("Priority")).alias("Priority"))
+        elif name == "ConsumedEnergy":
+            cols.append(C.nullint(F.col("ConsumedEnergyRaw")).alias("ConsumedEnergy"))
+        elif name == "AllocNodes":
+            cols.append(C.nullint(F.col("AllocNodes")).alias("AllocNodes"))
+        elif name == "NTasks":
+            cols.append(C.nullint(F.col("NTasks")).alias("NTasks"))
+        elif name == "ReqCPUS":
+            cols.append(C.nullint(F.col("ReqCPUS")).alias("ReqCPUS"))
+        elif name == "AllocCPUS":
+            cols.append(C.nullint(F.col("AllocCPUS")).alias("AllocCPUS"))
+        elif name in renames:
+            cols.append(F.col(renames[name]).alias(name))
+        else:
+            cols.append(F.col(name).alias(name))
+    out = stage3.select(*cols)
     if jobs_only:
         out = out.filter(F.col("JobStep").isNull())
     return out

@@ -44,6 +44,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Local benches read single small parquet files; the 128 MB
+        # default split size would leave most cores idle during
+        # CPU-heavy parse stages. ~1 MB splits parallelize a 10 MB file
+        # across the machine. On a real cluster (many multi-hundred-MB
+        # files) override back to the 128 MB default.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "256k")
         # Engine semantics: the reference tolerates malformed values by
         # mapping them to NULL per-converter; we use try_* functions for
         # those paths explicitly, so ANSI mode stays off for SQLite-like

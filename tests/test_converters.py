@@ -128,7 +128,9 @@ def test_tres_field(spark):
         tres_field("t", "cpu", C.int_metric).alias("cpu"),
         tres_field("t", "mem", C.float_bytes).alias("mem"),
         tres_field("t", "gres/gpu", C.float_metric).alias("gpu"),
-        tres_field("t", "gres/gpuutil", C.float_metric, scale=0.01).alias("gpuutil"),
+        tres_field(
+            "t", "gres/gpuutil", C.float_metric, wrap=lambda c: c / 100.0
+        ).alias("gpuutil"),
         tres_field("t", "billing", C.int_metric).alias("billing"),
         tres_field("t", "fs/disk", C.float_bytes).alias("absent"),
     ).collect()[0]
