@@ -53,6 +53,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Engine semantics are SQLite-lax (x/0 -> NULL, malformed cast ->
+    # NULL). The driver hands us ITS session, which on Spark 4 defaults
+    # to ANSI mode; pin the runtime-settable flag so every catalog query
+    # behaves identically under any session.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); Spark reads it as a
         # nanosecond LONG under this (runtime-settable) flag. Queries
@@ -681,4 +686,239 @@ def tres_roundtrip(spark, sf_dir):
         tres_field(tres, "mem", C.float_bytes).alias("mem"),
         tres_field(tres, "gres/gpu", C.float_metric).alias("gpu"),
         tres_field(tres, "billing", C.int_metric).alias("billing"),
+    )
+
+
+# =====================================================================
+# Group C — LLM-pipeline extensions (dedup / similarity / text analysis)
+# =====================================================================
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on normalized content (16-byte shuffle keys).",
+)
+def dedup_exact(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared, sa.sz AS sz_a, sb.sz AS sz_b,
+           floor(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) * 1000000) / 1000000 AS jaccard
+    FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.3
+    """,
+    doc="Exact 3-gram Jaccard near-dup pairs via shingle inverted index.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.3
+    )
+    return pairs.select(
+        "id_a", "id_b", "shared", "sz_a", "sz_b", _q6("jaccard").alias("jaccard")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # hash-function-specific; driver records rows-only
+    doc="MinHash(64) + 16-band LSH candidate pairs (approximate near-dup at scale).",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
+        num_hashes=64, bands=16,
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,  # hash-function-specific; driver records rows-only
+    doc="64-bit SimHash banded near-dup pairs (Hamming <= 3).",
+)
+def dedup_simhash(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+@register(
+    "sim_topk_cosine",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS sim
+      FROM embeddings c, q
+      WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, sim, row_number() OVER (
+        PARTITION BY q_id ORDER BY floor(sim * 10000) DESC, c_id) AS rank
+      FROM pairs
+    )
+    SELECT q_id, c_id, floor(sim * 10000) / 10000 AS sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 per query vector (exact ANN baseline). "
+    "Ranking quantized to 1e-4 with c_id tie-break so both engines order "
+    "identically despite last-ulp float differences.",
+)
+def sim_topk_cosine(spark, sf_dir):
+    from slurm2sql_spark.operators.similarity import cosine
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    qsim = F.floor(F.col("sim_raw") * 10000)
+    sim = (
+        cs.join(F.broadcast(qs), F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "sim_raw",
+            cosine(
+                F.col("q_vec").cast("array<double>"),
+                F.col("c_vec").cast("array<double>"),
+            ),
+        )
+        .select("q_id", "c_id", "sim_raw", qsim.alias("sim_q"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_q"), F.asc("c_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id", "c_id", (F.col("sim_q") / 10000).alias("sim"), "rank"
+        )
+    )
+
+
+@register(
+    "sim_lsh_topk",
+    None,  # approximate, plane-hash-specific; driver records rows-only
+    doc="LSH (random hyperplane) bucketed approximate top-k — the scale path.",
+)
+def sim_lsh_topk(spark, sf_dir):
+    from slurm2sql_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return lsh_topk(qs, cs, k=5, planes=16, dim=64)
+
+
+@register(
+    "text_profile",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS w,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS dl
+      FROM documents
+    ),
+    hits AS (
+      SELECT *,
+        len(list_intersect(dl, ['the','a','of','and','to','in','is','that'])) AS h_en,
+        len(list_intersect(dl, ['el','la','de','y','que','en','los','se'])) AS h_es,
+        len(list_intersect(dl, ['der','die','und','das','ist','von','mit','den'])) AS h_de,
+        len(list_intersect(dl, ['le','la','les','et','de','un','est','que'])) AS h_fr
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS INT) AS n_distinct_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           floor(least(len(w) / 64.0, 1.0)
+                 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+                 * (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                    / length(text)) * 1000000) / 1000000 AS quality,
+           CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           md5(array_to_string(list_sort(dl), ' ')) AS fingerprint
+    FROM hits
+    """,
+    doc="Per-document text profile: token stats, quality score, stopword-hit "
+    "language ID, canonical fingerprint — all JVM-side expressions.",
+)
+def text_profile_q(spark, sf_dir):
+    from slurm2sql_spark.operators.textstats import text_profile
+
+    prof = text_profile(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return prof.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_chars",
+        _q6("quality").alias("quality"),
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+@register(
+    "multimodal_pipeline",
+    None,  # binary decode stubs are engine-specific; rows-only
+    doc="Multimodal plumbing: text bytes -> media table -> fake decode -> "
+    "hash features -> cosine near-dup, all through mapInPandas Arrow batches.",
+)
+def multimodal_pipeline(spark, sf_dir):
+    from slurm2sql_spark.operators.multimodal import (
+        decode_images,
+        extract_features,
+        media_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    media = media_table(
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob")),
+        "doc_id",
+        "blob",
+        "image",
+    )
+    decoded = decode_images(media, fake=True)
+    feats = extract_features(media, fake=True)
+    return decoded.join(feats, "media_id").select(
+        "media_id", "width", "height", "pixel_digest", F.size("features").alias("dim")
     )

@@ -1,0 +1,270 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+All shuffle-parallel by construction — no collects, no driver loops:
+
+- ``exact_dedup``: hash-groupBy. One shuffle on a 128-bit content hash;
+  duplicate groups are tiny so there is no skew at any scale.
+- ``ngram_jaccard_pairs``: exact near-dup via shingle inverted index —
+  explode shingles, self-join on shingle, count co-occurrences, Jaccard
+  from set sizes. The classic scale hazard is hot shingles (stop-phrase
+  blowup: a shingle shared by f docs contributes f^2 join rows);
+  ``max_shingle_freq`` drops them, which is both the standard MinHashLSH
+  approximation and the fix for quadratic skew.
+- ``minhash_signatures`` / ``minhash_lsh_pairs``: MinHash + banded LSH.
+  Signatures are one explode + one groupBy with H ``min`` aggregates
+  (map-side combinable). Banding emits B rows per doc and groups by
+  (band, band-hash) — candidate generation never compares all pairs, so
+  cost is O(docs x bands + sum(bucket^2)) not O(n^2); at 100 TB this is
+  the only shape that survives.
+- ``simhash_signatures`` / ``simhash_near_dup_pairs``: 64-bit SimHash
+  with banded candidate generation (4 x 16-bit bands finds all pairs
+  within Hamming distance 3 by pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "exact_dedup",
+    "shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_near_dup_pairs",
+]
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical (normalized) texts: returns one row per distinct
+    content with ``keep_id`` (min id), ``n_dups``, and the content hash.
+
+    Grouping key is md5 of the normalized text, not the text itself, so
+    the shuffle moves 16-byte keys instead of documents.
+    """
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(F.col(id_col).alias("_id"), h)
+        .groupBy("content_hash")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """One row per distinct word-``n``-gram per document.
+
+    Tokenization is a whitespace split; shingles are built JVM-side with
+    ``transform`` over token indices (no Python).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # indices 0..size-n (inclusive), space-joined n-grams; short docs -> []
+    sh = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+        .select("id", F.explode(F.array_distinct("sh")).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b).
+
+    ``max_shingle_freq`` caps the inverted-index posting length —
+    shingles appearing in more than that many docs are dropped before
+    the self-join (skew/blowup guard; slightly lowers recall for pairs
+    that share *only* ultra-common shingles).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per document: ``num_hashes`` columns ``h0..``,
+    each min over ``xxhash64(shingle, seed)``.
+
+    One explode + one groupBy; the H mins are map-side combined, so the
+    shuffle carries one signature row per document.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    ``bands`` bands of ``num_hashes/bands`` rows; docs agreeing on any
+    full band are candidates. Returns distinct (id_a < id_b) candidate
+    pairs — feed to ``ngram_jaccard_pairs``-style verification or accept
+    at the (b, r)-tuned threshold.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * r + i}") for i in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    x = band_rows.alias("x")
+    y = band_rows.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document from whitespace tokens.
+
+    Explode tokens -> xxhash64 -> per-bit +-1 sums -> sign bits packed
+    into a long. All JVM-side aggregation; one shuffle on the doc id.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return bit_sums.select("id", packed.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, using 4
+    16-bit bands for candidate generation (pigeonhole: any pair within
+    distance 3 agrees on at least one band)."""
+    sig = simhash_signatures(df, id_col, text_col)
+    bands = [
+        (F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))).alias(
+            f"band{b}"
+        )
+        for b in range(4)
+    ]
+    banded = sig.select("id", "simhash", *bands)
+    band_rows = banded.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.key")
+    x = band_rows.alias("x")
+    y = band_rows.alias("y")
+    hamming = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

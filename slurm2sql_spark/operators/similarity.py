@@ -1,0 +1,237 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: exact brute-force top-k — broadcast the (small) query
+  set against the corpus scan; dot products run JVM-side via
+  ``zip_with``/``aggregate`` (no Python), then a per-query window top-k.
+  O(Q x N) work but embarrassingly parallel over the corpus: the right
+  baseline, and the right *tool* whenever Q is small.
+- ``lsh_signatures`` / ``lsh_topk``: random-hyperplane LSH — the scale
+  path. Each vector gets a ``planes``-bit signature from sign(v . r_p)
+  with deterministic pseudo-random planes (fixed-seed, no state to
+  broadcast); candidates share a signature band, so the join touches a
+  small fraction of the corpus. Approximate: recall tuned by
+  bands/planes. Signatures are computed by an Arrow-batched Pandas UDF
+  (one numpy matmul per batch) — a pure Column-expression version needs
+  planes x dim ``element_at`` terms, which blows past codegen limits
+  (>2 MB task binaries at 32x64) for no throughput gain.
+- ``embedding_near_dup_pairs``: corpus self near-dup at a cosine
+  threshold via the same LSH bucketing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_topk",
+    "lsh_signatures",
+    "lsh_topk",
+    "embedding_near_dup_pairs",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise product folded left-to-right (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self-matches).
+
+    The query side is broadcast — at cluster scale the corpus scan
+    parallelizes across executors with zero shuffle; the only shuffle is
+    the final per-query top-k, keyed on q_id (|Q| keys).
+    """
+    qs = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec"))
+    cs = corpus.select(F.col(c_id).alias("c_id"), F.col(c_vec).alias("c_vec"))
+    sim = (
+        cs.join(F.broadcast(qs), F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "sim",
+            cosine(
+                F.col("q_vec").cast("array<double>"),
+                F.col("c_vec").cast("array<double>"),
+            ),
+        )
+        .select("q_id", "c_id", "sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", "rank")
+    )
+
+
+_LSH_SEED = 0x5EED_15B  # fixed: signatures must agree across runs/executors
+
+
+def _plane_matrix(planes: int, dim: int):
+    """Deterministic (planes x dim) hyperplane matrix — recomputed from a
+    fixed seed inside each executor, so nothing is shipped or broadcast."""
+    import numpy as np
+
+    rng = np.random.default_rng(_LSH_SEED)
+    return rng.uniform(-0.5, 0.5, size=(planes, dim))
+
+
+def lsh_signatures(
+    df: DataFrame, id_col: str, vec_col: str, planes: int = 16, dim: int = 64
+) -> DataFrame:
+    """Sign-of-projection bit signature per vector (one long column).
+
+    Vectorized: each Arrow batch becomes one ``(n, dim) @ (dim, planes)``
+    numpy matmul, then a bit-pack — O(n) Python calls per *batch*, not
+    per row."""
+
+    @F.pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes_t = _plane_matrix(planes, dim).T  # (dim, planes)
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (mat @ planes_t) > 0  # (n, planes)
+        weights = (1 << np.arange(planes)).astype(np.int64)
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _sig(F.col(vec_col).cast("array<double>")).alias("sig"),
+    )
+
+
+def _band_rows(sig_df: DataFrame, planes: int, bands: int) -> DataFrame:
+    """Explode a signature into (band, key) rows — candidate pairs are
+    rows agreeing on any one band (classic banded LSH)."""
+    r = planes // bands
+    mask = F.lit((1 << r) - 1)
+    return sig_df.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * r).bitwiseAND(mask).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "vec", "bb.band", "bb.key")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    planes: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k: banded signature match (any of ``bands`` bands
+    of ``planes/bands`` bits) generates candidates, then exact cosine
+    re-ranks them. Recall rises with more/narrower bands; cost rises
+    with bucket collision rate — (planes, bands) is the knob.
+
+    The join is an equi-join on (band, key): at scale it hash-partitions
+    both sides — never a cross product. The query side stays broadcast
+    when small.
+    """
+    qsig = lsh_signatures(queries, q_id, q_vec, planes, dim)
+    csig = lsh_signatures(corpus, c_id, c_vec, planes, dim)
+    qb = _band_rows(qsig, planes, bands).withColumnsRenamed(
+        {"id": "q_id", "vec": "q_vec"}
+    )
+    cb = _band_rows(csig, planes, bands).withColumnsRenamed(
+        {"id": "c_id", "vec": "c_vec"}
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "key"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "q_vec", "c_vec")
+        .distinct()
+    )
+    sim = cand.withColumn(
+        "sim",
+        cosine(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")),
+    ).select("q_id", "c_id", "sim")
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus self-join near-dups: banded LSH candidates -> exact cosine
+    filter at ``threshold`` (id_a < id_b). Same equi-join shape as
+    lsh_topk, so candidate generation is shuffle-hash, never O(n^2)."""
+    sig = lsh_signatures(df, id_col, vec_col, planes, dim)
+    rows = _band_rows(sig, planes, bands)
+    a = rows.alias("a")
+    b = rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .distinct()
+        .withColumn(
+            "sim",
+            cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,104 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting. All built-in-function expressions (JVM-side),
+no UDFs — these run in the scan stage with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "text_profile",
+]
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Real deployments would swap in larger lists or a fastText-style model
+# via a pandas UDF; the operator shape (score-per-language, argmax) is
+# the same.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "y", "que", "en", "los", "se"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den"],
+    "fr": ["le", "la", "les", "et", "de", "un", "est", "que"],
+}
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization (matching the oracle's string_split)."""
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token counts and length statistics."""
+    t = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards moderate doc length, token
+    diversity, and low punctuation/digit noise. Deterministic and
+    SQL-expressible (oracle twin in the catalog)."""
+    t = tokens(text)
+    n = F.size(t).cast("double")
+    diversity = F.size(F.array_distinct(t)).cast("double") / F.nullif(n, F.lit(0.0))
+    alpha_chars = F.length(F.regexp_replace(text, r"[^a-zA-Z ]", ""))
+    alpha_ratio = alpha_chars.cast("double") / F.nullif(
+        F.length(text).cast("double"), F.lit(0.0)
+    )
+    length_term = F.least(n / F.lit(64.0), F.lit(1.0))
+    return length_term * diversity * alpha_ratio
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit language classifier: count distinct-token hits per
+    language list, argmax with 'und' (undetermined) on zero hits.
+    Ties break to the lexicographically last code (deterministic; the
+    oracle mirrors ORDER BY hits DESC, code DESC)."""
+    toks = F.array_distinct(tokens(F.lower(text)))
+    scores = [
+        F.struct(
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, words in sorted(STOPWORDS.items())
+    ]
+    # struct ordering compares (hits, code) field-by-field; sort asc +
+    # reverse -> (hits DESC, code DESC), element 1 is the winner.
+    arr = F.reverse(F.array_sort(F.array(*scores)))
+    best = F.element_at(arr, 1)
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 over the sorted distinct
+    token set — robust to token order and repetition (the
+    rolling-hash-class dedup key)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.lower(text))))))
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Full per-document profile: stats + quality + language + fingerprint."""
+    text = F.col(text_col)
+    t = tokens(text)
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.length(text).alias("n_chars"),
+        quality_score(text).alias("quality"),
+        lang_id(text).alias("lang_pred"),
+        fingerprint(text).alias("fingerprint"),
+    )

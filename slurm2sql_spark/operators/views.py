@@ -72,7 +72,7 @@ def eff(slurm: DataFrame) -> DataFrame:
         F.max("ReqTRES").alias("ReqTRES"),
         F.max("Elapsed").alias("Elapsed"),
         F.max("NCPUS").alias("NCPUS"),
-        (F.sum("TotalCPU") / F.max("CPUTime")).alias("CPUeff"),
+        (F.sum("TotalCPU") / F.nullif(F.max("CPUTime"), F.lit(0.0))).alias("CPUeff"),
         F.max("CPUTime").alias("cpu_s_reserved"),
         F.sum("TotalCPU").alias("cpu_s_used"),
         F.max("ReqMemNode").alias("MemReq"),
@@ -87,7 +87,7 @@ def eff(slurm: DataFrame) -> DataFrame:
         (F.max("NGpus") * F.max("Elapsed") * F.max("GpuUtil")).alias("gpu_s_used"),
         (
             F.sum(F.col("GpuUtil") * F.col("Elapsed"))
-            / F.max(F.col("NGpus") * F.col("Elapsed"))
+            / F.nullif(F.max(F.col("NGpus") * F.col("Elapsed")), F.lit(0.0))
         ).alias("GpuEff"),
         F.max("GpuMem").alias("GpuMem"),
         F.max("MaxDiskRead").alias("MaxDiskRead"),

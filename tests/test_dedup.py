@@ -1,0 +1,74 @@
+"""Dedup operator tests on constructed corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup of 1
+    (4, "completely different words about spark and distributed query engines"),
+    (5, "THE  QUICK   brown fox jumps over the lazy dog near the river bank"),  # normalized dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from slurm2sql_spark.operators.dedup import exact_dedup
+
+    out = {r["keep_id"]: r["n_dups"] for r in exact_dedup(docs, "doc_id", "text").collect()}
+    # 1,2,5 collapse (5 via lower+whitespace normalization); 3,4 unique
+    assert out[1] == 3
+    assert out[3] == 1
+    assert out[4] == 1
+
+
+def test_ngram_jaccard(spark, docs):
+    from slurm2sql_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh(spark, docs):
+    from slurm2sql_spark.operators.dedup import minhash_lsh_pairs
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (1, 2) in got  # identical docs always collide
+    assert (1, 3) in got  # high-jaccard pair collides at 16x4 banding
+    assert (1, 4) not in got
+
+
+def test_simhash(spark, docs):
+    from slurm2sql_spark.operators.dedup import simhash_near_dup_pairs, simhash_signatures
+
+    sigs = {r["id"]: r["simhash"] for r in simhash_signatures(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]  # identical token multisets
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=10).collect()
+    }
+    assert got[(1, 2)] == 0
+    if (1, 3) in got:
+        assert got[(1, 3)] <= 10
+    assert (1, 4) not in got
+
+
+def test_shingles_short_doc(spark):
+    from slurm2sql_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    assert shingles(df, "doc_id", "text", n=3).count() == 0

@@ -1,0 +1,69 @@
+"""Multimodal plumbing tests (decode/feature/frame stubs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    from slurm2sql_spark.operators.multimodal import media_table
+
+    df = spark.createDataFrame(
+        [(1, b"fake image bytes one"), (2, b"other fake image data two"), (3, b"")],
+        "id long, blob binary",
+    )
+    return media_table(df, "id", "blob", "image")
+
+
+def test_media_schema(media):
+    assert media.columns == ["media_id", "content", "media_type", "mime", "n_bytes", "meta"]
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[1]["n_bytes"] == 20
+    assert rows[1]["media_type"] == "image"
+
+
+def test_decode_fake_deterministic(media):
+    from slurm2sql_spark.operators.multimodal import decode_images
+
+    a = {r["media_id"]: r for r in decode_images(media, fake=True).collect()}
+    b = {r["media_id"]: r for r in decode_images(media, fake=True).collect()}
+    assert a.keys() == b.keys() == {1, 2, 3}
+    for k in a:
+        assert a[k] == b[k]
+    assert a[1]["pixel_digest"] != a[2]["pixel_digest"]
+
+
+def test_decode_strict_raises(media):
+    from py4j.protocol import Py4JJavaError
+
+    from slurm2sql_spark.operators.multimodal import decode_images
+
+    with pytest.raises(Exception) as exc_info:
+        decode_images(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "image decode" in str(
+        exc_info.value
+    )
+
+
+def test_features_unit_norm(media):
+    from slurm2sql_spark.operators.multimodal import extract_features
+
+    rows = extract_features(media, dim=16, fake=True).collect()
+    for r in rows:
+        assert len(r["features"]) == 16
+        norm = sum(x * x for x in r["features"])
+        assert norm == pytest.approx(1.0, rel=1e-5)
+
+
+def test_sample_frames(media):
+    from slurm2sql_spark.operators.multimodal import sample_frames
+
+    rows = sample_frames(media, every_ms=500, fake=True).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert all(len(v) >= 1 for v in by_id.values())
+    first = sorted(by_id[1], key=lambda r: r["frame_idx"])[0]
+    assert first["ts_ms"] == 0

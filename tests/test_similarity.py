@@ -1,0 +1,83 @@
+"""Similarity search operator tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_cosine_expression(spark):
+    from slurm2sql_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 1.0]), ([1.0, 2.0], [2.0, 4.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == pytest.approx(1 / math.sqrt(2))
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.0)
+
+
+def test_cosine_topk(spark, emb):
+    from slurm2sql_spark.operators.similarity import cosine_topk
+
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = cosine_topk(qs, cs, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 4
+        sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["c_id"] != q for r in rows)
+
+
+def test_lsh_topk_recall(spark, emb):
+    """LSH approximate top-k should recover a decent fraction of the
+    exact top-5 on clustered embeddings."""
+    from slurm2sql_spark.operators.similarity import cosine_topk, lsh_topk
+
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    exact = {
+        (r["q_id"], r["c_id"]) for r in cosine_topk(qs, cs, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["c_id"]) for r in lsh_topk(qs, cs, k=5, planes=16, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_embedding_near_dup_self(spark):
+    from slurm2sql_spark.operators.similarity import embedding_near_dup_pairs
+
+    base = [0.1 * i for i in range(8)]
+    near = list(base)
+    near[0] += 1e-4
+    far = [1.0, -1.0, 0.5, -0.5, 0.2, -0.2, 0.1, -0.1]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<double>"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.99, dim=8
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
