@@ -689,6 +689,52 @@ def tres_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "deidentify",
+    """
+    WITH dict AS (
+      SELECT source AS value,
+             'source_' || CAST(dense_rank() OVER (ORDER BY source) - 1 AS VARCHAR)
+               AS pseudonym
+      FROM (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL)
+    )
+    SELECT doc_id, d.pseudonym AS source, n_chars
+    FROM documents LEFT JOIN dict d ON documents.source = d.value
+    """,
+    doc="U3 deidentify (reference deidentify.py): dictionary-encode a "
+    "sensitive column to stable <col>_<i> pseudonyms via broadcast join.",
+)
+def deidentify_q(spark, sf_dir):
+    from slurm2sql_spark.operators.deidentify import deidentify
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return deidentify(docs, columns=("source",))
+
+
+@register(
+    "windowed_event_counts",
+    """
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time windows (the batch twin of "
+    "streaming.windowed_job_counts; streaming adds only the watermark).",
+)
+def windowed_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.floor(_ts_us() / 3_600_000_000) * 3600).alias("window_start_s"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 # =====================================================================
 # Group C — LLM-pipeline extensions (dedup / similarity / text analysis)
 # =====================================================================

@@ -59,6 +59,8 @@ def get_spark(
         # those paths explicitly, so ANSI mode stays off for SQLite-like
         # laxness on the remaining arithmetic (div-by-zero -> NULL).
         .config("spark.sql.ansi.enabled", "false")
+        # Python DataSource filter pushdown (sacct source S7) is opt-in.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,93 @@
+"""sacct Python DataSource (S1/S6/S7) driven by a fake sacct binary —
+the reference's own test seam is injected raw output (slurm2sql.py:881,
+test.py:54-59); ours is a stub executable, exercising the real
+subprocess + stitcher + partitioning path end-to-end."""
+
+from __future__ import annotations
+
+import os
+import stat
+
+import pytest
+
+from slurm2sql_spark.sources.sacct_source import (
+    SacctDataSource,
+    args_to_sacct_filter,
+)
+
+FAKE_SACCT = r"""#!/bin/bash
+# echoes a fixed sacct dump; logs argv for pushdown assertions
+echo "$@" >> "$(dirname "$0")/calls.log"
+echo 'JobID;|;JobIDRaw;|;State;|;NCPUS'
+echo '1;|;1;|;COMPLETED;|;4'
+echo '1.batch;|;1.batch;|;COMPLETED;|;4'
+echo '2;|;2;|;RUNNING;|;8'
+"""
+
+
+@pytest.fixture()
+def fake_sacct(tmp_path):
+    p = tmp_path / "sacct"
+    p.write_text(FAKE_SACCT)
+    os.chmod(p, os.stat(p).st_mode | stat.S_IEXEC)
+    return p
+
+
+def _read(spark, fake_sacct, **opts):
+    spark.dataSource.register(SacctDataSource)
+    r = (
+        spark.read.format("sacct")
+        .option("sacct_bin", str(fake_sacct))
+        .option("columns", "JobID,JobIDRaw,State,NCPUS")
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_reads_fake_sacct(spark, fake_sacct):
+    rows = _read(spark, fake_sacct).collect()
+    assert len(rows) == 3
+    assert {r.JobID for r in rows} == {"1", "1.batch", "2"}
+    assert rows[0].NCPUS == "4"
+
+
+def test_day_window_partitioning(spark, fake_sacct, tmp_path):
+    df = _read(spark, fake_sacct, start="2021-01-01", end="2021-01-04")
+    assert df.rdd.getNumPartitions() == 3  # one task per day window
+    df.collect()
+    calls = (tmp_path / "calls.log").read_text().splitlines()
+    assert len(calls) == 3
+    assert any("--starttime=2021-01-01" in c and "--endtime=2021-01-02" in c
+               for c in calls)
+
+
+def test_filter_pushdown_to_sacct_args(spark, fake_sacct, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = _read(spark, fake_sacct).filter(F.col("State") == "RUNNING")
+    out = df.collect()
+    assert [r.JobID for r in out] == ["2"]
+    calls = (tmp_path / "calls.log").read_text()
+    # the State equality was translated into a sacct --state arg
+    assert "--state=RUNNING" in calls
+
+
+def test_full_pipeline_through_transform(spark, fake_sacct):
+    from slurm2sql_spark.operators.transform import slurm_transform
+
+    slurm = slurm_transform(_read(spark, fake_sacct), now=1_700_000_000)
+    by_id = {r.JobID: r for r in slurm.collect()}
+    assert by_id["1.batch"].JobStep == "batch"
+    assert by_id["1.batch"].JobIDnostep == "1"
+    assert by_id["2"].NCPUS == 8
+
+
+def test_args_to_sacct_filter_selectors():
+    # reference slurm2sql.py:1039-1069 selector translation
+    assert args_to_sacct_filter(jobs="123,456") == ["--jobs=123,456"]
+    assert "--state=CA,CD,F,NF,PR,TO,DL,OOM,BF" in args_to_sacct_filter(
+        completed=True
+    )
+    a = args_to_sacct_filter(user="u1", partition="gpu", start="2021-01-01")
+    assert a == ["--user=u1", "--partition=gpu", "--starttime=2021-01-01"]

@@ -1,0 +1,116 @@
+"""Sink upsert (K1-K5) + incremental history loop (T1-T5) semantics,
+pinned against the reference's behavior (slurm2sql.py:1023-1034,
+791-851, test.py:329-357)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from slurm2sql_spark.sinks.parquet_sink import (
+    read_table,
+    upsert,
+    with_day_partition,
+    write_overwrite,
+)
+from slurm2sql_spark.streaming.history import (
+    RESUME_REWIND_S,
+    day_windows,
+    get_watermark,
+    ingest_history,
+    set_watermark,
+)
+
+
+def _jobs(spark, rows):
+    return spark.createDataFrame(rows, "JobID string, State string, Time long")
+
+
+def test_overwrite_then_read(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_overwrite(_jobs(spark, [("1", "RUNNING", 100)]), p)
+    out = read_table(spark, p).collect()
+    assert [(r.JobID, r.State) for r in out] == [("1", "RUNNING")]
+
+
+def test_upsert_replaces_on_key_and_is_idempotent(spark, tmp_path):
+    p = str(tmp_path / "t")
+    upsert(spark, _jobs(spark, [("1", "RUNNING", 100), ("2", "PENDING", 90)]), p)
+    # replay an overlapping batch (T3): job 1 completed, job 3 new
+    batch2 = _jobs(spark, [("1", "COMPLETED", 110), ("3", "RUNNING", 120)])
+    upsert(spark, batch2, p)
+    upsert(spark, batch2, p)  # exact replay must be a no-op in effect
+    out = {r.JobID: r.State for r in read_table(spark, p).collect()}
+    assert out == {"1": "COMPLETED", "2": "PENDING", "3": "RUNNING"}
+
+
+def test_partitioned_upsert_rewrites_only_affected_days(spark, tmp_path):
+    p = str(tmp_path / "t")
+    day = 86400
+    base = with_day_partition(
+        _jobs(spark, [("1", "RUNNING", 0 * day), ("2", "DONE", 1 * day + 60)])
+    )
+    upsert(spark, base, p, partition_cols=("day",))
+    parts_before = {
+        d: os.path.getmtime(os.path.join(p, d))
+        for d in os.listdir(p)
+        if d.startswith("day=")
+    }
+    assert len(parts_before) == 2
+    batch = with_day_partition(_jobs(spark, [("1", "COMPLETED", 0 * day)]))
+    upsert(spark, batch, p, partition_cols=("day",))
+    out = {r.JobID: r.State for r in read_table(spark, p).collect()}
+    assert out == {"1": "COMPLETED", "2": "DONE"}
+    # the untouched day's directory was not rewritten
+    untouched = [d for d in parts_before if "1970-01-02" in d][0]
+    assert os.path.getmtime(os.path.join(p, untouched)) == parts_before[untouched]
+
+
+def test_day_windows_split_at_midnight():
+    # 2021-01-01 12:00 UTC-ish local -> windows end at local midnights
+    import datetime as dt
+
+    start = int(dt.datetime(2021, 1, 1, 12, 0).timestamp())
+    stop = int(dt.datetime(2021, 1, 3, 6, 0).timestamp())
+    wins = list(day_windows(start, stop))
+    assert len(wins) == 3
+    assert wins[0][0] == start and wins[-1][1] == stop
+    for (_, a_end), (b_start, _) in zip(wins, wins[1:]):
+        assert a_end == b_start
+    assert dt.datetime.fromtimestamp(wins[0][1]).strftime("%H:%M") == "00:00"
+
+
+def test_watermark_roundtrip(tmp_path):
+    p = str(tmp_path / "t")
+    assert get_watermark(p) is None
+    set_watermark(p, 12345)
+    assert get_watermark(p) == 12345
+
+
+def test_ingest_history_resume(spark, tmp_path):
+    """Resume uses the stamp minus the 5 s rewind (reference
+    test.py:349-357) and replays idempotently via the upsert."""
+    p = str(tmp_path / "t")
+    fetched: list[tuple[int, int]] = []
+
+    def fetch(ws, we):
+        fetched.append((ws, we))
+        return _jobs(spark, [(f"j{ws}", "DONE", ws)])
+
+    n = ingest_history(
+        spark, fetch, p, start_ts=0, stop_ts=200_000, now=1_000_000
+    )
+    assert n == len(fetched) > 1
+    assert get_watermark(p) == 1_000_000
+
+    fetched.clear()
+    n2 = ingest_history(
+        spark, fetch, p, resume=True, stop_ts=1_100_000, now=1_050_000
+    )
+    assert fetched[0][0] == 1_000_000 - RESUME_REWIND_S
+    assert n2 == len(fetched)
+    assert get_watermark(p) == 1_050_000
+    # all keys from both passes present exactly once
+    rows = read_table(spark, p).groupBy("JobID").count().collect()
+    assert all(r["count"] == 1 for r in rows)

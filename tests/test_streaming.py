@@ -1,0 +1,111 @@
+"""Structured Streaming surface: file-drop ingest, windowed counts,
+streaming dedup (SURVEY §2.12 extensions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from slurm2sql_spark.schema import RAW_FIELDS
+from slurm2sql_spark.streaming.stream import (
+    read_sacct_stream,
+    stream_ingest,
+    streaming_dedup,
+    windowed_job_counts,
+)
+
+
+FIELDS = ("JobID", "JobIDRaw", "State", "Submit", "NCPUS", "Partition")
+
+
+def _write_csv(path, rows):
+    header = list(FIELDS)
+    lines = [",".join(header)]
+    for r in rows:
+        lines.append(",".join(str(v) for v in r))
+    path.write_text("\n".join(lines) + "\n")
+
+
+@pytest.fixture()
+def drop_dir(tmp_path):
+    d = tmp_path / "drops"
+    d.mkdir()
+    _write_csv(
+        d / "a.csv",
+        [
+            ("100", "100", "COMPLETED", "2021-01-01T10:00:00", "4", "cpu"),
+            ("100.batch", "100.batch", "COMPLETED", "2021-01-01T10:00:00", "4", "cpu"),
+            ("101", "101", "RUNNING", "2021-01-01T11:30:00", "8", "gpu"),
+        ],
+    )
+    _write_csv(
+        d / "b.csv",
+        [
+            ("102", "102", "COMPLETED", "2021-01-01T11:45:00", "2", "gpu"),
+            ("101", "101", "RUNNING", "2021-01-01T11:30:00", "8", "gpu"),  # dup key
+        ],
+    )
+    return d
+
+
+def test_stream_ingest_available_now(spark, tmp_path, drop_dir):
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ingest(spark, str(drop_dir), table, ckpt, now=1_700_000_000, fields=FIELDS)
+    q.awaitTermination(120)
+    out = spark.read.parquet(table)
+    assert out.count() == 5
+    assert set(out.columns) >= {"JobID", "JobStep", "Submit", "NCPUS"}
+    # restart with no new files: checkpoint must not re-ingest
+    q2 = stream_ingest(spark, str(drop_dir), table, ckpt, now=1_700_000_000, fields=FIELDS)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(table).count() == 5
+
+
+def test_windowed_job_counts(spark, drop_dir, tmp_path):
+    from slurm2sql_spark.operators.transform import slurm_transform
+
+    stream = read_sacct_stream(spark, str(drop_dir), fields=FIELDS)
+    counts = windowed_job_counts(
+        slurm_transform(stream, now=1_700_000_000), window="1 hour"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.Partition): (r.n_jobs, r.cpus_requested, r.window_end - r.window_start)
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    # (collected datetimes render in the driver's zone — assert on
+    # partition keys, counts, and window width, not wall-clock hours)
+    import datetime as dt
+
+    hour = dt.timedelta(hours=1)
+    assert rows["cpu"] == (2, 8, hour)
+    assert rows["gpu"] == (3, 18, hour)
+
+
+def test_streaming_dedup(spark, drop_dir):
+    from slurm2sql_spark.operators.transform import slurm_transform
+
+    stream = read_sacct_stream(spark, str(drop_dir), fields=FIELDS)
+    deduped = streaming_dedup(slurm_transform(stream, now=1_700_000_000))
+    q = (
+        deduped.select("JobID")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r.JobID for r in spark.sql("select JobID from dedup_out").collect()]
+    assert sorted(ids) == ["100", "100.batch", "101", "102"]
+
+
+def test_raw_fields_cover_stream_schema():
+    assert "JobID" in RAW_FIELDS and "Submit" in RAW_FIELDS
