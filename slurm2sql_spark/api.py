@@ -1,0 +1,72 @@
+"""Library API (reference U4: ``import slurm2sql; slurm2sql.slurm2sql(...)``
+then pandas/DuckDB on the result, README.rst:118-169).
+
+The Spark-native equivalent returns DataFrames directly — no
+intermediate database file unless you ask for one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from slurm2sql_spark.operators.transform import slurm_transform
+from slurm2sql_spark.operators.views import eff, user_rollup
+from slurm2sql_spark.sinks.parquet_sink import read_table, upsert, write_overwrite
+from slurm2sql_spark.sources.csv_source import read_csv, read_sacct_lines
+
+__all__ = ["ingest", "ingest_csv", "open_table", "eff", "user_rollup"]
+
+
+def ingest_csv(
+    spark: SparkSession,
+    csv_path: str,
+    table_path: str | None = None,
+    jobs_only: bool = False,
+    now: int | None = None,
+    update: bool = False,
+) -> DataFrame:
+    """CSV -> typed slurm DataFrame; optionally persist (reference
+    slurm2sql(db, csv_input=...), slurm2sql.py:917-935 + 995-1004).
+
+    ``update=True`` upserts on JobID (reference --update INSERT OR
+    REPLACE); otherwise overwrite (reference delete-and-recreate).
+    """
+    typed = slurm_transform(read_csv(spark, csv_path), now=now, jobs_only=jobs_only)
+    if table_path:
+        if update:
+            upsert(spark, typed, table_path)
+        else:
+            write_overwrite(typed, table_path)
+        return read_table(spark, table_path)
+    return typed
+
+
+def ingest(
+    spark: SparkSession,
+    raw_lines: str | None = None,
+    csv_path: str | None = None,
+    sacct_options: dict | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Multi-source front door: raw sacct text, a CSV file, or a live
+    sacct scan (reference's three input paths, slurm2sql.py:995-1006)."""
+    if raw_lines is not None:
+        typed = slurm_transform(
+            read_sacct_lines(spark, raw_lines), now=kwargs.get("now")
+        )
+        return typed
+    if csv_path is not None:
+        return ingest_csv(spark, csv_path, **kwargs)
+    from slurm2sql_spark.sources.sacct_source import SacctDataSource
+
+    spark.dataSource.register(SacctDataSource)
+    reader = spark.read.format("sacct")
+    for k, v in (sacct_options or {}).items():
+        reader = reader.option(k, v)
+    return slurm_transform(reader.load(), now=kwargs.get("now"))
+
+
+def open_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Open a previously built table (reference S5 import_or_open_db,
+    slurm2sql.py:1080-1101)."""
+    return read_table(spark, table_path)
