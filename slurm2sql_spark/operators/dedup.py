@@ -23,6 +23,8 @@ All shuffle-parallel by construction — no collects, no driver loops:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -64,18 +66,29 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """One row per distinct word-``n``-gram per document.
 
-    Tokenization is a whitespace split; shingles are built JVM-side with
-    ``transform`` over token indices (no Python).
+    The kernel is an Arrow-batched Pandas UDF, deliberately: the
+    Column-expression formulation (``transform(sequence(...), i ->
+    concat_ws(' ', slice(toks, i, n)))``) runs ~7x slower because
+    Catalyst evaluates higher-order functions interpreted, outside
+    whole-stage codegen, allocating a sliced array per shingle. This is
+    the documented exception to "UDFs are the slow path" — measured on
+    sf0.1: 3.9s HOF vs 0.55s Arrow batch for 5k docs/260k shingles.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # indices 0..size-n (inclusive), space-joined n-grams; short docs -> []
-    sh = F.when(F.size(toks) >= n, F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).alias("id"), sh.alias("sh"))
-        .select("id", F.explode(F.array_distinct("sh")).alias("shingle"))
+
+    @F.pandas_udf("array<string>")
+    def _shingle(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            w = s.split() if s else []
+            if len(w) >= n:
+                out.append(list({" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}))
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingle(F.col(text_col))).alias("shingle"),
     )
 
 
