@@ -167,7 +167,7 @@ def slurmtime(col: Column | str) -> Column:
 # --- C10-C13: unit-suffixed numbers (reference slurm2sql.py:122-164) -------
 
 
-def _unit_scaled(c: Column, base: int) -> Column:
+def _unit_scaled(c: Column, base: int, truncate: bool = False) -> Column:
     """num[kmgtpezy] -> num * base**k, where k is the unit's rank.
 
     Branch-free for the same reason as ``slurmtime``: CASE branch values
@@ -178,11 +178,20 @@ def _unit_scaled(c: Column, base: int) -> Column:
     subexpressions, with NULL-ness restored additively; '' and NULL
     inputs fall out as NULL without a separate guard (their casts are
     NULL -> the helper fires).
+
+    ``truncate=True`` truncates the numeric *mantissa* toward zero
+    before applying the unit scale — the reference's int variants do
+    ``int(float(x[:-1])) * scale`` (slurm2sql.py:149-151, 162-164), so
+    '2.5k' -> 2*1024 = 2048, not trunc(2560). Spark's double->long cast
+    truncates toward zero exactly like Python ``int()``.
     """
     d = "double"
     unit = F.lower(c.substr(-1, 1))
     num_v = c.substr(F.lit(1), F.length(c) - 1).cast(d)
     raw_v = c.cast(d)
+    if truncate:
+        num_v = num_v.cast("long").cast(d)
+        raw_v = raw_v.cast("long").cast(d)
     k = F.instr(F.lit(_BINARY_UNITS), unit)  # 1-based rank; 0 if absent
     f = (k > 0).cast(d)
     scale = F.pow(F.lit(float(base)), k.cast(d))
@@ -200,8 +209,9 @@ def float_bytes(col: Column | str) -> Column:
 
 
 def int_bytes(col: Column | str) -> Column:
-    """Same, truncated to integer (reference slurm2sql.py:149-151)."""
-    return _unit_scaled(_c(col), 1024).cast("long")
+    """Binary units with the mantissa truncated *before* scaling
+    (reference slurm2sql.py:149-151: ``int(float(x[:-1])) * 1024**k``)."""
+    return _unit_scaled(_c(col), 1024, truncate=True).cast("long")
 
 
 def float_metric(col: Column | str) -> Column:
@@ -210,8 +220,9 @@ def float_metric(col: Column | str) -> Column:
 
 
 def int_metric(col: Column | str) -> Column:
-    """Same, truncated to integer (reference slurm2sql.py:162-164)."""
-    return _unit_scaled(_c(col), 1000).cast("long")
+    """Metric units with the mantissa truncated *before* scaling
+    (reference slurm2sql.py:162-164: ``int(float(x[:-1])) * 1000**k``)."""
+    return _unit_scaled(_c(col), 1000, truncate=True).cast("long")
 
 
 def slurmmem(col: Column | str) -> Column:

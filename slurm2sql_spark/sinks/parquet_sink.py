@@ -80,9 +80,12 @@ def upsert(
     overlapping history window (reference T3 5-second rewind,
     slurm2sql.py:109-115) is idempotent.
 
-    With ``partition_cols`` only partitions present in the *table or
-    batch* for affected keys are rewritten via dynamic partition
-    overwrite; without, the whole table is rewritten (fine for tests,
+    With ``partition_cols`` only partitions touched by an affected key
+    are rewritten: merged output is staged, then each affected
+    partition directory is swapped — and affected partitions with no
+    surviving rows are deleted, so keys whose partition value migrated
+    (running job re-stamped to a new day) leave no stale duplicates.
+    Without partitioning the whole table is rewritten (fine for tests,
     not for 100 TB — always partition in production).
     """
     if not os.path.exists(path):
@@ -95,8 +98,9 @@ def upsert(
 
     if partition_cols:
         # Prune the rewrite: only partitions containing an affected key
-        # change. Keys are collected as a broadcast semi-join, never to
-        # the driver.
+        # change. The row data never leaves the executors; only the
+        # *partition value tuples* (O(days touched), a handful of rows)
+        # are collected to drive the directory swap below.
         affected_parts = (
             old.join(batch.select(key).distinct(), key, "left_semi")
             .select(*partition_cols)
@@ -104,12 +108,37 @@ def upsert(
             .unionByName(batch.select(*partition_cols).distinct())
             .distinct()
         )
+        affected = [
+            tuple(getattr(r, c) for c in partition_cols)
+            for r in affected_parts.collect()
+        ]
         old_in_parts = old.join(
             F.broadcast(affected_parts), list(partition_cols), "left_semi"
         )
         merged = _newest_per_key(old_in_parts.unionByName(batch), key)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        # Write to staging, then swap directories for EVERY affected
+        # partition — including ones the merged output no longer has any
+        # rows for. Dynamic partition overwrite alone rewrites only
+        # partitions present in the output, so when all rows of an old
+        # partition migrate elsewhere (e.g. a running job's day
+        # re-derived from Time on the next batch), the stale partition
+        # would survive with duplicate-key rows.
+        staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+        try:
+            for vals in affected:
+                rel = os.path.join(
+                    *(_hive_part_dir(c, v) for c, v in zip(partition_cols, vals))
+                )
+                src = os.path.join(staging, rel)
+                dst = os.path.join(path, rel)
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                if os.path.isdir(src):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(src, dst)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         return
 
     merged = _newest_per_key(old.unionByName(batch), key)
@@ -119,6 +148,24 @@ def upsert(
     merged.write.mode("overwrite").parquet(staging)
     shutil.rmtree(path)
     os.rename(staging, path)
+
+
+# Characters Spark escapes in hive partition directory names (Spark
+# ExternalCatalogUtils.escapePathName): these plus ASCII control chars
+# become %XX. Partition values here are day strings, but keep the
+# mapping faithful so arbitrary string partition columns round-trip.
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{}[]^ ')
+
+
+def _hive_part_dir(col: str, val) -> str:
+    if val is None:
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    s = str(val)
+    esc = "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE_CHARS or ord(ch) < 32 else ch
+        for ch in s
+    )
+    return f"{col}={esc}"
 
 
 def _newest_per_key(df: DataFrame, key: str) -> DataFrame:

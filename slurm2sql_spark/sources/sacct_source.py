@@ -86,6 +86,25 @@ def args_to_sacct_filter(
     return args
 
 
+def _parse_sacct_time(s: str) -> datetime:
+    """Parse a sacct-style time bound, keeping any time component
+    ('2026-08-13', '2026-08-13T06:00', '2026-08-13T06:00:30')."""
+    for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable sacct time bound: {s!r}")
+
+
+def _fmt_sacct_time(d: datetime) -> str:
+    """Midnight renders date-only (sacct-idiomatic); otherwise the full
+    timestamp so partial-day bounds survive."""
+    if d.hour == d.minute == d.second == 0:
+        return d.strftime("%Y-%m-%d")
+    return d.strftime("%Y-%m-%dT%H:%M:%S")
+
+
 class _Window(InputPartition):
     def __init__(self, start: str | None, end: str | None):
         self.start = start
@@ -123,14 +142,20 @@ class SacctReader(DataSourceReader):
         end = self.options.get("end")
         if not start or not end:
             return [_Window(start, end)]
-        fmt = "%Y-%m-%d"
-        s = datetime.strptime(start[:10], fmt)
-        e = datetime.strptime(end[:10], fmt)
+        s = _parse_sacct_time(start)
+        e = _parse_sacct_time(end)
         out = []
         cur = s
         while cur < e:
-            nxt = min(cur + timedelta(days=1), e)
-            out.append(_Window(cur.strftime(fmt), nxt.strftime(fmt)))
+            # Break at the next midnight, but never overshoot the exact
+            # requested end — a timestamped bound ('2026-08-13T06:00')
+            # keeps its time component instead of collapsing to midnight
+            # and silently dropping the final partial day.
+            nxt_midnight = datetime.combine(
+                cur.date() + timedelta(days=1), datetime.min.time()
+            )
+            nxt = min(nxt_midnight, e)
+            out.append(_Window(_fmt_sacct_time(cur), _fmt_sacct_time(nxt)))
             cur = nxt
         return out or [_Window(start, end)]
 

@@ -106,9 +106,12 @@ def ingest_history(
 
     ``resume=True`` starts from the persisted watermark minus the
     5-second rewind (reference --history-resume, slurm2sql.py:807-821).
-    The watermark is stamped with the *loop start* time after each
-    committed window, mirroring the reference (slurm2sql.py:845-848):
-    re-running refreshes still-running jobs (T4) because their ``Time``
+    The watermark is stamped progressively after each committed window
+    with that window's actual end ``min(window_end, now)`` (reference
+    ``update_last_timestamp(db, update_time=end_)`` with ``end_ =
+    min(end_, time.time())``, slurm2sql.py:845-848) — a crash mid-loop
+    resumes from the last *committed* window, losing at most one day.
+    Re-running refreshes still-running jobs (T4) because their ``Time``
     column re-derives as 'now' on each pass.
     """
     t_now = int(time.time()) if now is None else now
@@ -127,6 +130,6 @@ def ingest_history(
         df = fetch(ws, we)
         if df is not None:
             upsert(spark, df, table_path, key=key, partition_cols=partition_cols)
-        set_watermark(table_path, t_now)
+        set_watermark(table_path, min(we, t_now))
         n += 1
     return n

@@ -71,8 +71,10 @@ def test_float_bytes(spark):
 
 
 def test_int_bytes(spark):
-    got = batch(spark, C.int_bytes, ["2.5K", "2M", ""])
-    assert got == [2560, 2 * 2**20, None]
+    # Mantissa truncates BEFORE scaling (reference slurm2sql.py:149-151:
+    # int(float('2.5')) * 1024 = 2048) — and bare values truncate too.
+    got = batch(spark, C.int_bytes, ["2.5K", "2M", "", "3.9"])
+    assert got == [2048, 2 * 2**20, None, 3]
 
 
 def test_float_metric(spark):
@@ -83,8 +85,9 @@ def test_float_metric(spark):
 
 
 def test_int_metric(spark):
-    got = batch(spark, C.int_metric, ["2.5k", "3"])
-    assert got == [2500, 3]
+    # int(float('2.5')) * 1000 = 2000 (reference slurm2sql.py:162-164).
+    got = batch(spark, C.int_metric, ["2.5k", "3", "1.54M"])
+    assert got == [2000, 3, 1_000_000]
 
 
 def test_slurmtime(spark):

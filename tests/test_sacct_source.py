@@ -62,6 +62,26 @@ def test_day_window_partitioning(spark, fake_sacct, tmp_path):
                for c in calls)
 
 
+def test_partial_day_bounds_preserved(spark, fake_sacct, tmp_path):
+    """Timestamped bounds must not collapse to midnight: an end of
+    '...T06:00' keeps the final partial-day window instead of silently
+    dropping six hours of jobs."""
+    df = _read(
+        spark, fake_sacct, start="2021-01-01T12:00", end="2021-01-03T06:00"
+    )
+    assert df.rdd.getNumPartitions() == 3
+    df.collect()
+    calls = (tmp_path / "calls.log").read_text().splitlines()
+    assert any(
+        "--starttime=2021-01-01T12:00:00" in c and "--endtime=2021-01-02" in c
+        for c in calls
+    )
+    assert any(
+        "--starttime=2021-01-03" in c and "--endtime=2021-01-03T06:00:00" in c
+        for c in calls
+    )
+
+
 def test_filter_pushdown_to_sacct_args(spark, fake_sacct, tmp_path):
     from pyspark.sql import functions as F
 

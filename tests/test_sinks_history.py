@@ -102,15 +102,67 @@ def test_ingest_history_resume(spark, tmp_path):
         spark, fetch, p, start_ts=0, stop_ts=200_000, now=1_000_000
     )
     assert n == len(fetched) > 1
-    assert get_watermark(p) == 1_000_000
+    # progressive stamp: the last committed window's end, not loop-start
+    # now (reference end_ = min(end_, time.time()), slurm2sql.py:845-848)
+    assert get_watermark(p) == 200_000
 
     fetched.clear()
     n2 = ingest_history(
         spark, fetch, p, resume=True, stop_ts=1_100_000, now=1_050_000
     )
-    assert fetched[0][0] == 1_000_000 - RESUME_REWIND_S
+    assert fetched[0][0] == 200_000 - RESUME_REWIND_S
     assert n2 == len(fetched)
+    # final stamp capped at now: the last window ends at stop 1_100_000
+    # which is in the future relative to now=1_050_000
     assert get_watermark(p) == 1_050_000
     # all keys from both passes present exactly once
     rows = read_table(spark, p).groupBy("JobID").count().collect()
     assert all(r["count"] == 1 for r in rows)
+
+
+def test_ingest_history_crash_resumes_from_last_committed(spark, tmp_path):
+    """A crash mid-loop must leave the stamp at the last *committed*
+    window's end, so resume re-fetches the unfetched days instead of
+    skipping them (reference per-window update_last_timestamp,
+    slurm2sql.py:845-848)."""
+    import datetime as dt
+
+    import pytest
+
+    p = str(tmp_path / "t")
+    start = int(dt.datetime(2021, 1, 1).timestamp())
+    stop = int(dt.datetime(2021, 1, 4).timestamp())
+    wins = list(day_windows(start, stop))
+    assert len(wins) == 3
+    calls = []
+
+    def fetch(ws, we):
+        if len(calls) == 2:
+            raise RuntimeError("sacct died")
+        calls.append((ws, we))
+        return _jobs(spark, [(f"j{ws}", "DONE", ws)])
+
+    with pytest.raises(RuntimeError):
+        ingest_history(
+            spark, fetch, p, start_ts=start, stop_ts=stop, now=stop + 10
+        )
+    # two windows committed; stamp = end of the SECOND window, so the
+    # third day is re-fetched on resume
+    assert get_watermark(p) == wins[1][1]
+
+
+def test_partitioned_upsert_clears_migrated_partition(spark, tmp_path):
+    """When every row of an old partition migrates to another partition
+    (running job's day re-derived on the next batch), the old partition
+    must be cleared — dynamic overwrite alone would leave stale
+    duplicate-key rows."""
+    p = str(tmp_path / "t")
+    day = 86400
+    base = with_day_partition(_jobs(spark, [("1", "RUNNING", 0 * day)]))
+    upsert(spark, base, p, partition_cols=("day",))
+    # job 1 is now stamped a day later: its old day partition empties out
+    batch = with_day_partition(_jobs(spark, [("1", "COMPLETED", 1 * day + 60)]))
+    upsert(spark, batch, p, partition_cols=("day",))
+    out = read_table(spark, p).collect()
+    assert [(r.JobID, r.State) for r in out] == [("1", "COMPLETED")]
+    assert not os.path.isdir(os.path.join(p, "day=1970-01-01"))
