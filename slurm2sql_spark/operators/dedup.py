@@ -23,10 +23,23 @@ All shuffle-parallel by construction — no collects, no driver loops:
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from slurm2sql_spark.plans import fan_out
+
+logger = logging.getLogger(__name__)
+
+#: default inverted-index posting-length cap (docs per shingle). A
+#: shingle shared by f documents contributes f^2 rows to the pair join,
+#: so an uncapped stop-phrase shingle is quadratic; 1000 bounds any
+#: single shingle's contribution to 1M join rows while keeping recall
+#: for every pair that shares at least one sub-stop-phrase shingle.
+DEFAULT_MAX_SHINGLE_FREQ = 1000
 
 __all__ = [
     "normalize_text",
@@ -86,9 +99,12 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
                 out.append([])
         return pd.Series(out)
 
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingle(F.col(text_col))).alias("shingle"),
+    # fan the narrow (id, text) projection out first: a single-row-group
+    # scan would otherwise run the UDF nearly serial (plans/partitioning)
+    narrow = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+    return narrow.select(
+        "id",
+        F.explode(_shingle(F.col("_t"))).alias("shingle"),
     )
 
 
@@ -98,17 +114,26 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b).
 
-    ``max_shingle_freq`` caps the inverted-index posting length —
-    shingles appearing in more than that many docs are dropped before
-    the self-join (skew/blowup guard; slightly lowers recall for pairs
-    that share *only* ultra-common shingles).
+    ``max_shingle_freq`` (default ``DEFAULT_MAX_SHINGLE_FREQ``) caps the
+    inverted-index posting length — shingles appearing in more than that
+    many docs are dropped before the self-join. This is the skew/blowup
+    guard (a shingle in f docs emits f^2 join rows): the RECALL TRADE is
+    that a pair sharing *only* ultra-common shingles (>cap docs) is
+    missed; its Jaccard is necessarily low, so pairs above any
+    reasonable ``threshold`` are unaffected. Pass ``None`` to disable
+    (exact at any frequency — quadratic in the hottest posting).
     """
     sh = shingles(df, id_col, text_col, n)
     if max_shingle_freq is not None:
+        logger.info(
+            "ngram_jaccard_pairs: dropping shingles shared by more than "
+            "%d docs before the pair join (recall trade documented)",
+            max_shingle_freq,
+        )
         rare = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("f"))
@@ -210,10 +235,8 @@ def simhash_signatures(
     into a long. All JVM-side aggregation; one shuffle on the doc id.
     """
     toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-        )
+        fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .select("id", F.explode(F.split(F.trim(F.col("_t")), r"\s+")).alias("tok"))
         .withColumn("h", F.xxhash64("tok"))
     )
     bit_sums = toks.groupBy("id").agg(

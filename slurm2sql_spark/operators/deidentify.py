@@ -5,17 +5,24 @@ The reference's v2 builds a per-column ``{value: i}`` dict in driver
 memory then rewrites row-by-row — it logs progress every 100k rows and
 its v1 was retired as "not efficient enough for production"
 (deidentify.py:14-15). The Spark formulation is the third iteration:
-build the dictionary AS a DataFrame (``dense_rank`` over distinct
-values) and apply it with broadcast joins — no driver-side state, fully
-shuffle-parallel, and the dictionary doubles as the reversible mapping
-table the reference never persists.
+build the dictionary AS a DataFrame and apply it with joins — no
+driver-side state, fully shuffle-parallel, and the dictionary doubles
+as the reversible mapping table the reference never persists.
 
-Scale notes: distinct user/account values are ~thousands even at 100 TB
-of job rows, so each dictionary broadcasts. ``dense_rank`` over a
-global ordering is a single-partition window — fine for dictionary
-cardinalities; for a *high*-cardinality column switch
-``numbering='hash'`` which pseudonymizes with a 64-bit hash instead
-(no window, no ordering guarantee, collision odds ~n^2/2^64).
+Scale design (the round-1 version used ``dense_rank`` over an
+un-partitioned window — a single-partition sort that dies when a
+near-unique column like SubmitLine makes the "dictionary" as large as
+the table):
+
+- ``value_dictionary`` numbers values with a PARTITIONED two-phase
+  rank: range-partition by value, ``row_number`` within each partition,
+  then add broadcast per-partition offsets. Global sort order, no
+  single-partition stage, any cardinality.
+- ``deidentify(numbering='auto')`` (default) measures each column's
+  distinct count in ONE ``approx_count_distinct`` pass and picks per
+  column: compact rank numbering + broadcast join when the dictionary
+  is broadcastable, else an O(1)-per-row 64-bit hash pseudonym (no
+  dictionary at all; collision odds ~n^2/2^65).
 """
 
 from __future__ import annotations
@@ -25,60 +32,105 @@ from pyspark.sql import functions as F
 
 __all__ = ["value_dictionary", "deidentify"]
 
+#: above this distinct-count the dictionary is not worth broadcasting;
+#: auto mode switches the column to hash pseudonyms.
+DEFAULT_HASH_THRESHOLD = 1_000_000
+
 
 def value_dictionary(df: DataFrame, column: str) -> DataFrame:
     """Distinct non-null values -> ``(value, pseudonym)`` mapping with
     deterministic ``<column>_<i>`` numbering, i in value sort order
     (reference deidentify.py:19, 28-34 builds the same dict in Python).
+
+    Numbering is a partitioned two-phase rank: range-partition the
+    distinct values, rank locally, then add each partition's cumulative
+    row-count offset (a tiny broadcast). The result equals a global
+    ``dense_rank`` regardless of where the range boundaries land, so the
+    output is deterministic even though the range partitioner samples.
     """
-    w = Window.orderBy("value")
-    return (
+    distinct = (
         df.select(F.col(column).alias("value"))
         .filter(F.col("value").isNotNull())
         .distinct()
-        .withColumn(
-            "pseudonym",
-            F.concat_ws("_", F.lit(column), (F.dense_rank().over(w) - 1)),
+    )
+    parts = distinct.repartitionByRange(F.col("value")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("_pid").orderBy("value")
+    local = parts.withColumn("_lrank", F.row_number().over(local_w) - 1)
+    # per-partition offsets: as many rows as partitions — the one
+    # un-partitioned window here runs over that tiny frame, not the data
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            "value",
+            F.concat_ws(
+                "_", F.lit(column), (F.col("_lrank") + F.col("_off"))
+            ).alias("pseudonym"),
         )
+    )
+
+
+def _hash_pseudonym(c: str):
+    return F.when(
+        F.col(c).isNotNull(),
+        F.concat_ws("_", F.lit(c), F.conv(F.hex(F.xxhash64(F.col(c))), 16, 10)),
     )
 
 
 def deidentify(
     df: DataFrame,
     columns: tuple[str, ...] = ("User", "Account", "JobName", "SubmitLine"),
-    numbering: str = "rank",
+    numbering: str = "auto",
+    hash_threshold: int = DEFAULT_HASH_THRESHOLD,
 ) -> DataFrame:
     """Rewrite each sensitive column to its pseudonym (reference
     deidentify.py:36-47 does this as an in-place sqlite UPDATE loop).
 
-    ``numbering='rank'``: stable, compact, human-readable ids via a
-    broadcast dictionary join per column. ``numbering='hash'``: O(1)
-    per-row expression, for columns whose distinct count is too large
-    to number.
+    ``numbering``:
+
+    - ``'auto'`` (default): one ``approx_count_distinct`` pass over all
+      target columns, then per column rank numbering when the
+      dictionary fits ``hash_threshold``, hash pseudonyms otherwise.
+    - ``'rank'``: force compact ids; still scales (partitioned rank)
+      but pays a dictionary join per column.
+    - ``'hash'``: force O(1) per-row pseudonyms, no ordering guarantee.
     """
     present = [c for c in columns if c in df.columns]
-    if numbering == "hash":
-        return df.withColumns(
-            {
-                c: F.when(
-                    F.col(c).isNotNull(),
-                    F.concat_ws(
-                        "_", F.lit(c), F.conv(F.hex(F.xxhash64(F.col(c))), 16, 10)
-                    ),
-                )
-                for c in present
-            }
+    if not present:
+        return df
+
+    if numbering == "auto":
+        counts = (
+            df.select(
+                *[F.approx_count_distinct(c).alias(c) for c in present]
+            ).first()
         )
-    out = df
-    for c in present:
-        mapping = value_dictionary(out, c).withColumnsRenamed(
+        modes = {
+            c: ("hash" if counts[c] > hash_threshold else "rank")
+            for c in present
+        }
+    else:
+        modes = {c: numbering for c in present}
+
+    hash_cols = [c for c in present if modes[c] == "hash"]
+    if hash_cols:
+        df = df.withColumns({c: _hash_pseudonym(c) for c in hash_cols})
+
+    for c in (c for c in present if modes[c] == "rank"):
+        mapping = value_dictionary(df, c).withColumnsRenamed(
             {"value": f"_v_{c}", "pseudonym": f"_p_{c}"}
         )
-        out = (
-            out.join(
-                F.broadcast(mapping), out[c] == mapping[f"_v_{c}"], "left"
-            )
+        df = (
+            df.join(F.broadcast(mapping), df[c] == mapping[f"_v_{c}"], "left")
             .withColumn(c, F.col(f"_p_{c}"))
             .drop(f"_v_{c}", f"_p_{c}")
         )
-    return out
+    return df

@@ -71,10 +71,23 @@ def media_table(df: DataFrame, id_col: str, content_col: str, media_type: str) -
 
 
 def _size_partitions(df: DataFrame, target_partition_bytes: int) -> DataFrame:
-    """Repartition so each task holds ~target bytes of media content."""
-    # Cheap deterministic estimate from the metadata column; avoids a
-    # separate count/size job. At scale, replace with table statistics.
-    return df.repartition(F.pmod(F.col("media_id"), F.lit(64)))
+    """Repartition so each task holds ~``target_partition_bytes`` of
+    media content.
+
+    One tiny aggregation job measures total content bytes (sum of
+    lengths — column-pruned, so the scan reads only lengths where the
+    format stores them; no rows reach the driver), then hash-partitions
+    on ``media_id`` into ``ceil(total/target)`` partitions, floored at
+    the cluster's default parallelism so small inputs still spread.
+    """
+    total = df.select(
+        F.sum(F.coalesce(F.length("content"), F.lit(0))).alias("b")
+    ).first()["b"] or 0
+    want = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        -(-total // max(1, target_partition_bytes)),  # ceil
+    )
+    return df.repartition(int(want), "media_id")
 
 
 def decode_images(
@@ -128,7 +141,10 @@ def decode_images(
 
 
 def extract_features(
-    df: DataFrame, dim: int = 64, fake: bool = False
+    df: DataFrame,
+    dim: int = 64,
+    fake: bool = False,
+    target_partition_bytes: int = 256 << 20,
 ) -> DataFrame:
     """content -> feature vector ``array<float>`` (embedding seam).
 
@@ -170,11 +186,16 @@ def extract_features(
                 }
             )
 
-    return df.select("media_id", "content").mapInPandas(run, out_schema)
+    return _size_partitions(
+        df.select("media_id", "content"), target_partition_bytes
+    ).mapInPandas(run, out_schema)
 
 
 def sample_frames(
-    df: DataFrame, every_ms: int = 1000, fake: bool = False
+    df: DataFrame,
+    every_ms: int = 1000,
+    fake: bool = False,
+    target_partition_bytes: int = 256 << 20,
 ) -> DataFrame:
     """video content -> one row per sampled frame (frame_idx, ts_ms,
     frame binary). Frame extraction is the stub seam; ``fake=True``
@@ -206,4 +227,6 @@ def sample_frames(
                 rows, columns=["media_id", "frame_idx", "ts_ms", "frame"]
             )
 
-    return df.select("media_id", "content").mapInPandas(run, out_schema)
+    return _size_partitions(
+        df.select("media_id", "content"), target_partition_bytes
+    ).mapInPandas(run, out_schema)

@@ -67,3 +67,21 @@ def test_sample_frames(media):
     assert all(len(v) >= 1 for v in by_id.values())
     first = sorted(by_id[1], key=lambda r: r["frame_idx"])[0]
     assert first["ts_ms"] == 0
+
+
+def test_size_partitions_honors_byte_budget(spark):
+    from slurm2sql_spark.operators.multimodal import _size_partitions, media_table
+
+    big = spark.createDataFrame(
+        [(i, bytes(50_000)) for i in range(100)], "id long, blob binary"
+    )
+    m = media_table(big, "id", "blob", "image").select("media_id", "content")
+    dp = spark.sparkContext.defaultParallelism
+    # 5 MB total / 64 KiB target -> ~77 partitions (or parallelism floor)
+    n_small_target = _size_partitions(m, 64 << 10).rdd.getNumPartitions()
+    assert n_small_target == max(dp, -(-5_000_000 // (64 << 10)))
+    # huge target -> floor at default parallelism
+    n_big_target = _size_partitions(m, 1 << 30).rdd.getNumPartitions()
+    assert n_big_target == dp
+    # partition count responds to the data volume, not a constant
+    assert n_small_target >= n_big_target
