@@ -45,16 +45,33 @@ def ingest(
     spark: SparkSession,
     raw_lines: str | None = None,
     csv_path: str | None = None,
+    dump_path: str | None = None,
     sacct_options: dict | None = None,
+    errors: list | None = None,
     **kwargs,
 ) -> DataFrame:
-    """Multi-source front door: raw sacct text, a CSV file, or a live
-    sacct scan (reference's three input paths, slurm2sql.py:995-1006)."""
+    """Multi-source front door: raw sacct text, a CSV file, a dump file,
+    or a live sacct scan (reference's input paths, slurm2sql.py:995-1006).
+
+    ``raw_lines`` is the PIPE path: driver-side continuation stitching,
+    sized for a single sacct stream — don't hand it a multi-GB dump.
+    ``dump_path`` is the FILE path: a distributed ``spark.read.csv``
+    scan over the pipe-delimited dump (scales to any size; assumes
+    newline-free records, which stitching exists to repair).
+    ``errors`` (raw_lines path only) collects unparseable lines so the
+    caller can exit nonzero (reference slurm2sql.py:785-788)."""
     if raw_lines is not None:
         typed = slurm_transform(
-            read_sacct_lines(spark, raw_lines), now=kwargs.get("now")
+            read_sacct_lines(spark, raw_lines, errors=errors),
+            now=kwargs.get("now"),
         )
         return typed
+    if dump_path is not None:
+        from slurm2sql_spark.sources.csv_source import sacct_lines_to_df
+
+        return slurm_transform(
+            sacct_lines_to_df(spark, dump_path), now=kwargs.get("now")
+        )
     if csv_path is not None:
         return ingest_csv(spark, csv_path, **kwargs)
     from slurm2sql_spark.sources.sacct_source import SacctDataSource

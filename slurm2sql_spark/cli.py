@@ -19,6 +19,7 @@ Run: ``python -m slurm2sql_spark.cli {ingest,sacct,seff} ...``
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +32,17 @@ SACCT_DEFAULT_FIELDS = (
     "Partition,ExitCodeRaw,NodeList,'┃' AS c,"
     "NCPUS,CPUTime,CPUEff,'┃' AS m,AllocMem,TotalMem,MemEff,'┃' AS g,"
     "ReqGPUS,GpuEff,'┃' AS d,TotDiskRead,TotDiskWrite,'┃' AS r,"
+    "ReqTRES,AllocTRES,TRESUsageInTot,TRESUsageOutTot"
+)
+
+# '-o long' (reference SACCT_DEFAULT_FIELDS_LONG, slurm2sql.py:1153)
+SACCT_DEFAULT_FIELDS_LONG = (
+    "JobID,User,State,'┃' AS t,"
+    "from_unixtime(Start) AS Start,from_unixtime(End) AS End,Elapsed,'┃' AS b,"
+    "Partition,ExitCodeRaw,NodeList,'┃' AS c,"
+    "NCPUS,CPUTime,CPUEff,'┃' AS m,"
+    "AllocMem,TotalMem,MemEff,ReqMem,MaxRSS,'┃' AS g,"
+    "ReqGPUS,GpuEff,GpuUtil,'┃' AS d,TotDiskRead,TotDiskWrite,'┃' AS r,"
     "ReqTRES,AllocTRES,TRESUsageInTot,TRESUsageOutTot"
 )
 
@@ -118,11 +130,55 @@ def format_table(df: DataFrame, limit: int = 10000) -> str:
     return "\n".join(out)
 
 
-def _where(args) -> str:
-    """--user / --partition selectors (reference args_to_sql_where,
-    slurm2sql.py:1071-1077). Values are SQL-quoted minimally; the
-    reference passes them as bound params but also concatenates raw
-    --output/--order (same trust model)."""
+# sacct state codes -> the full State strings stored in the table
+# (sacct's --state matching is by code; the table stores full names,
+# with 'CANCELLED by <uid>' as a prefix family).
+_STATE_CODE_SQL = {
+    "CD": "State = 'COMPLETED'",
+    "CA": "State LIKE 'CANCELLED%'",
+    "DL": "State = 'DEADLINE'",
+    "F": "State = 'FAILED'",
+    "NF": "State = 'NODE_FAIL'",
+    "OOM": "State = 'OUT_OF_MEMORY'",
+    "PR": "State = 'PREEMPTED'",
+    "RV": "State = 'REVOKED'",
+    "TO": "State = 'TIMEOUT'",
+    "BF": "State = 'BOOT_FAIL'",
+    "R": "State = 'RUNNING'",
+}
+
+
+def _state_codes_sql(codes: str) -> str:
+    return "(" + " OR ".join(_STATE_CODE_SQL[c] for c in codes.split(",")) + ")"
+
+
+def _sql_ts(bound: str) -> str:
+    """A sacct-style time bound -> an epoch-seconds SQL expression,
+    resolved in the session timezone (same zone the ingest used)."""
+    from slurm2sql_spark.sources.sacct_source import _parse_sacct_time
+
+    d = _parse_sacct_time(bound)
+    return f"to_unix_timestamp('{d.strftime('%Y-%m-%d %H:%M:%S')}')"
+
+
+def _where(args, jobid_col: str = "JobIDnostep") -> str:
+    """Selector args -> SQL WHERE fragments.
+
+    --user/--partition follow the reference (args_to_sql_where,
+    slurm2sql.py:1071-1077). The state/time/job selectors — which the
+    reference supports only on a fresh sacct fetch and *ignores* with a
+    warning on --db (slurm2sql.py:1092-1094) — are additionally
+    expressed here as table predicates, so they work on both paths.
+    Values are SQL-quoted minimally; the raw --output/--order fragments
+    keep the reference's explicitly-not-injection-safe trust model.
+    """
+    from slurm2sql_spark.sources.sacct_source import (
+        CANCELLED_STATES,
+        COMPLETED_STATES,
+        ENDED_STATES,
+        FAILED_STATES,
+    )
+
     where = ""
     if getattr(args, "user", None):
         u = args.user.replace("'", "''")
@@ -130,17 +186,83 @@ def _where(args) -> str:
     if getattr(args, "partition", None):
         p = args.partition.replace("'", "''")
         where += f" AND Partition LIKE '%{p}%'"
+    if getattr(args, "ended", False):
+        where += f" AND {_state_codes_sql(ENDED_STATES)}"
+    elif getattr(args, "completed", False):
+        where += f" AND {_state_codes_sql(COMPLETED_STATES)}"
+    elif getattr(args, "cancelled", False):
+        where += f" AND {_state_codes_sql(CANCELLED_STATES)}"
+    elif getattr(args, "failed", False):
+        where += f" AND {_state_codes_sql(FAILED_STATES)}"
+    elif getattr(args, "running_at_time", None):
+        ts = _sql_ts(args.running_at_time)
+        where += (
+            f" AND Start IS NOT NULL AND Start <= {ts}"
+            f" AND (End IS NULL OR End >= {ts})"
+        )
+    if getattr(args, "jobs", None):
+        ids = ",".join(
+            "'" + j.split(".")[0].replace("'", "''") + "'"
+            for j in args.jobs.split(",")
+        )
+        where += f" AND {jobid_col} IN ({ids})"
+    # -S/-E select jobs whose lifetime overlaps the window (sacct
+    # semantics: any job eligible after start / before end)
+    if getattr(args, "starttime", None):
+        where += f" AND (End IS NULL OR End >= {_sql_ts(args.starttime)})"
+    if getattr(args, "endtime", None) and args.endtime != "now":
+        where += f" AND Start IS NOT NULL AND Start <= {_sql_ts(args.endtime)}"
     return where
 
 
-def _load(spark: SparkSession, args) -> DataFrame:
+_JOBID_RE = re.compile(r"[0-9+_]+(\.[0-9a-z]+)?$")
+
+
+def _absorb_bare_jobid(args, extra: list[str]) -> list[str]:
+    """A single leftover argument that looks like a JobID becomes
+    --jobs=<id> (reference args_to_sacct_filter, slurm2sql.py:1045-1047);
+    everything else passes through to sacct."""
+    if len(extra) == 1 and _JOBID_RE.match(extra[0]):
+        args.jobs = extra[0]
+        return []
+    return extra
+
+
+def _load(spark: SparkSession, args, sacct_passthrough: list[str] | None = None) -> DataFrame:
+    """--db table, --csv-input file, or a live sacct fetch (reference
+    import_or_open_db, slurm2sql.py:1080-1101). On the live path the
+    selectors narrow the sacct call itself; on the table/CSV paths they
+    are applied as predicates by ``_where`` (an improvement over the
+    reference, which ignores them with a warning on --db)."""
     from slurm2sql_spark import api
 
     if getattr(args, "db", None):
         return api.open_table(spark, args.db)
     if getattr(args, "csv_input", None):
         return api.ingest_csv(spark, args.csv_input)
-    raise SystemExit("give --db TABLE or --csv-input FILE")
+    from slurm2sql_spark.sources.sacct_source import args_to_sacct_filter
+
+    sacct_args = args_to_sacct_filter(
+        jobs=getattr(args, "jobs", None),
+        user=getattr(args, "user", None),
+        partition=getattr(args, "partition", None),
+        ended=getattr(args, "ended", False),
+        completed=getattr(args, "completed", False),
+        cancelled=getattr(args, "cancelled", False),
+        failed=getattr(args, "failed", False),
+        running_at_time=getattr(args, "running_at_time", None),
+    ) + (sacct_passthrough or [])
+    options: dict = {}
+    if sacct_args:
+        options["sacct_args"] = " ".join(sacct_args)
+    # -S/-E drive the source's day-window partitioning
+    if getattr(args, "starttime", None):
+        options["start"] = args.starttime
+    if getattr(args, "endtime", None) and args.endtime != "now":
+        options["end"] = args.endtime
+    if getattr(args, "sacct_bin", None):
+        options["sacct_bin"] = args.sacct_bin
+    return api.ingest(spark, sacct_options=options)
 
 
 def _common(p: argparse.ArgumentParser):
@@ -150,18 +272,41 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--partition", "-r")
     p.add_argument("--order", help="SQL ORDER BY expression (raw SQL)")
     p.add_argument("--limit", type=int, default=10000)
+    p.add_argument("--sacct-bin", help="sacct executable (live fetch; test seam)")
+    p.add_argument("--jobs", help="comma-separated JobID selector")
+    p.add_argument("--starttime", "-S", help="sacct -S time bound")
+    p.add_argument("--endtime", "-E", help="sacct -E time bound")
+    state = p.add_mutually_exclusive_group()
+    state.add_argument("--ended", "-e", action="store_true",
+                       help="finished jobs (any terminal state)")
+    state.add_argument("--completed", action="store_true")
+    state.add_argument("--cancelled", action="store_true")
+    state.add_argument("--failed", action="store_true")
+    state.add_argument("--running-at-time", metavar="TIME",
+                       help="jobs running at this time")
 
 
 def sacct_cli(spark: SparkSession, argv) -> str:
-    """sacct-like report (reference sacct_cli, slurm2sql.py:1160-1219)."""
+    """sacct-like report (reference sacct_cli, slurm2sql.py:1160-1219).
+
+    Unknown arguments pass through to the live sacct fetch; a lone
+    JobID-shaped argument selects that job (reference behavior)."""
     p = argparse.ArgumentParser(prog="slurm2sql-spark sacct")
     _common(p)
     p.add_argument("--output", "-o", default=SACCT_DEFAULT_FIELDS,
-                   help="select list (raw SQL, '*' for all)")
-    args = p.parse_args(argv)
-    _load(spark, args).createOrReplaceTempView("slurm")
+                   help="select list (raw SQL, '*' for all, 'long' for "
+                        "the extended default list)")
+    args, extra = p.parse_known_args(argv)
+    extra = _absorb_bare_jobid(args, extra)
+    if args.output == "long":
+        args.output = SACCT_DEFAULT_FIELDS_LONG
+    live = not (args.db or args.csv_input)
+    _load(spark, args, extra).createOrReplaceTempView("slurm")
+    # live fetch: sacct already applied every selector (reference nulls
+    # them out after pushing, slurm2sql.py:1058-1069) — don't re-filter
+    where = "" if live else _where(args)
     order = f" ORDER BY {args.order}" if args.order else ""
-    q = f"SELECT {args.output} FROM slurm WHERE true{_where(args)}{order}"
+    q = f"SELECT {args.output} FROM slurm WHERE true{where}{order}"
     return format_table(spark.sql(q), args.limit)
 
 
@@ -174,11 +319,15 @@ def seff_cli(spark: SparkSession, argv) -> str:
     _common(p)
     p.add_argument("--aggregate-user", action="store_true")
     p.add_argument("--long", "-l", action="store_true")
-    args = p.parse_args(argv)
-    eff(_load(spark, args)).createOrReplaceTempView("eff")
+    args, extra = p.parse_known_args(argv)
+    extra = _absorb_bare_jobid(args, extra)
+    live = not (args.db or args.csv_input)
+    eff(_load(spark, args, extra)).createOrReplaceTempView("eff")
     order_by = f"ORDER BY {args.order}" if args.order else ""
+    # live fetch: selectors were pushed into sacct itself
+    where = "" if live else _where(args, jobid_col="JobID")
     if args.aggregate_user:
-        q = SEFF_USER_SQL.format(where=_where(args), order_by=order_by)
+        q = SEFF_USER_SQL.format(where=where, order_by=order_by)
     else:
         long_output = (
             "date_format(from_unixtime(Start), 'MM-dd_HH:mm') AS Start, "
@@ -187,7 +336,7 @@ def seff_cli(spark: SparkSession, argv) -> str:
             else ""
         )
         q = SEFF_PER_JOB_SQL.format(
-            long_output=long_output, where=_where(args), order_by=order_by
+            long_output=long_output, where=where, order_by=order_by
         )
     df = spark.sql(q)
     if df.isEmpty():
@@ -196,34 +345,262 @@ def seff_cli(spark: SparkSession, argv) -> str:
     return format_table(df, args.limit)
 
 
+def _live_sacct_df(spark: SparkSession, options: dict):
+    from slurm2sql_spark.sources.sacct_source import SacctDataSource
+
+    spark.dataSource.register(SacctDataSource)
+    reader = spark.read.format("sacct")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def ingest_cli(spark: SparkSession, argv) -> str:
-    """ETL front door (reference main(), slurm2sql.py:699-788)."""
+    """ETL front door (reference main(), slurm2sql.py:699-788), including
+    the day-by-day incremental history protocol (--history family,
+    reference slurm2sql.py:706-719 wired to get_history at 756-774)."""
+    from slurm2sql_spark import api
+    from slurm2sql_spark.operators.transform import slurm_transform
+    from slurm2sql_spark.sources.csv_source import read_csv
+    from slurm2sql_spark.streaming.history import (
+        ingest_history,
+        parse_slurmtime,
+    )
+
     p = argparse.ArgumentParser(prog="slurm2sql-spark ingest")
     p.add_argument("table", help="output parquet table path")
-    p.add_argument("--csv-input", required=True)
-    p.add_argument("--update", action="store_true",
+    p.add_argument("--csv-input",
+                   help="ingest this sacct-shaped CSV instead of live sacct")
+    p.add_argument("--sacct-dump",
+                   help="raw `sacct -P --delimiter=';|;'` output file; "
+                        "driver-stitched with error accounting (exit 1 on "
+                        "unparseable lines, reference slurm2sql.py:785-788)")
+    p.add_argument("--update", "-U", action="store_true",
                    help="upsert on JobID instead of overwrite")
     p.add_argument("--jobs-only", action="store_true")
+    p.add_argument("--sacct-bin", help="sacct executable (test seam)")
+    p.add_argument("--user", "-u")
+    p.add_argument("--partition", "-r")
+    state = p.add_mutually_exclusive_group()
+    state.add_argument("--ended", "-e", action="store_true")
+    state.add_argument("--completed", action="store_true")
+    state.add_argument("--cancelled", action="store_true")
+    state.add_argument("--failed", action="store_true")
+    state.add_argument("--running-at-time", metavar="TIME")
+    hist = p.add_argument_group("incremental history (day-by-day upsert)")
+    hist.add_argument("--history", metavar="DD-HH",
+                      help="scrape this much history (Slurm duration) to now")
+    hist.add_argument("--history-resume", action="store_true",
+                      help="continue from the stored watermark")
+    hist.add_argument("--history-resume-or-start", metavar="DD-HH",
+                      help="resume if a watermark exists, else --history=ARG")
+    hist.add_argument("--history-days", type=int)
+    hist.add_argument("--history-start", metavar="YYYY-MM-DD")
+    hist.add_argument("--history-end", metavar="YYYY-MM-DD")
+    args, extra = p.parse_known_args(argv)
+    extra = _absorb_bare_jobid(args, extra)
+
+    from slurm2sql_spark.sources.sacct_source import args_to_sacct_filter
+
+    sacct_args = args_to_sacct_filter(
+        jobs=getattr(args, "jobs", None),
+        user=args.user,
+        partition=args.partition,
+        ended=args.ended,
+        completed=args.completed,
+        cancelled=args.cancelled,
+        failed=args.failed,
+        running_at_time=args.running_at_time,
+    ) + extra
+
+    history_mode = (
+        args.history is not None
+        or args.history_resume
+        or args.history_resume_or_start is not None
+        or args.history_days is not None
+        or args.history_start is not None
+    )
+    if history_mode:
+        import datetime as dt
+
+        now = dt.datetime.now().replace(microsecond=0)
+        start_ts: int | None = None
+        resume = False
+        if args.history_resume_or_start:
+            resume = True  # falls back to start_ts when no watermark
+            start_ts = int(
+                (now - dt.timedelta(
+                    seconds=parse_slurmtime(args.history_resume_or_start)
+                )).timestamp()
+            )
+        elif args.history_resume:
+            resume = True
+        elif args.history is not None:
+            start_ts = int(
+                (now - dt.timedelta(seconds=parse_slurmtime(args.history))).timestamp()
+            )
+        elif args.history_days is not None:
+            start_ts = int(
+                dt.datetime.combine(
+                    now.date() - dt.timedelta(days=args.history_days),
+                    dt.time(),
+                ).timestamp()
+            )
+        elif args.history_start is not None:
+            start_ts = int(
+                dt.datetime.strptime(args.history_start, "%Y-%m-%d").timestamp()
+            )
+        stop_ts = (
+            int(dt.datetime.strptime(args.history_end, "%Y-%m-%d").timestamp())
+            if args.history_end
+            else None
+        )
+
+        if args.csv_input:
+            # test seam, as in the reference (main(csv_input=...) is
+            # "just for running tests", slurm2sql.py:771-773)
+            def fetch(ws: int, we: int):
+                return slurm_transform(
+                    read_csv(spark, args.csv_input), jobs_only=args.jobs_only
+                )
+        else:
+            def fetch(ws: int, we: int):
+                fmt = "%Y-%m-%dT%H:%M:%S"
+                import datetime as dt
+
+                options = {
+                    "start": dt.datetime.fromtimestamp(ws).strftime(fmt),
+                    "end": dt.datetime.fromtimestamp(we).strftime(fmt),
+                }
+                if sacct_args:
+                    options["sacct_args"] = " ".join(sacct_args)
+                if args.sacct_bin:
+                    options["sacct_bin"] = args.sacct_bin
+                return slurm_transform(
+                    _live_sacct_df(spark, options), jobs_only=args.jobs_only
+                )
+
+        try:
+            n = ingest_history(
+                spark, fetch, args.table,
+                start_ts=start_ts, stop_ts=stop_ts, resume=resume,
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
+        return f"committed {n} day-windows to {args.table}"
+
+    # ---- one-shot paths ------------------------------------------------
+    if args.csv_input:
+        out = api.ingest_csv(
+            spark, args.csv_input, table_path=args.table,
+            jobs_only=args.jobs_only, update=args.update,
+        )
+        return f"wrote {out.count()} rows to {args.table}"
+    if args.sacct_dump:
+        from slurm2sql_spark.sinks.parquet_sink import upsert, write_overwrite
+
+        errors: list = []
+        with open(args.sacct_dump) as f:
+            typed = api.ingest(
+                spark, raw_lines=f.read(), errors=errors
+            )
+        if args.jobs_only:
+            from pyspark.sql import functions as F
+
+            typed = typed.filter(F.col("JobStep").isNull())
+        if args.update:
+            upsert(spark, typed, args.table)
+        else:
+            write_overwrite(typed, args.table)
+        n = api.open_table(spark, args.table).count()
+        if errors:
+            print(f"wrote {n} rows to {args.table}", file=sys.stderr)
+            print(f"Completed with {len(errors)} errors", file=sys.stderr)
+            raise SystemExit(1)
+        return f"wrote {n} rows to {args.table}"
+    # live sacct, one shot
+    from slurm2sql_spark.sinks.parquet_sink import upsert, write_overwrite
+
+    options: dict = {}
+    if sacct_args:
+        options["sacct_args"] = " ".join(sacct_args)
+    if args.sacct_bin:
+        options["sacct_bin"] = args.sacct_bin
+    typed = slurm_transform(
+        _live_sacct_df(spark, options), jobs_only=args.jobs_only
+    )
+    if args.update:
+        upsert(spark, typed, args.table)
+    else:
+        write_overwrite(typed, args.table)
+    return f"wrote {api.open_table(spark, args.table).count()} rows to {args.table}"
+
+
+def deidentify_cli(spark: SparkSession, argv) -> str:
+    """Pseudonymize sensitive columns of a table (reference
+    deidentify.py is a standalone in-place sqlite script; this reads the
+    parquet table and writes a deidentified copy)."""
+    from slurm2sql_spark.operators.deidentify import (
+        DEFAULT_DEIDENTIFY_COLUMNS,
+        deidentify,
+    )
+    from slurm2sql_spark.sinks.parquet_sink import write_overwrite
+
+    p = argparse.ArgumentParser(prog="slurm2sql-spark deidentify")
+    p.add_argument("table", help="input parquet table path")
+    p.add_argument("--out", help="output path (default: <table>.deidentified)")
+    p.add_argument("--columns", default=",".join(DEFAULT_DEIDENTIFY_COLUMNS),
+                   help="comma-separated column list (reference deidentify.py:7)")
+    p.add_argument("--numbering", choices=("auto", "rank", "hash"),
+                   default="auto")
     args = p.parse_args(argv)
     from slurm2sql_spark import api
 
-    out = api.ingest_csv(
-        spark, args.csv_input, table_path=args.table,
-        jobs_only=args.jobs_only, update=args.update,
+    out_path = args.out or args.table.rstrip("/") + ".deidentified"
+    df = deidentify(
+        api.open_table(spark, args.table),
+        columns=tuple(c.strip() for c in args.columns.split(",") if c.strip()),
+        numbering=args.numbering,
     )
-    return f"wrote {out.count()} rows to {args.table}"
+    write_overwrite(df, out_path)
+    return f"wrote deidentified table to {out_path}"
+
+
+_COMMANDS = {
+    "ingest": ingest_cli,
+    "sacct": sacct_cli,
+    "seff": seff_cli,
+    "deidentify": deidentify_cli,
+}
 
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
-    if not argv or argv[0] not in {"ingest", "sacct", "seff"}:
-        print("usage: python -m slurm2sql_spark.cli {ingest,sacct,seff} ...")
+    if not argv or argv[0] not in _COMMANDS:
+        print(f"usage: python -m slurm2sql_spark.cli {{{','.join(_COMMANDS)}}} ...")
         raise SystemExit(1)
     from slurm2sql_spark.session import get_spark
 
     spark = get_spark(app_name=f"slurm2sql_spark_{argv[0]}")
-    cmd = {"ingest": ingest_cli, "sacct": sacct_cli, "seff": seff_cli}[argv[0]]
-    print(cmd(spark, argv[1:]))
+    print(_COMMANDS[argv[0]](spark, argv[1:]))
+
+
+# console-script entry points (pyproject [project.scripts], mirroring the
+# reference's slurm2sql / slurm2sql-sacct / slurm2sql-seff)
+def main_ingest():
+    main(["ingest"] + sys.argv[1:])
+
+
+def main_sacct():
+    main(["sacct"] + sys.argv[1:])
+
+
+def main_seff():
+    main(["seff"] + sys.argv[1:])
+
+
+def main_deidentify():
+    main(["deidentify"] + sys.argv[1:])
 
 
 if __name__ == "__main__":

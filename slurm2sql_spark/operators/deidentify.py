@@ -85,9 +85,13 @@ def _hash_pseudonym(c: str):
     )
 
 
+#: the reference's sensitive-column list (deidentify.py:7)
+DEFAULT_DEIDENTIFY_COLUMNS = ("JobName", "User", "Group", "SubmitLine", "Comment")
+
+
 def deidentify(
     df: DataFrame,
-    columns: tuple[str, ...] = ("User", "Account", "JobName", "SubmitLine"),
+    columns: tuple[str, ...] = DEFAULT_DEIDENTIFY_COLUMNS,
     numbering: str = "auto",
     hash_threshold: int = DEFAULT_HASH_THRESHOLD,
 ) -> DataFrame:

@@ -180,10 +180,19 @@ def _newest_per_key(df: DataFrame, key: str) -> DataFrame:
 def analyze_table(
     spark: SparkSession, path: str, name: str = "slurm"
 ) -> None:
-    """Register + ANALYZE for cost-based optimization — the columnar
-    replacement for the reference's index/ANALYZE step
-    (slurm2sql.py:867-874)."""
+    """Register the table in the session catalog and compute CBO
+    statistics — the columnar replacement for the reference's
+    index/ANALYZE step (slurm2sql.py:867-874).
+
+    Registers an EXTERNAL catalog table over the parquet path (temp
+    views cannot be ANALYZEd), then runs ``ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR ALL COLUMNS`` so Catalyst's cost-based optimizer has
+    row counts and column NDV/min/max for join reordering and broadcast
+    decisions. Also registers a ``name`` temp view hiding the internal
+    batch column, which is what queries should use.
+    """
+    catalog_name = f"{name}_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")
+    spark.catalog.createTable(catalog_name, path=path, source="parquet")
+    spark.sql(f"ANALYZE TABLE {catalog_name} COMPUTE STATISTICS FOR ALL COLUMNS")
     read_table(spark, path).createOrReplaceTempView(name)
-    # Temp views can't be ANALYZEd; stats come from Parquet footers.
-    # For a persisted catalog table use:
-    #   spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")

@@ -59,7 +59,9 @@ def stitch_lines(
 
 
 def read_sacct_lines(
-    spark: SparkSession, lines: Iterable[str] | str
+    spark: SparkSession,
+    lines: Iterable[str] | str,
+    errors: list | None = None,
 ) -> DataFrame:
     """Parse raw sacct-format text (header line first) into a string
     DataFrame.
@@ -68,9 +70,13 @@ def read_sacct_lines(
     ``raw_sacct`` injection seam, slurm2sql.py:881-883). Stitching is
     order-sensitive, so records are reassembled before parallelizing —
     matching the reference, where the stream is a single sacct pipe
-    anyway. For file-shaped input at scale use ``spark.read.csv`` with
-    the multi-char delimiter directly (no stitching needed when JobNames
-    are newline-free).
+    anyway. For file-shaped input at scale use ``sacct_lines_to_df``
+    (``spark.read.csv`` with the multi-char delimiter — no stitching
+    needed when JobNames are newline-free).
+
+    ``errors`` collects unrecoverable (too-many-fields) lines so callers
+    can surface the count and exit nonzero (reference counts these and
+    returns 1, slurm2sql.py:785-788, 907-911).
     """
     if isinstance(lines, str):
         lines = lines.splitlines()
@@ -78,7 +84,6 @@ def read_sacct_lines(
 
     it = iter(lines)
     header = next(it).rstrip("\n").split(SACCT_DELIMITER)
-    errors: list = []
     schema = T.StructType(
         [T.StructField(h, T.StringType(), True) for h in header]
     )

@@ -43,12 +43,20 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from slurm2sql_spark.schema import RAW_FIELDS
 from slurm2sql_spark.sources.csv_source import SACCT_DELIMITER, stitch_lines
 
-__all__ = ["SacctDataSource", "args_to_sacct_filter", "COMPLETED_STATES"]
+__all__ = [
+    "SacctDataSource",
+    "args_to_sacct_filter",
+    "ENDED_STATES",
+    "COMPLETED_STATES",
+    "CANCELLED_STATES",
+    "FAILED_STATES",
+]
 
 # Terminal job states (reference slurm2sql.py:1156-1159).
-COMPLETED_STATES = "CA,CD,F,NF,PR,TO,DL,OOM,BF"
-CANCELLED_STATES = "CA"
-FAILED_STATES = "F,NF,PR,TO,DL,OOM,BF"
+ENDED_STATES = "CA,CD,DL,F,NF,OOM,PR,RV,TO"
+COMPLETED_STATES = "CD"
+CANCELLED_STATES = "CA,DL"
+FAILED_STATES = "F,NF,OOM,TO"
 
 
 def args_to_sacct_filter(
@@ -58,12 +66,19 @@ def args_to_sacct_filter(
     state: str | None = None,
     start: str | None = None,
     end: str | None = None,
+    ended: bool = False,
     completed: bool = False,
     cancelled: bool = False,
     failed: bool = False,
+    running_at_time: str | None = None,
 ) -> list[str]:
     """CLI-style selectors -> sacct argument list (reference
-    args_to_sacct_filter, slurm2sql.py:1039-1069)."""
+    args_to_sacct_filter, slurm2sql.py:1039-1069).
+
+    The state selectors are mutually exclusive, as in the reference's
+    argparse group; ``running_at_time`` expands to a point-in-time
+    window with ``--state=RUNNING`` (reference slurm2sql.py:1066-1068).
+    """
     args: list[str] = []
     if jobs:
         args.append(f"--jobs={jobs}")
@@ -71,12 +86,20 @@ def args_to_sacct_filter(
         args.append(f"--user={user}")
     if partition:
         args.append(f"--partition={partition}")
-    if completed:
+    if ended:
+        args += ["--endtime=now", f"--state={ENDED_STATES}"]
+    elif completed:
         args += ["--endtime=now", f"--state={COMPLETED_STATES}"]
     elif cancelled:
         args += ["--endtime=now", f"--state={CANCELLED_STATES}"]
     elif failed:
         args += ["--endtime=now", f"--state={FAILED_STATES}"]
+    elif running_at_time:
+        args += [
+            f"--start={running_at_time}",
+            f"--end={running_at_time}",
+            "--state=RUNNING",
+        ]
     elif state:
         args.append(f"--state={state}")
     if start:
@@ -185,9 +208,19 @@ class SacctReader(DataSourceReader):
             return
         header = header_line.rstrip("\n").split(SACCT_DELIMITER)
         idx = [header.index(c) if c in header else None for c in cols]
-        for fields in stitch_lines(proc.stdout, len(header)):
+        errors: list = []
+        for fields in stitch_lines(proc.stdout, len(header), errors):
             yield tuple(fields[i] if i is not None else None for i in idx)
         proc.wait()
+        if errors:
+            # executor-side: surfaces in task logs; the driver-side pipe
+            # paths (read_sacct_lines) thread the count to an exit code
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sacct window %s..%s: %d unparseable lines skipped",
+                partition.start, partition.end, len(errors),
+            )
 
 
 class SacctDataSource(DataSource):

@@ -41,12 +41,36 @@ __all__ = [
     "get_watermark",
     "set_watermark",
     "ingest_history",
+    "parse_slurmtime",
     "RESUME_REWIND_S",
     "STOP_SLACK_S",
 ]
 
 RESUME_REWIND_S = 5  # reference slurm2sql.py:114
 STOP_SLACK_S = 6 * 3600  # reference slurm2sql.py:831
+
+
+def parse_slurmtime(s: str) -> int:
+    """Driver-side Slurm duration grammar -> seconds (the Python twin of
+    ``functions.converters.slurmtime``, reference slurm2sql.py:84-107):
+    ``dd-hh[:mm[:ss]]`` front-anchored, ``[[hh:]mm:]ss`` back-anchored,
+    bare number = minutes. Used by ``--history=7-0``-style CLI flags."""
+    s = s.strip()
+    if "-" in s:
+        d, rest = s.split("-", 1)
+        parts = rest.split(":") if rest else []
+        parts += ["0"] * (3 - len(parts))
+        h, m, sec = parts[:3]
+        return (
+            int(d) * 86400 + int(h or 0) * 3600 + int(m or 0) * 60
+            + int(float(sec or 0))
+        )
+    parts = s.split(":")
+    if len(parts) == 1:
+        return int(float(s)) * 60
+    parts = ["0"] * (3 - len(parts)) + parts
+    h, m, sec = parts[-3:]
+    return int(h) * 3600 + int(m) * 60 + int(float(sec))
 
 
 def day_windows(start_ts: int, stop_ts: int) -> Iterator[tuple[int, int]]:

@@ -97,3 +97,203 @@ def test_format_table_alignment(spark):
     assert set(out[1]) <= {"-", " "}
     assert out[2].startswith("a")
     assert out[3].endswith("22")
+
+
+# --- reference selector surface (slurm2sql.py:1039-1069, 1182-1275) ------
+
+def test_sacct_cli_completed_selector(spark, csv_path):
+    out = sacct_cli(
+        spark, ["--csv-input", csv_path, "-o", "JobID,User,State", "--completed"]
+    )
+    assert "COMPLETED" in out and "RUNNING" not in out
+
+
+def test_sacct_cli_failed_selector_empty(spark, csv_path):
+    out = sacct_cli(
+        spark, ["--csv-input", csv_path, "-o", "JobID,State", "--failed"]
+    )
+    assert "COMPLETED" not in out and "RUNNING" not in out
+
+
+def test_sacct_cli_bare_jobid(spark, csv_path):
+    # a lone JobID-shaped argument selects that job (reference
+    # slurm2sql.py:1045-1047): both the job and its steps
+    out = sacct_cli(spark, ["--csv-input", csv_path, "-o", "JobID,User", "1"])
+    assert "alice" in out and "bob" not in out
+    assert "1.batch" in out
+
+
+def test_sacct_cli_running_at_time(spark, csv_path):
+    out = sacct_cli(
+        spark,
+        ["--csv-input", csv_path, "-o", "JobID,State",
+         "--running-at-time", "2021-01-01T12:30"],
+    )
+    assert "RUNNING" in out and "COMPLETED" not in out
+
+
+def test_sacct_cli_time_bounds(spark, csv_path):
+    # job 1 ended 11:00; job 2 started 12:00 and still runs.
+    # -S 11:30 keeps only jobs alive after 11:30
+    out = sacct_cli(
+        spark,
+        ["--csv-input", csv_path, "-o", "JobID,User", "-S", "2021-01-01T11:30"],
+    )
+    assert "bob" in out and "alice" not in out
+    # -E 11:30 keeps only jobs started before 11:30
+    out = sacct_cli(
+        spark,
+        ["--csv-input", csv_path, "-o", "JobID,User", "-E", "2021-01-01T11:30"],
+    )
+    assert "alice" in out and "bob" not in out
+
+
+def test_seff_cli_bare_jobid(spark, csv_path):
+    out = seff_cli(spark, ["--csv-input", csv_path, "1"])
+    assert "alice" in out and " 50%" in out
+
+
+def test_sacct_cli_output_long(spark, csv_path):
+    out = sacct_cli(spark, ["--csv-input", csv_path, "-o", "long"])
+    assert "MaxRSS" in out and "GpuUtil" in out
+
+
+FAKE_SACCT_CLI = r"""#!/bin/bash
+echo "$@" >> "$(dirname "$0")/calls.log"
+echo 'JobID;|;JobIDRaw;|;User;|;State;|;NCPUS;|;Elapsed;|;CPUTime'
+echo '7;|;7;|;carol;|;COMPLETED;|;2;|;01:00:00;|;02:00:00'
+"""
+
+
+def test_sacct_cli_live_path_pushes_selectors(spark, tmp_path):
+    """No --db/--csv-input -> live sacct fetch; state selectors become
+    sacct args (reference import_or_open_db, slurm2sql.py:1080-1101)."""
+    import os
+    import stat
+
+    fake = tmp_path / "sacct"
+    fake.write_text(FAKE_SACCT_CLI)
+    os.chmod(fake, os.stat(fake).st_mode | stat.S_IEXEC)
+    out = sacct_cli(
+        spark,
+        ["--sacct-bin", str(fake), "-o", "JobID,User,State", "--completed",
+         "--user", "carol"],
+    )
+    assert "carol" in out and "COMPLETED" in out
+    calls = (tmp_path / "calls.log").read_text()
+    assert "--state=CD" in calls
+    assert "--endtime=now" in calls
+    assert "--user=carol" in calls
+
+
+# --- ingest history flags (reference slurm2sql.py:706-719, 756-774; ------
+# --- resume semantics pinned by reference test.py:329-357) ----------------
+
+def test_ingest_cli_history_days_and_resume(spark, csv_path, tmp_path):
+    from slurm2sql_spark.streaming.history import get_watermark
+
+    table = str(tmp_path / "hist")
+    msg = ingest_cli(
+        spark, [table, "--csv-input", csv_path, "--history-days", "1"]
+    )
+    assert "day-windows" in msg
+    n_windows = int(msg.split()[1])
+    assert n_windows >= 2  # yesterday-midnight .. now+6h slack
+    assert api.open_table(spark, table).count() == 3
+    wm = get_watermark(table)
+    assert wm is not None
+    # resume: picks up from the watermark, upsert keeps it idempotent
+    msg2 = ingest_cli(spark, [table, "--csv-input", csv_path, "--history-resume"])
+    assert "day-windows" in msg2
+    assert int(msg2.split()[1]) <= n_windows
+    assert api.open_table(spark, table).count() == 3
+    assert get_watermark(table) >= wm
+
+
+def test_ingest_cli_history_resume_without_watermark_errors(spark, csv_path, tmp_path):
+    with pytest.raises(SystemExit):
+        ingest_cli(
+            spark,
+            [str(tmp_path / "none"), "--csv-input", csv_path, "--history-resume"],
+        )
+
+
+def test_ingest_cli_history_resume_or_start_falls_back(spark, csv_path, tmp_path):
+    table = str(tmp_path / "hist2")
+    msg = ingest_cli(
+        spark,
+        [table, "--csv-input", csv_path, "--history-resume-or-start", "1-0"],
+    )
+    assert "day-windows" in msg
+    assert api.open_table(spark, table).count() == 3
+
+
+def test_ingest_cli_history_start_end_bounded(spark, csv_path, tmp_path):
+    table = str(tmp_path / "hist3")
+    msg = ingest_cli(
+        spark,
+        [table, "--csv-input", csv_path,
+         "--history-start", "2021-01-01", "--history-end", "2021-01-04"],
+    )
+    assert msg.startswith("committed 3 day-windows")
+
+
+def test_parse_slurmtime_grammar():
+    from slurm2sql_spark.streaming.history import parse_slurmtime
+
+    assert parse_slurmtime("7-0") == 7 * 86400
+    assert parse_slurmtime("1-12:30") == 86400 + 12 * 3600 + 30 * 60
+    assert parse_slurmtime("02:00:00") == 7200
+    assert parse_slurmtime("15:00") == 900
+    assert parse_slurmtime("90") == 5400  # bare number = minutes
+
+
+# --- stitcher error accounting -> exit code (reference 785-788) ----------
+
+def test_ingest_cli_sacct_dump_error_exit(spark, tmp_path):
+    dump = tmp_path / "dump.txt"
+    dump.write_text(
+        "JobID;|;JobIDRaw;|;User;|;State\n"
+        "1;|;1;|;alice;|;COMPLETED\n"
+        "x;|;x;|;x;|;x;|;extra;|;fields\n"
+    )
+    with pytest.raises(SystemExit) as e:
+        ingest_cli(spark, [str(tmp_path / "t"), "--sacct-dump", str(dump)])
+    assert e.value.code == 1
+
+
+def test_ingest_cli_sacct_dump_clean(spark, tmp_path):
+    dump = tmp_path / "dump.txt"
+    dump.write_text(
+        "JobID;|;JobIDRaw;|;User;|;State\n"
+        "1;|;1;|;alice;|;COMPLETED\n"
+        "2;|;2;|;bob;|;RUNNING\n"
+    )
+    msg = ingest_cli(spark, [str(tmp_path / "t2"), "--sacct-dump", str(dump)])
+    assert "2 rows" in msg
+
+
+def test_deidentify_cli(spark, csv_path, tmp_path):
+    from slurm2sql_spark.cli import deidentify_cli
+
+    table = str(tmp_path / "base")
+    ingest_cli(spark, [table, "--csv-input", csv_path])
+    out_path = str(tmp_path / "deid")
+    msg = deidentify_cli(
+        spark, [table, "--out", out_path, "--columns", "User,JobName"]
+    )
+    assert out_path in msg
+    rows = api.open_table(spark, out_path).collect()
+    users = {r.User for r in rows}
+    assert users <= {"User_0", "User_1"}  # alice/bob pseudonymized
+    assert api.open_table(spark, out_path).count() == 3
+
+
+def test_console_entry_points_resolve():
+    # pyproject [project.scripts] targets must import and be callable
+    from slurm2sql_spark.cli import (  # noqa: F401
+        main_deidentify,
+        main_ingest,
+        main_sacct,
+        main_seff,
+    )

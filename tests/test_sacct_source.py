@@ -104,10 +104,20 @@ def test_full_pipeline_through_transform(spark, fake_sacct):
 
 
 def test_args_to_sacct_filter_selectors():
-    # reference slurm2sql.py:1039-1069 selector translation
+    # reference slurm2sql.py:1039-1069 selector translation; state lists
+    # pinned to reference slurm2sql.py:1156-1159
     assert args_to_sacct_filter(jobs="123,456") == ["--jobs=123,456"]
-    assert "--state=CA,CD,F,NF,PR,TO,DL,OOM,BF" in args_to_sacct_filter(
-        completed=True
+    assert "--state=CD" in args_to_sacct_filter(completed=True)
+    assert "--state=CA,CD,DL,F,NF,OOM,PR,RV,TO" in args_to_sacct_filter(
+        ended=True
     )
+    assert "--state=CA,DL" in args_to_sacct_filter(cancelled=True)
+    assert "--state=F,NF,OOM,TO" in args_to_sacct_filter(failed=True)
+    assert "--endtime=now" in args_to_sacct_filter(ended=True)
+    assert args_to_sacct_filter(running_at_time="2021-06-01T12:00") == [
+        "--start=2021-06-01T12:00",
+        "--end=2021-06-01T12:00",
+        "--state=RUNNING",
+    ]
     a = args_to_sacct_filter(user="u1", partition="gpu", start="2021-01-01")
     assert a == ["--user=u1", "--partition=gpu", "--starttime=2021-01-01"]

@@ -166,3 +166,25 @@ def test_partitioned_upsert_clears_migrated_partition(spark, tmp_path):
     out = read_table(spark, p).collect()
     assert [(r.JobID, r.State) for r in out] == [("1", "COMPLETED")]
     assert not os.path.isdir(os.path.join(p, "day=1970-01-01"))
+
+
+def test_analyze_table_computes_catalog_stats(spark, tmp_path):
+    from slurm2sql_spark.sinks.parquet_sink import analyze_table, write_overwrite
+
+    df = spark.createDataFrame(
+        [(str(i), f"u{i % 3}") for i in range(50)], "JobID string, User string"
+    )
+    path = str(tmp_path / "t")
+    write_overwrite(df, path)
+    analyze_table(spark, path, name="slurm_stats_test")
+    # temp view registered and batch column hidden
+    assert spark.table("slurm_stats_test").columns == ["JobID", "User"]
+    # CBO statistics actually recorded on the catalog table
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED slurm_stats_test_tbl"
+        ).collect()
+    }
+    assert "Statistics" in desc and "rows" in desc["Statistics"]
+    spark.sql("DROP TABLE IF EXISTS slurm_stats_test_tbl")
