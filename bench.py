@@ -3,6 +3,17 @@ $SPARK_GRAFT_SF_DIR (default sf0.1) and emit ONE JSON line.
 
 Execution is forced through the `noop` sink so the full plan runs
 distributed without driver-side collect overhead.
+
+Protocol: every query first runs once at a 100x smaller scale
+($SPARK_GRAFT_WARMUP_DIR, default sf0.001) OUTSIDE the timed region, so
+HotSpot JIT-compiles the generated whole-stage code before measurement
+— the steady-state regime a long-lived cluster session actually runs
+in. The timed pass then does the full work at the target SF (any
+cross-query result caches are dropped in between). Set
+SPARK_GRAFT_WARMUP_DIR= (empty) for single-shot cold timings.
+sf0.001 is too small to cross HotSpot's invocation thresholds for the
+big generated parse methods (measured: no effect); sf0.01 is the
+smallest scale that does.
 """
 
 from __future__ import annotations
@@ -27,6 +38,22 @@ def main() -> None:
     spark = get_spark(app_name="slurm2sql_spark_bench")
     # Warm the JVM/reader paths outside the timed region.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.01"
+    )
+    if warm_dir and os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name, spec in QUERIES.items():
+            spec.spark(spark, warm_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        # Drop warmup-scale cached results so the timed pass computes
+        # (and pays for) everything at the target SF itself.
+        from slurm2sql_spark import catalog
+
+        for df in catalog._EFF_CACHE.values():
+            df.unpersist()
+        catalog._EFF_CACHE.clear()
 
     times: dict[str, float] = {}
     for name, spec in QUERIES.items():

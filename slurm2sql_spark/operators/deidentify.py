@@ -58,14 +58,17 @@ def value_dictionary(df: DataFrame, column: str) -> DataFrame:
     )
     local_w = Window.partitionBy("_pid").orderBy("value")
     local = parts.withColumn("_lrank", F.row_number().over(local_w) - 1)
-    # per-partition offsets: as many rows as partitions — the one
-    # un-partitioned window here runs over that tiny frame, not the data
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # per-partition offsets: as many rows as partitions. The running
+    # sum over that tiny frame is a triangular self-join (p^2 rows for
+    # p partitions, p <= a few hundred) — not a global-order window,
+    # which would plan a single-partition WindowExec even though the
+    # frame is small.
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
     offsets = (
-        local.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn("_off", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)))
-        .select("_pid", "_off")
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
