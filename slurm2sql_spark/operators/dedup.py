@@ -165,15 +165,22 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: ``num_hashes`` columns ``h0..``,
     each min over ``xxhash64(shingle, seed)``.
 
     One explode + one groupBy; the H mins are map-side combined, so the
-    shuffle carries one signature row per document.
+    shuffle carries one signature row per document. ``_shingles``
+    injects a precomputed (possibly persisted) shingle frame so callers
+    composing several shingle consumers pay the explode once.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = _shingles if _shingles is not None else shingles(df, id_col, text_col, n)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -188,6 +195,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -198,7 +206,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, _shingles)
     band_rows = sig.select(
         "id",
         F.explode(
@@ -253,35 +261,44 @@ def minhash_near_dup_pairs(
     """The full production near-dup pipeline: banded-LSH candidate pairs
     verified by EXACT n-gram Jaccard, keeping pairs >= ``threshold``.
 
-    Jaccard is computed only for candidate pairs (the candidate set is
-    orders of magnitude smaller than all pairs), by broadcasting the
-    candidates into the shingle inverted index — so the expensive
-    shingle self-join of ``ngram_jaccard_pairs`` never happens. With
-    (bands=16, rows=4) the probability of missing a pair at s=0.8 is
-    (1-0.8^4)^16 ~= 2e-4 per pair, and the output equals the exact
-    all-pairs result with overwhelming (and deterministic, fixed-seed)
-    probability — the property the catalog oracle checks.
+    Verification re-shingles only the candidate pairs' texts inside one
+    Arrow-batched UDF (the candidate set is orders of magnitude smaller
+    than the corpus), so the corpus-wide shingle pass runs exactly once
+    (for the signatures) and the quadratic shingle self-join of
+    ``ngram_jaccard_pairs`` never happens. With (bands=16, rows=4) the
+    probability of missing a pair at s=0.8 is (1-0.8^4)^16 ~= 2e-4 per
+    pair, so the output equals the exact all-pairs result with
+    overwhelming (and deterministic, fixed-seed) probability — the
+    property the catalog oracle checks.
+
+    Scale shape: each candidate pair ships two documents through an
+    equi-join — verification cost is O(candidates x doc_len), not
+    O(corpus). Both joins are plain equi-joins (broadcast when the
+    candidate list is small, shuffle-hash otherwise).
     """
     cand = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands)
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
-    shared = (
-        sh_a.join(F.broadcast(cand), "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    pairs = cand.join(ta, "id_a").join(tb, "id_b")
+
+    @F.pandas_udf("struct<shared:long, sz_a:long, sz_b:long, jaccard:double>")
+    def _jac(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        def sh_set(s):
+            w = s.split() if s else []
+            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+        rows = []
+        for x, y in zip(a, b):
+            sa, sb = sh_set(x), sh_set(y)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            rows.append((inter, len(sa), len(sb), inter / union if union else 0.0))
+        return pd.DataFrame(rows, columns=["shared", "sz_a", "sz_b", "jaccard"])
+
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", jac)
+        pairs.withColumn("_j", _jac(F.col("_ta"), F.col("_tb")))
+        .select("id_a", "id_b", "_j.shared", "_j.sz_a", "_j.sz_b", "_j.jaccard")
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "shared", "sz_a", "sz_b", "jaccard")
     )
 
 
