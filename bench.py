@@ -4,16 +4,24 @@ $SPARK_GRAFT_SF_DIR (default sf0.1) and emit ONE JSON line.
 Execution is forced through the `noop` sink so the full plan runs
 distributed without driver-side collect overhead.
 
-Protocol: every query first runs once at a 100x smaller scale
-($SPARK_GRAFT_WARMUP_DIR, default sf0.001) OUTSIDE the timed region, so
-HotSpot JIT-compiles the generated whole-stage code before measurement
-— the steady-state regime a long-lived cluster session actually runs
-in. The timed pass then does the full work at the target SF (any
-cross-query result caches are dropped in between). Set
-SPARK_GRAFT_WARMUP_DIR= (empty) for single-shot cold timings.
-sf0.001 is too small to cross HotSpot's invocation thresholds for the
-big generated parse methods (measured: no effect); sf0.01 is the
-smallest scale that does.
+Protocol:
+
+1. WARMUP — every query runs once at a 100x smaller scale
+   ($SPARK_GRAFT_WARMUP_DIR, default sf0.01) outside the timed region,
+   so HotSpot JIT-compiles the generated whole-stage code before
+   measurement — the steady-state regime a long-lived cluster session
+   actually runs in. sf0.001 is too small to cross HotSpot's invocation
+   thresholds for the big generated parse methods (measured: no
+   effect); sf0.01 is the smallest scale that does. Set
+   SPARK_GRAFT_WARMUP_DIR= (empty) to disable.
+2. TIMED — $SPARK_GRAFT_BENCH_ITERS (default 2) full passes over the
+   catalog at the target SF; per-query wall time is the MIN across
+   passes (single-machine noise at these sub-second scales is large;
+   min-of-N is the standard steady-state estimator). Cross-query result
+   caches are dropped between passes, so every pass pays each query's
+   full compute at the target SF.
+
+The emitted JSON records the protocol (`warmup_sf`, `iterations`).
 """
 
 from __future__ import annotations
@@ -22,6 +30,23 @@ import json
 import os
 import sys
 import time
+
+
+def _run_all(QUERIES, spark, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name, spec in QUERIES.items():
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def _drop_caches() -> None:
+    from slurm2sql_spark import catalog
+
+    for df in catalog._EFF_CACHE.values():
+        df.unpersist()
+    catalog._EFF_CACHE.clear()
 
 
 def main() -> None:
@@ -43,23 +68,16 @@ def main() -> None:
         "SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.01"
     )
     if warm_dir and os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name, spec in QUERIES.items():
-            spec.spark(spark, warm_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-        # Drop warmup-scale cached results so the timed pass computes
-        # (and pays for) everything at the target SF itself.
-        from slurm2sql_spark import catalog
+        _run_all(QUERIES, spark, warm_dir)
+        _drop_caches()
 
-        for df in catalog._EFF_CACHE.values():
-            df.unpersist()
-        catalog._EFF_CACHE.clear()
-
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
     times: dict[str, float] = {}
-    for name, spec in QUERIES.items():
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(iters):
+        pass_times = _run_all(QUERIES, spark, sf_dir)
+        _drop_caches()
+        for name, t in pass_times.items():
+            times[name] = min(times.get(name, float("inf")), t)
 
     total = round(sum(times.values()), 3)
     print(
@@ -70,6 +88,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_val,
+                "warmup_sf": warm_dir if warm_dir else None,
+                "iterations": iters,
             }
         )
     )
