@@ -1071,6 +1071,11 @@ def sim_lsh_recall(spark, sf_dir):
     SELECT doc_id,
            CAST(len(w) AS INT) AS n_tokens,
            CAST(len(list_distinct(w)) AS INT) AS n_distinct_tokens,
+           CAST(len(list_filter(
+                  regexp_extract_all(text,
+                    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+                  x -> NOT regexp_matches(x, '^\s+$'))) AS INT)
+             AS n_bpe_tokens,
            CAST(length(text) AS INT) AS n_chars,
            floor(least(len(w) / 64.0, 1.0)
                  * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
@@ -1084,8 +1089,9 @@ def sim_lsh_recall(spark, sf_dir):
            md5(array_to_string(list_sort(dl), ' ')) AS fingerprint
     FROM hits
     """,
-    doc="Per-document text profile: token stats, quality score, stopword-hit "
-    "language ID, canonical fingerprint — all JVM-side expressions.",
+    doc="Per-document text profile: token stats, BPE-ish token count, "
+    "quality score, stopword-hit language ID, canonical fingerprint — "
+    "all JVM-side expressions.",
 )
 def text_profile_q(spark, sf_dir):
     from slurm2sql_spark.operators.textstats import text_profile
@@ -1095,6 +1101,7 @@ def text_profile_q(spark, sf_dir):
         "doc_id",
         "n_tokens",
         "n_distinct_tokens",
+        "n_bpe_tokens",
         "n_chars",
         _q6("quality").alias("quality"),
         "lang_pred",

@@ -11,11 +11,27 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_stats",
+    "bpe_token_count",
     "quality_score",
     "lang_id",
     "fingerprint",
     "text_profile",
 ]
+
+#: GPT-2-style pre-tokenizer pattern, restricted to the syntax shared by
+#: Java regex (Spark) and RE2 (DuckDB/Go): no lookahead, unicode
+#: category classes only. Splits contractions, letter runs, digit runs,
+#: punctuation runs (each optionally space-prefixed), and whitespace
+#: runs — the segmentation BPE vocabularies are trained over, so the
+#: match count approximates "LLM tokens before merges" far better than
+#: whitespace splitting does on code/punctuation-heavy text.
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
 # Real deployments would swap in larger lists or a fastText-style model
@@ -43,6 +59,20 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
     )
+
+
+def bpe_token_count(c: Column, count_whitespace: bool = False) -> Column:
+    """Number of BPE-style pre-tokenizer segments in ``c`` (token-count
+    estimation for LLM-pipeline budgeting).
+
+    By default pure-whitespace segments are excluded (BPE merges them
+    into adjacent tokens' space prefixes), so the count tracks
+    vocabulary tokens. One JVM-side regexp pass, no UDF, no shuffle.
+    """
+    segs = F.regexp_extract_all(c, F.lit(f"({BPE_SPLIT_PATTERN})"), 1)
+    if not count_whitespace:
+        segs = F.filter(segs, lambda s: ~s.rlike(r"^\s+$"))
+    return F.size(segs)
 
 
 def quality_score(text: Column) -> Column:
@@ -97,6 +127,7 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        bpe_token_count(text).alias("n_bpe_tokens"),
         F.length(text).alias("n_chars"),
         quality_score(text).alias("quality"),
         lang_id(text).alias("lang_pred"),

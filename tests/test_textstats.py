@@ -46,3 +46,41 @@ def test_quality_monotonic_noise(spark):
     )
     vals = [r[0] for r in df.select(quality_score(F.col("text"))).collect()]
     assert vals[0] > vals[1]
+
+
+def test_bpe_token_count_segmentation(spark):
+    """Pinned segmentation: contractions split, punctuation runs and
+    digit runs are single segments, whitespace excluded by default."""
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.textstats import bpe_token_count
+
+    cases = {
+        # don | ' t  + it | ' s : contraction suffixes are own segments
+        "I don't think it's fine.": 8,
+        # x | SP= | SPf | ( | 3 | . | 14 | ) : mixed code text
+        "x = f(3.14)": 8,
+        # digit run + letter run split at the boundary
+        "123abc": 2,
+        "": 0,
+    }
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", bpe_token_count(F.col("s")).alias("n")
+        ).collect()
+    }
+    for i, (s, want) in enumerate(cases.items()):
+        assert got[i] == want, (s, got[i], want)
+
+    # single spaces attach to the following token ("  a" = ws + " a"),
+    # so only runs beyond one space produce whitespace segments
+    df2 = spark.createDataFrame([("a  b",)], "s string")
+    n, nws = df2.select(
+        bpe_token_count(F.col("s")).alias("n"),
+        bpe_token_count(F.col("s"), count_whitespace=True).alias("nws"),
+    ).collect()[0]
+    assert (n, nws) == (2, 3)
