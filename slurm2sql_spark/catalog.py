@@ -1052,6 +1052,50 @@ def sim_lsh_recall(spark, sf_dir):
 
 
 @register(
+    "sim_ivf_topk",
+    None,  # approximate + centroid-dependent; rows recorded, recall
+    # checked by sim_ivf_recall below
+    doc="IVF approximate top-k: Voronoi-partition the corpus (16 cells, "
+    "1 Lloyd step, deterministic seeding), probe each query's 6 nearest "
+    "cells, exact cosine re-rank — each query scans ~6/16 of the corpus.",
+)
+def sim_ivf_topk(spark, sf_dir):
+    from slurm2sql_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return ivf_topk(qs, cs, k=5, nlist=16, nprobe=6, iters=1)
+
+
+@register(
+    "sim_ivf_recall",
+    """
+    SELECT vec_id AS q_id, true AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="Property check for sim_ivf_topk: per query, the IVF top-5 must "
+    "recover >= 3 of the exact brute-force top-5 (measured >= 4 at "
+    "sf0.001/sf0.01/sf0.1 with nlist=16, nprobe=6).",
+)
+def sim_ivf_recall(spark, sf_dir):
+    exact = sim_topk_cosine(spark, sf_dir).select("q_id", "c_id")
+    approx = sim_ivf_topk(spark, sf_dir).select("q_id", "c_id")
+    hits = (
+        exact.join(approx, ["q_id", "c_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = exact.select("q_id").distinct()
+    return qs.join(hits, "q_id", "left").select(
+        "q_id",
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3).alias("recall_ok"),
+    )
+
+
+@register(
     "text_profile",
     r"""
     WITH t AS (

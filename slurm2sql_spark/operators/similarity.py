@@ -33,6 +33,9 @@ __all__ = [
     "lsh_signatures",
     "lsh_topk",
     "embedding_near_dup_pairs",
+    "ivf_centroids",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -234,4 +237,131 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
+    )
+
+
+# =====================================================================
+# IVF (inverted-file) ANN — the cluster-then-probe scale path
+# =====================================================================
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "c_id",
+    vec_col: str = "c_vec",
+    nlist: int = 16,
+    iters: int = 1,
+):
+    """Train IVF centroids: deterministic seeding + ``iters`` Lloyd
+    steps, all DataFrame ops; returns a plain ``[[float]]`` list (the
+    "model" — nlist x dim floats, small enough to broadcast anywhere).
+
+    Seeding takes the ``nlist`` lowest-id corpus vectors (deterministic,
+    no RNG state). Each Lloyd step assigns every vector to its nearest
+    centroid (one broadcast + narrow Arrow-batched map), then recomputes
+    means with posexplode -> groupBy(cell, pos) — a single shuffle of
+    (cell, pos, value) triples, map-side combined. The only driver
+    materialization is the centroid matrix itself, which is model state
+    (same shape as MLlib's KMeans.clusterCenters), never data.
+    """
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(nlist)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    cents = [list(r.v) for r in seeds]
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        cents = [
+            [by_cell[c][p] for p in range(len(cents[0]))]
+            if c in by_cell
+            else cents[c]  # empty cell keeps its seed
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Add a ``cell`` column (nearest centroid by cosine; ``nprobe>1``
+    explodes each row into its nprobe nearest cells). One Arrow-batched
+    matmul per batch against the broadcast centroid matrix — narrow, no
+    shuffle."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("array<int>")
+    def _cells(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cn.T  # (n, nlist)
+        # top-nprobe cells, similarity-desc then cell-id for determinism
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    out = df.withColumn("_cells", _cells(F.col(vec_col).cast("array<double>")))
+    if nprobe == 1:
+        return out.withColumn("cell", F.element_at("_cells", 1)).drop("_cells")
+    return out.withColumn("cell", F.explode("_cells")).drop("_cells")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 1,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k via IVF: partition the corpus into ``nlist``
+    Voronoi cells, probe each query's ``nprobe`` nearest cells, exact
+    cosine re-rank inside the probed cells.
+
+    Scale shape: corpus assignment is a narrow map (broadcast
+    centroids); search is an equi-join on ``cell`` — each query scans
+    ~nprobe/nlist of the corpus instead of all of it, and the join
+    hash-partitions on cell at scale (broadcast when the query side is
+    small). Recall rises with nprobe; nprobe=nlist degenerates to exact
+    brute force.
+    """
+    cents = ivf_centroids(corpus, c_id, c_vec, nlist, iters)
+    ccells = ivf_assign(corpus, cents, c_id, c_vec, nprobe=1)
+    qcells = ivf_assign(queries, cents, q_id, q_vec, nprobe=nprobe)
+    cand = (
+        ccells.join(F.broadcast(qcells), "cell")
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, q_vec, c_vec)
+        .distinct()
+    )
+    sim = cand.withColumn(
+        "sim",
+        cosine(F.col(q_vec).cast("array<double>"), F.col(c_vec).cast("array<double>")),
+    ).select(q_id, c_id, "sim")
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "sim", "rank")
     )

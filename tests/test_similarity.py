@@ -81,3 +81,60 @@ def test_embedding_near_dup_self(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs
+
+
+def test_ivf_topk_recall_and_shape(spark):
+    """IVF with nprobe=nlist degenerates to exact brute force; with a
+    partial probe it still returns k ranked rows per query."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.similarity import cosine_topk, ivf_topk
+
+    # 3 well-separated clusters of 20 vectors each in 8-d; cluster =
+    # id % 3, so the lowest-id centroid seeds span every cluster
+    rows = []
+    for i in range(60):
+        c = i % 3
+        base = [1.0 if d == c else 0.0 for d in range(8)]
+        v = [x + 0.01 * ((i * 7 + d) % 5) for d, x in enumerate(base)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    # exhaustive probe == exact
+    full = ivf_topk(qs, cs, k=5, nlist=4, nprobe=4, iters=1)
+    exact = cosine_topk(qs, cs, k=5)
+    got = {(r.q_id, r.c_id) for r in full.collect()}
+    want = {(r.q_id, r.c_id) for r in exact.collect()}
+    assert got == want
+    # partial probe: a query's nearest cell holds only its own cluster
+    # (clusters are well separated and the seeds span them), so every
+    # returned neighbor is in-cluster
+    part = ivf_topk(qs, cs, k=5, nlist=4, nprobe=1, iters=1).collect()
+    per_q = {}
+    for r in part:
+        per_q.setdefault(r.q_id, []).append(r.c_id)
+    assert set(per_q) == {0, 1, 2}
+    for q, cands in per_q.items():
+        assert 1 <= len(cands) <= 5
+        assert all(c % 3 == q % 3 for c in cands)
+
+
+def test_ivf_centroids_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.similarity import ivf_centroids
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + d) % 7) for d in range(4)]) for i in range(40)],
+        "c_id long, c_vec array<double>",
+    )
+    a = ivf_centroids(emb, nlist=4, iters=1)
+    b = ivf_centroids(emb, nlist=4, iters=1)
+    assert a == b
