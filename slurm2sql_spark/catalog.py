@@ -1052,6 +1052,46 @@ def sim_lsh_recall(spark, sf_dir):
 
 
 @register(
+    "dedup_embedding",
+    """
+    SELECT vec_id AS id_a,
+           vec_id + 100000 AS id_b,
+           floor(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]),
+                   list_concat([CAST(embedding[1] AS DOUBLE) + 0.01],
+                               CAST(embedding[2:] AS DOUBLE[]))
+                 ) * 10000) / 10000 AS sim
+    FROM embeddings WHERE vec_id < 50
+    """,
+    doc="Embedding-cosine near-dup via banded hyperplane LSH: 50 planted "
+    "near-duplicates (first component nudged by 0.01) are unioned with "
+    "the corpus; the LSH pair search at threshold 0.95 must return "
+    "exactly the planted pairs (max random-pair cosine in this data is "
+    "0.60, planted pairs are ~0.99995; LSH miss probability ~1e-5/pair). "
+    "Sim quantized to 1e-4 for cross-engine float-reduction order.",
+)
+def dedup_embedding(spark, sf_dir):
+    from slurm2sql_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
+            F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs(
+        emb.unionByName(planted), "vec_id", "embedding", threshold=0.95,
+    )
+    return pairs.select(
+        "id_a", "id_b", (F.floor(F.col("sim") * 10000) / 10000).alias("sim")
+    )
+
+
+@register(
     "sim_ivf_topk",
     None,  # approximate + centroid-dependent; rows recorded, recall
     # checked by sim_ivf_recall below

@@ -25,7 +25,13 @@ from pyspark.sql import types as T
 from slurm2sql_spark.operators.transform import slurm_transform
 from slurm2sql_spark.schema import RAW_FIELDS
 
-__all__ = ["read_sacct_stream", "stream_ingest", "windowed_job_counts", "streaming_dedup"]
+__all__ = [
+    "read_sacct_stream",
+    "stream_ingest",
+    "windowed_job_counts",
+    "streaming_dedup",
+    "job_state_transitions",
+]
 
 
 def read_sacct_stream(
@@ -123,4 +129,59 @@ def streaming_dedup(
     )
     return with_ts.withWatermark("submit_ts", lateness).dropDuplicatesWithinWatermark(
         ["JobID"]
+    )
+
+
+def job_state_transitions(typed_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: emit one row per observed JobID state
+    CHANGE across micro-batches (``prev_state`` is NULL on first sight).
+
+    This is the streaming twin of the history re-ingest story (SURVEY
+    §2.12): the reference re-fetches whole days to catch RUNNING ->
+    terminal flips (slurm2sql.py:826-848); a stream with per-key state
+    surfaces exactly those flips as they arrive. Built on
+    ``applyInPandasWithState`` — per-JobID state is one string (the
+    last seen state), stored in the state store, so memory is O(live
+    jobs), not O(events). Terminal-state keys could be evicted with a
+    processing-time timeout; kept indefinitely here since job ids
+    recycle slowly.
+
+    Ordering note: rows WITHIN one micro-batch arrive per-key in
+    arbitrary order; transitions are taken in (End, Start, State)
+    sort order inside the batch to make replay deterministic.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        out = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(
+            ["End", "Start", "State"], na_position="first"
+        )
+        for s in batch["State"]:
+            if s != last:
+                out.append((key[0], last, s))
+                last = s
+        state.update((last,))
+        yield pd.DataFrame(
+            out, columns=["JobID", "prev_state", "new_state"]
+        )
+
+    src = typed_stream
+    for c in ("Start", "End"):  # sort keys; tolerate pre-transform input
+        if c not in src.columns:
+            src = src.withColumn(c, F.lit(None).cast("string"))
+    return (
+        src.select("JobID", "State", "Start", "End")
+        .groupBy("JobID")
+        .applyInPandasWithState(
+            track,
+            outputStructType="JobID string, prev_state string, new_state string",
+            stateStructType="last string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -109,3 +109,53 @@ def test_streaming_dedup(spark, drop_dir):
 
 def test_raw_fields_cover_stream_schema():
     assert "JobID" in RAW_FIELDS and "Submit" in RAW_FIELDS
+
+
+def test_job_state_transitions_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps per-JobID state across RUNS (the
+    state store lives in the checkpoint): run 1 sees job 200 RUNNING,
+    run 2 sees it COMPLETED -> exactly two transition rows total, the
+    second with prev_state=RUNNING."""
+    from slurm2sql_spark.streaming.stream import job_state_transitions
+
+    drops = tmp_path / "drops2"
+    drops.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "out2")
+
+    def run_once():
+        stream = read_sacct_stream(spark, str(drops), fields=FIELDS)
+        q = (
+            job_state_transitions(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_csv(
+        drops / "t1.csv",
+        [("200", "200", "RUNNING", "2021-01-01T10:00:00", "4", "cpu")],
+    )
+    run_once()
+    _write_csv(
+        drops / "t2.csv",
+        [
+            ("200", "200", "COMPLETED", "2021-01-01T10:00:00", "4", "cpu"),
+            ("201", "201", "PENDING", "2021-01-01T12:00:00", "1", "cpu"),
+        ],
+    )
+    run_once()
+
+    rows = {
+        (r.JobID, r.prev_state, r.new_state)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {
+        ("200", None, "RUNNING"),
+        ("200", "RUNNING", "COMPLETED"),
+        ("201", None, "PENDING"),
+    }
