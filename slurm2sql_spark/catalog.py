@@ -1083,8 +1083,13 @@ def dedup_embedding(spark, sf_dir):
             F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
         ).alias("embedding"),
     )
+    # 32 planes / 4 bands = 8-bit band keys: ~256 buckets per band keeps
+    # random-pair collisions ~1/256 per band (the 4-bit default floods
+    # candidates on this corpus), while planted pairs at cos~0.99995
+    # still collide with probability 1 - ~1e-7.
     pairs = embedding_near_dup_pairs(
         emb.unionByName(planted), "vec_id", "embedding", threshold=0.95,
+        planes=32, bands=4,
     )
     return pairs.select(
         "id_a", "id_b", (F.floor(F.col("sim") * 10000) / 10000).alias("sim")
