@@ -44,9 +44,7 @@ def _run_all(QUERIES, spark, sf_dir: str) -> dict[str, float]:
 def _drop_caches() -> None:
     from slurm2sql_spark import catalog
 
-    for df in catalog._EFF_CACHE.values():
-        df.unpersist()
-    catalog._EFF_CACHE.clear()
+    catalog.drop_caches()
 
 
 def main() -> None:

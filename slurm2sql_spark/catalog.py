@@ -540,7 +540,38 @@ FROM e
 )
 
 
-_EFF_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: per-(session, sf_dir, name) memo for expensive DataFrames consumed by
+#: more than one catalog entry (the flagship eff rollup feeds
+#: sacct_eff + sacct_user_rollup; the exact/approx top-k frames feed
+#: both their own entries and the recall checks). Entries are
+#: persisted; ``drop_caches()`` releases them (bench calls it between
+#: timed passes so every pass pays full compute).
+_RESULT_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    df = _RESULT_CACHE.get(key)
+    if df is None:
+        if len(_RESULT_CACHE) > 24:  # bound stale-session entries
+            drop_caches()
+        df = build().persist()
+        _RESULT_CACHE[key] = df
+    return df
+
+
+def drop_caches() -> None:
+    """Unpersist and forget every memoized frame (all sessions)."""
+    for df in _RESULT_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may be gone
+    _RESULT_CACHE.clear()
+
+
+# Backwards-compatible alias used by the flagship seam below.
+_EFF_CACHE = _RESULT_CACHE
 
 
 def _eff_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,14 +584,10 @@ def _eff_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     values. TotDiskRead/TotDiskWrite ride along only so ``user_rollup``
     resolves; unused consumers prune them.
     """
-    key = (id(spark), sf_dir)
-    df = _EFF_CACHE.get(key)
-    if df is None:
-        if len(_EFF_CACHE) > 4:  # bound stale-session entries
-            _EFF_CACHE.clear()
+    def build() -> DataFrame:
         raw = _sacct_raw_from_lineitem(spark, sf_dir)
         slurm = slurm_transform(raw, now=1_700_000_000)
-        df = (
+        return (
             eff(slurm)
             .select(
                 "JobID",
@@ -581,10 +608,9 @@ def _eff_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "TotDiskRead",
                 "TotDiskWrite",
             )
-            .persist()
         )
-        _EFF_CACHE[key] = df
-    return df
+
+    return _memo(spark, sf_dir, "eff", build)
 
 
 def _sacct_eff_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -979,6 +1005,12 @@ def dedup_simhash(spark, sf_dir):
     "identically despite last-ulp float differences.",
 )
 def sim_topk_cosine(spark, sf_dir):
+    # memoized: also consumed by sim_lsh_recall / sim_ivf_recall
+    return _memo(spark, sf_dir, "sim_topk_cosine",
+                 lambda: _sim_topk_cosine_build(spark, sf_dir))
+
+
+def _sim_topk_cosine_build(spark, sf_dir):
     from slurm2sql_spark.operators.similarity import cosine
     from pyspark.sql import Window
 
@@ -1015,6 +1047,12 @@ def sim_topk_cosine(spark, sf_dir):
     doc="LSH (random hyperplane) bucketed approximate top-k — the scale path.",
 )
 def sim_lsh_topk(spark, sf_dir):
+    # memoized: also consumed by sim_lsh_recall
+    return _memo(spark, sf_dir, "sim_lsh_topk",
+                 lambda: _sim_lsh_topk_build(spark, sf_dir))
+
+
+def _sim_lsh_topk_build(spark, sf_dir):
     from slurm2sql_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1105,6 +1143,12 @@ def dedup_embedding(spark, sf_dir):
     "cells, exact cosine re-rank — each query scans ~6/16 of the corpus.",
 )
 def sim_ivf_topk(spark, sf_dir):
+    # memoized: also consumed by sim_ivf_recall
+    return _memo(spark, sf_dir, "sim_ivf_topk",
+                 lambda: _sim_ivf_topk_build(spark, sf_dir))
+
+
+def _sim_ivf_topk_build(spark, sf_dir):
     from slurm2sql_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
