@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: pin the scale-critical plan
+properties (pushdown, pruning, broadcast, shuffle counts, no
+row-at-a-time Python) so a refactor that silently degrades the plan
+fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df, mode: str = "simple") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from slurm2sql_spark import catalog as C
+
+    return C
+
+
+def test_q1_filter_pushdown_and_pruning(spark, catalog):
+    plan = _plan(
+        spark,
+        catalog.QUERIES["q1_pricing_summary"].spark(spark, SF_DIR),
+        mode="formatted",
+    )
+    # date predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # column pruning: the scan schema carries only referenced columns
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_quantity" in read_schema and "l_comment" not in read_schema
+
+
+def test_q3_broadcasts_both_dims(spark, catalog):
+    plan = _plan(spark, catalog.QUERIES["q3_top_revenue"].spark(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark, catalog):
+    plan = _plan(spark, catalog.QUERIES["dedup_exact"].spark(spark, SF_DIR))
+    # one hash aggregate pair around one exchange; keys are the md5 hash
+    assert plan.count("Exchange") == 1
+
+
+def test_sacct_eff_no_collect_no_python(spark, catalog):
+    catalog.drop_caches()
+    df = catalog.QUERIES["sacct_eff"].spark(spark, SF_DIR)
+    plan = _plan(spark, df)
+    # fully JVM-side: no Python evaluation of any kind in the flagship
+    assert "Python" not in plan
+    # distributed end to end: nothing funnels through a single partition
+    assert "CollectLimit" not in plan
+    # shuffles: 2x fan-out repartition (AQE reuses the exchange at
+    # runtime), allocation distinct, eff groupBy — bounded constant
+    n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_ex <= 4, plan[:2000]
+    catalog.drop_caches()
+
+
+def test_no_row_at_a_time_python_in_any_catalog_plan(spark, catalog):
+    """Arrow-batched Python (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) is allowed where documented; row-at-a-time
+    BatchEvalPython is never acceptable in an engine plan."""
+    catalog.drop_caches()
+    for name, spec in catalog.QUERIES.items():
+        plan = _plan(spark, spec.spark(spark, SF_DIR), mode="simple")
+        assert "BatchEvalPython" not in plan, name
+    catalog.drop_caches()
+
+
+def test_sim_topk_broadcasts_queries(spark, catalog):
+    catalog.drop_caches()
+    plan = _plan(spark, catalog.QUERIES["sim_topk_cosine"].spark(spark, SF_DIR))
+    # corpus scan stays shuffle-free until the per-query window
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    catalog.drop_caches()
