@@ -94,12 +94,22 @@ SEFF_USER_SQL = """
 """
 
 
-def format_table(df: DataFrame, limit: int = 10000) -> str:
+def format_table(df: DataFrame, limit: int = 10000, fmt: str = "simple") -> str:
     """Compact table render (reference compact_table + tabulate,
     slurm2sql.py:1135-1151): header, dashed rule, right-aligned numbers,
     NULL as empty string."""
     rows = df.limit(limit).collect()
     headers = df.columns
+    if fmt in ("csv", "tsv"):
+        import csv as _csv
+        import io
+
+        buf = io.StringIO()
+        w = _csv.writer(buf, delimiter="," if fmt == "csv" else "\t")
+        w.writerow(headers)
+        for r in rows:
+            w.writerow(["" if v is None else v for v in r])
+        return buf.getvalue().rstrip("\n")
     numeric = [
         any(isinstance(r[i], (int, float)) for r in rows)
         for i in range(len(headers))
@@ -265,6 +275,15 @@ def _load(spark: SparkSession, args, sacct_passthrough: list[str] | None = None)
     return api.ingest(spark, sacct_options=options)
 
 
+def _apply_verbosity(spark: SparkSession, args) -> None:
+    """--quiet/--verbose -> Spark log level (reference wires the same
+    flags into logging.lastResort, slurm2sql.py:1277-1280)."""
+    if getattr(args, "verbose", False):
+        spark.sparkContext.setLogLevel("INFO")
+    elif getattr(args, "quiet", False):
+        spark.sparkContext.setLogLevel("ERROR")
+
+
 def _common(p: argparse.ArgumentParser):
     p.add_argument("--db", help="read this parquet table (no re-import)")
     p.add_argument("--csv-input", help="ingest this sacct-shaped CSV in-memory")
@@ -272,6 +291,14 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--partition", "-r")
     p.add_argument("--order", help="SQL ORDER BY expression (raw SQL)")
     p.add_argument("--limit", type=int, default=10000)
+    p.add_argument("--format", "-f", default="simple", dest="format",
+                   help="output format: simple (aligned table), csv, tsv "
+                        "(reference exposes tabulate formats; these are "
+                        "the machine-readable ones users script against)")
+    p.add_argument("--quiet", "-q", action="store_true",
+                   help="only errors in logs")
+    p.add_argument("--verbose", "-v", action="store_true",
+                   help="more logging")
     p.add_argument("--sacct-bin", help="sacct executable (live fetch; test seam)")
     p.add_argument("--jobs", help="comma-separated JobID selector")
     p.add_argument("--starttime", "-S", help="sacct -S time bound")
@@ -301,13 +328,14 @@ def sacct_cli(spark: SparkSession, argv) -> str:
     if args.output == "long":
         args.output = SACCT_DEFAULT_FIELDS_LONG
     live = not (args.db or args.csv_input)
+    _apply_verbosity(spark, args)
     _load(spark, args, extra).createOrReplaceTempView("slurm")
     # live fetch: sacct already applied every selector (reference nulls
     # them out after pushing, slurm2sql.py:1058-1069) — don't re-filter
     where = "" if live else _where(args)
     order = f" ORDER BY {args.order}" if args.order else ""
     q = f"SELECT {args.output} FROM slurm WHERE true{where}{order}"
-    return format_table(spark.sql(q), args.limit)
+    return format_table(spark.sql(q), args.limit, args.format)
 
 
 def seff_cli(spark: SparkSession, argv) -> str:
@@ -322,6 +350,7 @@ def seff_cli(spark: SparkSession, argv) -> str:
     args, extra = p.parse_known_args(argv)
     extra = _absorb_bare_jobid(args, extra)
     live = not (args.db or args.csv_input)
+    _apply_verbosity(spark, args)
     eff(_load(spark, args, extra)).createOrReplaceTempView("eff")
     order_by = f"ORDER BY {args.order}" if args.order else ""
     # live fetch: selectors were pushed into sacct itself
@@ -342,7 +371,7 @@ def seff_cli(spark: SparkSession, argv) -> str:
     if df.isEmpty():
         print("No data fetched with these sacct options.")
         raise SystemExit(2)
-    return format_table(df, args.limit)
+    return format_table(df, args.limit, args.format)
 
 
 def _live_sacct_df(spark: SparkSession, options: dict):

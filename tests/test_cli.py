@@ -297,3 +297,16 @@ def test_console_entry_points_resolve():
         main_sacct,
         main_seff,
     )
+
+
+def test_sacct_cli_format_csv(spark, csv_path):
+    out = sacct_cli(
+        spark,
+        ["--csv-input", csv_path, "-o", "JobID,User,NCPUS",
+         "--format", "csv", "--completed"],
+    )
+    lines = out.splitlines()
+    assert lines[0] == "JobID,User,NCPUS"
+    assert any(l.startswith("1,alice,") for l in lines[1:])
+    # no alignment padding in machine format
+    assert "  " not in out
