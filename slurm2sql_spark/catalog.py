@@ -711,7 +711,7 @@ def slurmtime_roundtrip(spark, sf_dir):
 def units_roundtrip(spark, sf_dir):
     from slurm2sql_spark.functions import converters as C
 
-    ev = _t(spark, sf_dir, "events")
+    ev = fan_out(_t(spark, sf_dir, "events").select("event_id"))
     m_str = F.concat((F.col("event_id") % 1000).cast("string"), F.lit("M"))
     metric_str = F.concat((F.col("event_id") % 97).cast("string"), F.lit("M"))
     k_str = F.concat((F.col("event_id") % 53).cast("string"), F.lit("Kn"))
@@ -773,7 +773,9 @@ def tres_roundtrip(spark, sf_dir):
     from slurm2sql_spark.functions import converters as C
     from slurm2sql_spark.functions.tres import tres_field
 
-    ev = _t(spark, sf_dir, "events")
+    # fan out first: the single-row-group scan would run the 4 regex
+    # passes nearly serial (plans/partitioning.py)
+    ev = fan_out(_t(spark, sf_dir, "events").select("event_id"))
     eid = F.col("event_id")
     tres = F.concat(
         F.lit("cpu="), (eid % 64).cast("string"),
@@ -781,12 +783,15 @@ def tres_roundtrip(spark, sf_dir):
         F.lit("G,gres/gpu="), (eid % 8).cast("string"),
         F.lit(",billing="), (eid % 17).cast("string"),
     )
-    return ev.select(
+    # stage the synthesized string so the concat evaluates once, and
+    # each tres_field regex reads the materialized column
+    staged = ev.withColumn("_tres", tres)
+    return staged.select(
         "event_id",
-        tres_field(tres, "cpu", C.int_metric).alias("cpu"),
-        tres_field(tres, "mem", C.float_bytes).alias("mem"),
-        tres_field(tres, "gres/gpu", C.float_metric).alias("gpu"),
-        tres_field(tres, "billing", C.int_metric).alias("billing"),
+        tres_field(F.col("_tres"), "cpu", C.int_metric).alias("cpu"),
+        tres_field(F.col("_tres"), "mem", C.float_bytes).alias("mem"),
+        tres_field(F.col("_tres"), "gres/gpu", C.float_metric).alias("gpu"),
+        tres_field(F.col("_tres"), "billing", C.int_metric).alias("billing"),
     )
 
 
