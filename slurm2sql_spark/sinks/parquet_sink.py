@@ -29,7 +29,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["write_overwrite", "upsert", "read_table", "with_day_partition", "analyze_table"]
+__all__ = [
+    "write_overwrite",
+    "upsert",
+    "read_table",
+    "with_day_partition",
+    "analyze_table",
+    "write_bucketed",
+]
 
 BATCH_COL = "_batch_seq"
 
@@ -196,3 +203,34 @@ def analyze_table(
     spark.catalog.createTable(catalog_name, path=path, source="parquet")
     spark.sql(f"ANALYZE TABLE {catalog_name} COMPUTE STATISTICS FOR ALL COLUMNS")
     read_table(spark, path).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_col: str = "JobIDnostep",
+    buckets: int = 64,
+) -> None:
+    """Persist as a BUCKETED catalog table: rows are hash-clustered into
+    ``buckets`` files per partition by ``bucket_col`` and sorted within
+    each bucket.
+
+    This is the co-located-join strategy at scale: two tables bucketed
+    the same way join WITHOUT a shuffle (Catalyst sees the output
+    partitioning is already hash(bucket_col) and drops both exchanges),
+    and a groupBy on the bucket column shuffles nothing. Bucketing
+    requires the session catalog (bucket metadata lives there, not in
+    the parquet footers), hence ``saveAsTable`` with an explicit
+    external path instead of a bare ``.parquet(path)``.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", os.path.abspath(path))
+        .format("parquet")
+        .saveAsTable(name)
+    )

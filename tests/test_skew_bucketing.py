@@ -1,0 +1,86 @@
+"""Skew utilities and bucketed co-located joins (scale-path tools)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(spark, df) -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_salted_agg_matches_plain(spark):
+    from slurm2sql_spark.plans.skew import salted_agg
+
+    # one hot key (90% of rows) + long tail
+    rows = [("hot", i % 7) for i in range(900)] + [
+        (f"k{i}", i % 5) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r["k"]: (r["n"], r["mx"])
+        for r in salted_agg(
+            df, ["k"],
+            {"n": (F.count, F.sum, "v"), "mx": (F.max, F.max, "v")},
+            salt_buckets=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("v").alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+    assert got["hot"] == (900, 6)
+
+
+def test_salt_explode_join_matches_plain(spark):
+    from slurm2sql_spark.plans.skew import salt_explode_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [(f"k{i}", i) for i in range(50)],
+        "k string, lv long",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k2", 3), ("cold", 4)], "k string, rv long"
+    )
+    got = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in salt_explode_join(left, right, "k", ["hot"], salt_buckets=4).collect()
+    )
+    want = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect()
+    )
+    assert got == want and len(got) == 502
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from slurm2sql_spark.sinks.parquet_sink import write_bucketed
+
+    a = spark.createDataFrame(
+        [(str(i), i * 2) for i in range(1000)], "JobIDnostep string, x long"
+    )
+    b = spark.createDataFrame(
+        [(str(i), i * 3) for i in range(1000)], "JobIDnostep string, y long"
+    )
+    write_bucketed(a, "bt_a", str(tmp_path / "a"), buckets=8)
+    write_bucketed(b, "bt_b", str(tmp_path / "b"), buckets=8)
+    # small test tables would broadcast (which also avoids a shuffle);
+    # force the large-table plan to show the bucketed co-location
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "JobIDnostep")
+        plan = _plan(spark, joined)
+        # co-located: bucket metadata satisfies both sides' distribution
+        assert "Exchange" not in plan, plan[:1500]
+        assert joined.count() == 1000
+        # and a groupBy on the bucket column shuffles nothing either
+        agg = spark.table("bt_a").groupBy("JobIDnostep").agg(F.sum("x"))
+        assert "Exchange" not in _plan(spark, agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
