@@ -150,3 +150,27 @@ def test_slurm_timestamp_rewind(spark):
     df = spark.createDataFrame([(3605,)], "x long")
     got = df.select(C.slurm_timestamp("x").alias("o")).collect()[0]["o"]
     assert got == "1970-01-01T03:00:00"
+
+
+def test_gpu_comment_parse(spark):
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.functions.gpucomment import with_gpu_comment_columns
+
+    rows = [
+        (1, '{"gpu_mem_max": 12345, "ncpu": 2, "ngpu": 1, "gpu_util": 53.1}'),
+        (2, ""),
+        (3, "No GPU stats collected"),
+        (4, "abort"),
+        (5, "free text comment"),
+        (6, "42"),  # JSON scalar, not an object
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, Comment string")
+    got = {
+        r["i"]: (r["GPUMemComment"], r["GPUEffComment"], r["NGpusComment"])
+        for r in with_gpu_comment_columns(df).collect()
+    }
+    assert got[1] == (12345 * 2.0**20, pytest.approx(0.531), 1)
+    for i in (2, 3, 4, 5, 6, 7):
+        assert got[i] == (None, None, None), (i, got[i])
