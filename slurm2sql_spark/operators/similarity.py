@@ -134,12 +134,17 @@ def lsh_signatures(
 
 def _band_rows(sig_df: DataFrame, planes: int, bands: int) -> DataFrame:
     """Explode a signature into (band, key) rows — candidate pairs are
-    rows agreeing on any one band (classic banded LSH)."""
+    rows agreeing on any one band (classic banded LSH).
+
+    Deliberately id-only: each id fans out into ``bands`` rows, so any
+    payload carried here is shuffled ``bands``x and then again through
+    the candidate ``distinct``. Callers re-join vectors AFTER the
+    id-level dedup (16-byte keys through the shuffle, not ~1 KB
+    embeddings)."""
     r = planes // bands
     mask = F.lit((1 << r) - 1)
     return sig_df.select(
         "id",
-        "vec",
         F.explode(
             F.array(
                 *[
@@ -151,7 +156,7 @@ def _band_rows(sig_df: DataFrame, planes: int, bands: int) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("id", "vec", "bb.band", "bb.key")
+    ).select("id", "bb.band", "bb.key")
 
 
 def lsh_topk(
@@ -177,18 +182,19 @@ def lsh_topk(
     """
     qsig = lsh_signatures(queries, q_id, q_vec, planes, dim)
     csig = lsh_signatures(corpus, c_id, c_vec, planes, dim)
-    qb = _band_rows(qsig, planes, bands).withColumnsRenamed(
-        {"id": "q_id", "vec": "q_vec"}
-    )
-    cb = _band_rows(csig, planes, bands).withColumnsRenamed(
-        {"id": "c_id", "vec": "c_vec"}
-    )
-    cand = (
+    qb = _band_rows(qsig, planes, bands).withColumnRenamed("id", "q_id")
+    cb = _band_rows(csig, planes, bands).withColumnRenamed("id", "c_id")
+    # ids-only dedup: the distinct shuffles (q_id, c_id) pairs, never the
+    # vectors; embeddings re-join once per surviving candidate.
+    cand_ids = (
         cb.join(F.broadcast(qb), ["band", "key"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", "q_vec", "c_vec")
+        .select("q_id", "c_id")
         .distinct()
     )
+    qv = queries.select(F.col(q_id).alias("q_id"), F.col(q_vec).alias("q_vec"))
+    cv = corpus.select(F.col(c_id).alias("c_id"), F.col(c_vec).alias("c_vec"))
+    cand = cand_ids.join(F.broadcast(qv), "q_id").join(cv, "c_id")
     sim = cand.withColumn(
         "sim",
         cosine(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")),
@@ -217,20 +223,23 @@ def embedding_near_dup_pairs(
     rows = _band_rows(sig, planes, bands)
     a = rows.alias("a")
     b = rows.alias("b")
-    return (
+    # ids-only candidate dedup (see _band_rows): vectors join back in
+    # exactly once per unique pair, after the distinct.
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand_ids.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "sim",
             cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
@@ -347,14 +356,20 @@ def ivf_topk(
     brute force.
     """
     cents = ivf_centroids(corpus, c_id, c_vec, nlist, iters)
-    ccells = ivf_assign(corpus, cents, c_id, c_vec, nprobe=1)
-    qcells = ivf_assign(queries, cents, q_id, q_vec, nprobe=nprobe)
-    cand = (
+    ccells = ivf_assign(corpus, cents, c_id, c_vec, nprobe=1).select("cell", c_id)
+    qcells = ivf_assign(queries, cents, q_id, q_vec, nprobe=nprobe).select("cell", q_id)
+    # ids-only dedup (a query probing nprobe cells can meet the same
+    # corpus row once per cell): distinct on the id pair, then re-join
+    # the two vector sides — embeddings never ride the dedup shuffle.
+    cand_ids = (
         ccells.join(F.broadcast(qcells), "cell")
         .filter(F.col(q_id) != F.col(c_id))
-        .select(q_id, c_id, q_vec, c_vec)
+        .select(q_id, c_id)
         .distinct()
     )
+    qv = queries.select(q_id, q_vec)
+    cv = corpus.select(c_id, c_vec)
+    cand = cand_ids.join(F.broadcast(qv), q_id).join(cv, c_id)
     sim = cand.withColumn(
         "sim",
         cosine(F.col(q_vec).cast("array<double>"), F.col(c_vec).cast("array<double>")),
