@@ -987,6 +987,26 @@ def dedup_simhash(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash_fast",
+    None,  # xxhash64 signatures aren't reproducible in ANSI SQL; the md5
+    # twin above is the hash-checked one, and test_dedup.py pins that both
+    # variants recover the identical planted near-dup pairs on a fixture.
+    doc="Production SimHash path: identical banding/Hamming pipeline to "
+    "dedup_simhash but with the default 64-bit xxhash64 token hash (one "
+    "JVM intrinsic per token vs an md5 + hex-substring round-trip). "
+    "Rows-only by design — this entry exists so the bench measures the "
+    "production hash, not the oracle-portable one.",
+)
+def dedup_simhash_fast(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3,
+        bits=64,
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@register(
     "sim_topk_cosine",
     """
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

@@ -117,6 +117,41 @@ def test_md5_token_hash60_portable(spark):
         assert got[t] == want
 
 
+def test_simhash_fast_matches_md5_on_planted_pairs(spark):
+    """The xxhash64 production path and the md5 oracle-portable path must
+    recover the identical pair set on a corpus of planted exact dups and
+    clearly-distinct documents (borderline pairs can legitimately differ
+    between hashes; unambiguous ones must not)."""
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.dedup import (
+        md5_token_hash60,
+        simhash_near_dup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(10):
+        text = " ".join(f"{w}{i}" for w in base.split())
+        rows.append((2 * i, text))
+        rows.append((2 * i + 1, text))  # exact dup -> hamming 0 under ANY hash
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(2 * i, 2 * i + 1) for i in range(10)}
+
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    md5 = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=3,
+            bits=60, token_hash=md5_token_hash60,
+        ).collect()
+    }
+    assert fast == md5 == want
+
+
 def test_simhash_md5_variant_bands(spark, docs):
     from slurm2sql_spark.operators.dedup import (
         md5_token_hash60,
