@@ -94,10 +94,22 @@ SEFF_USER_SQL = """
 """
 
 
+#: table styles accepted by --format (reference: any tabulate format name,
+#: slurm2sql.py:1174; tabulate isn't in this container, so the common names
+#: are rendered natively with tabulate's alignment conventions).
+TABLE_FORMATS = ("simple", "csv", "tsv", "plain", "github", "pretty", "grid", "rst")
+
+
 def format_table(df: DataFrame, limit: int = 10000, fmt: str = "simple") -> str:
-    """Compact table render (reference compact_table + tabulate,
-    slurm2sql.py:1135-1151): header, dashed rule, right-aligned numbers,
-    NULL as empty string."""
+    """Table render (reference compact_table + tabulate,
+    slurm2sql.py:1135-1151, 1174): NULL as empty string, numbers
+    right-aligned. ``simple`` is the reference's compact default;
+    ``plain``/``github``/``pretty``/``grid``/``rst`` mirror the
+    same-named tabulate styles; ``csv``/``tsv`` are machine-readable."""
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(
+            f"unknown --format {fmt!r}; supported: {', '.join(TABLE_FORMATS)}"
+        )
     rows = df.limit(limit).collect()
     headers = df.columns
     if fmt in ("csv", "tsv"):
@@ -127,16 +139,52 @@ def format_table(df: DataFrame, limit: int = 10000, fmt: str = "simple") -> str:
         max(len(headers[i]), *(len(t[i]) for t in table)) if table else len(headers[i])
         for i in range(len(headers))
     ]
+
+    def pad(text, w, num):
+        if fmt == "pretty":  # tabulate 'pretty' centers everything
+            return text.center(w)
+        return text.rjust(w) if num else text.ljust(w)
+
+    def line(cells):
+        padded = [pad(c, w, n) for c, w, n in zip(cells, widths, numeric)]
+        if fmt in ("pretty", "grid"):
+            return ("| " + " | ".join(padded) + " |").rstrip()
+        if fmt == "github":
+            return "| " + " | ".join(padded) + " |"
+        # simple / plain / rst: two-space column gap, trailing blanks trimmed
+        return "  ".join(padded).rstrip() if fmt != "simple" else " ".join(padded)
+
     out = []
-    out.append(" ".join(h.ljust(w) for h, w in zip(headers, widths)))
-    out.append(" ".join("-" * w for w in widths))
-    for t in table:
-        out.append(
-            " ".join(
-                c.rjust(w) if num else c.ljust(w)
-                for c, w, num in zip(t, widths, numeric)
-            )
-        )
+    if fmt == "simple":
+        # the reference's compact style: single-space gap + dashed rule
+        out.append(" ".join(h.ljust(w) for h, w in zip(headers, widths)))
+        out.append(" ".join("-" * w for w in widths))
+        out.extend(line(t) for t in table)
+    elif fmt == "plain":
+        out.append(line(headers))
+        out.extend(line(t) for t in table)
+    elif fmt == "github":
+        out.append(line(headers))
+        out.append("|" + "|".join("-" * (w + 2) for w in widths) + "|")
+        out.extend(line(t) for t in table)
+    elif fmt == "rst":
+        rule = "  ".join("=" * w for w in widths)
+        out.extend([rule, line(headers), rule])
+        out.extend(line(t) for t in table)
+        out.append(rule)
+    else:  # pretty / grid: boxed
+        sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+        hsep = sep if fmt == "pretty" else "+" + "+".join(
+            "=" * (w + 2) for w in widths
+        ) + "+"
+        out.extend([sep, line(headers), hsep])
+        if fmt == "grid":
+            for i, t in enumerate(table):
+                out.append(line(t))
+                out.append(sep)
+        else:
+            out.extend(line(t) for t in table)
+            out.append(sep)
     return "\n".join(out)
 
 
@@ -292,9 +340,10 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--order", help="SQL ORDER BY expression (raw SQL)")
     p.add_argument("--limit", type=int, default=10000)
     p.add_argument("--format", "-f", default="simple", dest="format",
-                   help="output format: simple (aligned table), csv, tsv "
-                        "(reference exposes tabulate formats; these are "
-                        "the machine-readable ones users script against)")
+                   help="output format: simple (compact aligned table, the "
+                        "default), csv, tsv, plain, github, pretty, grid, "
+                        "rst (the common tabulate style names the reference "
+                        "accepts, rendered natively)")
     p.add_argument("--quiet", "-q", action="store_true",
                    help="only errors in logs")
     p.add_argument("--verbose", "-v", action="store_true",

@@ -99,6 +99,51 @@ def test_format_table_alignment(spark):
     assert out[3].endswith("22")
 
 
+def test_format_table_github_golden(spark):
+    """Pins the tabulate 'github' style (reference accepts any tabulate
+    format name, slurm2sql.py:1174): piped cells, dashed separator row,
+    numbers right-aligned."""
+    df = spark.createDataFrame([("a", 1), ("bb", 22)], "s string, n long")
+    out = format_table(df.orderBy("n"), fmt="github")
+    assert out == "\n".join([
+        "| s  |  n |",
+        "|----|----|",
+        "| a  |  1 |",
+        "| bb | 22 |",
+    ])
+
+
+def test_format_table_pretty_golden(spark):
+    df = spark.createDataFrame([("a", 1), ("bb", 22)], "s string, n long")
+    out = format_table(df.orderBy("n"), fmt="pretty")
+    assert out == "\n".join([
+        "+----+----+",
+        "| s  | n  |",
+        "+----+----+",
+        "| a  | 1  |",
+        "| bb | 22 |",
+        "+----+----+",
+    ])
+
+
+def test_format_table_plain_and_grid(spark):
+    df = spark.createDataFrame([("a", 1)], "s string, n long")
+    plain = format_table(df, fmt="plain").splitlines()
+    assert plain == ["s  n", "a  1"]
+    grid = format_table(df, fmt="grid").splitlines()
+    assert grid[0] == "+---+---+"
+    assert grid[2] == "+===+===+"  # grid uses a double-rule under headers
+    assert grid[-1] == "+---+---+"
+
+
+def test_format_table_unknown_format_rejected(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 1)], "s string, n long")
+    with _pytest.raises(ValueError, match="unknown --format"):
+        format_table(df, fmt="nope")
+
+
 # --- reference selector surface (slurm2sql.py:1039-1069, 1182-1275) ------
 
 def test_sacct_cli_completed_selector(spark, csv_path):
