@@ -22,6 +22,7 @@ columnar, distributed store.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -36,6 +37,7 @@ __all__ = [
     "with_day_partition",
     "analyze_table",
     "write_bucketed",
+    "recover_staging",
 ]
 
 BATCH_COL = "_batch_seq"
@@ -95,6 +97,7 @@ def upsert(
     Without partitioning the whole table is rewritten (fine for tests,
     not for 100 TB — always partition in production).
     """
+    recover_staging(path)
     if not os.path.exists(path):
         write_overwrite(new_rows, path, partition_cols)
         return
@@ -132,36 +135,101 @@ def upsert(
         # would survive with duplicate-key rows.
         staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
-        try:
-            for vals in affected:
-                rel = os.path.join(
-                    *(_hive_part_dir(c, v) for c, v in zip(partition_cols, vals))
-                )
-                src = os.path.join(staging, rel)
-                dst = os.path.join(path, rel)
-                if os.path.isdir(dst):
-                    shutil.rmtree(dst)
-                if os.path.isdir(src):
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    os.rename(src, dst)
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        rels = [
+            os.path.join(*(_hive_part_dir(c, v) for c, v in zip(partition_cols, vals)))
+            for vals in affected
+        ]
+        # Commit point: the manifest is written only after the staged data
+        # is complete, and the install loop below is a pure idempotent
+        # replay of it — a crash anywhere mid-swap is repaired by
+        # recover_staging() (called on the next upsert), which re-runs the
+        # same loop from the staged output. Without the manifest a crashed
+        # swap left a mix of old and new partitions with no way back.
+        with open(os.path.join(staging, _MANIFEST), "w") as fh:
+            json.dump({"affected": rels}, fh)
+        _install_staged(path, staging)
         return
 
     merged = _newest_per_key(old.unionByName(batch), key)
     # Read-modify-write of the same path needs a staging swap: Spark
-    # cannot overwrite a path it is still reading lazily from.
+    # cannot overwrite a path it is still reading lazily from. Same
+    # manifest protocol as the partitioned branch so a crash between the
+    # rmtree and the rename is repaired by recover_staging().
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
+    with open(os.path.join(staging, _MANIFEST), "w") as fh:
+        json.dump({"whole_table": True}, fh)
+    _install_whole(path, staging)
+
+
+# Characters Spark escapes in hive partition directory names — the EXACT
+# set of ExternalCatalogUtils.escapePathName (which follows Hive's
+# FileUtils): these plus ASCII control chars become %XX. Notably space
+# and '}' are NOT escaped (while '{' is) — the set must match Spark's
+# bit-for-bit or the swap below computes directory names different from
+# what Spark wrote (test_upsert_partition_value_escaping pins this
+# against an actual Spark partitioned write).
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+_MANIFEST = "_upsert_manifest.json"
+
+
+def _install_staged(path: str, staging: str) -> None:
+    """Replay the staged partition swap described by the manifest.
+
+    Idempotent: every step checks current state, so it can be re-run
+    after a crash at any point. A manifest entry whose staged source is
+    absent means the merged output has no rows for that partition — its
+    table directory is deleted (the key-migration case)."""
+    with open(os.path.join(staging, _MANIFEST)) as fh:
+        rels = json.load(fh)["affected"]
+    for rel in rels:
+        src = os.path.join(staging, rel)
+        dst = os.path.join(path, rel)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        if os.path.isdir(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _install_whole(path: str, staging: str) -> None:
+    """Idempotent whole-table swap: the staged dir (marked complete by
+    its manifest) replaces ``path``. Spark ignores the leftover
+    underscore-prefixed manifest file like it ignores _SUCCESS."""
+    if os.path.isdir(path):
+        shutil.rmtree(path)
     os.rename(staging, path)
+    os.remove(os.path.join(path, _MANIFEST))
 
 
-# Characters Spark escapes in hive partition directory names (Spark
-# ExternalCatalogUtils.escapePathName): these plus ASCII control chars
-# become %XX. Partition values here are day strings, but keep the
-# mapping faithful so arbitrary string partition columns round-trip.
-_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{}[]^ ')
+def recover_staging(path: str) -> None:
+    """Repair a partitioned upsert that crashed mid-swap.
+
+    Staging dirs WITH a manifest hold a complete merged batch whose
+    install was interrupted — finish installing it. Staging dirs WITHOUT
+    one died during the parquet write (the table itself untouched) — they
+    are garbage, delete them. Called automatically at the top of every
+    ``upsert``; safe to call any time."""
+    parent, base = os.path.split(os.path.abspath(path))
+    if not os.path.isdir(parent):
+        return
+    for name in os.listdir(parent):
+        if not name.startswith(f"{base}.staging-"):
+            continue
+        staging = os.path.join(parent, name)
+        mf = os.path.join(staging, _MANIFEST)
+        if not os.path.exists(mf):
+            shutil.rmtree(staging, ignore_errors=True)
+            continue
+        with open(mf) as fh:
+            manifest = json.load(fh)
+        if manifest.get("whole_table"):
+            _install_whole(path, staging)
+        else:
+            _install_staged(path, staging)
 
 
 def _hive_part_dir(col: str, val) -> str:

@@ -188,3 +188,103 @@ def test_analyze_table_computes_catalog_stats(spark, tmp_path):
     }
     assert "Statistics" in desc and "rows" in desc["Statistics"]
     spark.sql("DROP TABLE IF EXISTS slurm_stats_test_tbl")
+
+
+def test_hive_part_dir_matches_spark_escaping(spark, tmp_path):
+    """_hive_part_dir must compute the EXACT directory names Spark's
+    partitioned writer produces (ExternalCatalogUtils.escapePathName) —
+    space and '}' pass through unescaped, '{' ':' '=' etc. become %XX."""
+    from slurm2sql_spark.sinks.parquet_sink import _hive_part_dir
+
+    vals = ["a b", "x}y", "x{y", "h:m", "k=v", "p/q", "100%", "plain"]
+    df = spark.createDataFrame([(v, 1) for v in vals], "part string, n long")
+    p = str(tmp_path / "esc")
+    df.write.partitionBy("part").parquet(p)
+    wrote = {d for d in os.listdir(p) if d.startswith("part=")}
+    computed = {_hive_part_dir("part", v) for v in vals}
+    assert computed == wrote
+
+
+def test_partitioned_upsert_arbitrary_partition_values(spark, tmp_path):
+    """Upsert keyed rows whose partition values contain the characters
+    ADVICE flagged (space, '}'): the swap must find Spark's directories,
+    leave no stale duplicates, and keep the new rows."""
+    p = str(tmp_path / "t")
+
+    def rows(spark, data):
+        return spark.createDataFrame(data, "JobID string, State string, part string")
+
+    upsert(
+        spark,
+        rows(spark, [("1", "RUNNING", "a b"), ("2", "PENDING", "x}y")]),
+        p,
+        partition_cols=("part",),
+    )
+    upsert(
+        spark,
+        rows(spark, [("1", "COMPLETED", "a b"), ("3", "RUNNING", "x{y")]),
+        p,
+        partition_cols=("part",),
+    )
+    out = {r.JobID: (r.State, r.part) for r in read_table(spark, p).collect()}
+    assert out == {
+        "1": ("COMPLETED", "a b"),
+        "2": ("PENDING", "x}y"),
+        "3": ("RUNNING", "x{y"),
+    }
+
+
+def test_upsert_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
+    """A crash between staging write and swap completion is repaired on
+    the next upsert: the manifest makes the install loop a resumable
+    idempotent replay."""
+    import slurm2sql_spark.sinks.parquet_sink as sink
+
+    p = str(tmp_path / "t")
+    day = 86400
+    base = with_day_partition(
+        _jobs(spark, [("1", "RUNNING", 0 * day), ("2", "DONE", 1 * day + 60)])
+    )
+    upsert(spark, base, p, partition_cols=("day",))
+
+    # crash AFTER the staged batch is complete but BEFORE any partition
+    # is swapped in
+    real_install = sink._install_staged
+    monkeypatch.setattr(
+        sink, "_install_staged",
+        lambda path, staging: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    batch = with_day_partition(_jobs(spark, [("1", "COMPLETED", 0 * day)]))
+    try:
+        upsert(spark, batch, p, partition_cols=("day",))
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(sink, "_install_staged", real_install)
+    # table still readable (old state), staging dir left behind
+    assert {r.JobID for r in read_table(spark, p).collect()} == {"1", "2"}
+
+    # the next upsert first recovers the crashed batch, then applies its
+    # own; job 3 lands AND job 1's crashed COMPLETED update is not lost
+    upsert(
+        spark,
+        with_day_partition(_jobs(spark, [("3", "RUNNING", 2 * day)])),
+        p,
+        partition_cols=("day",),
+    )
+    out = {r.JobID: r.State for r in read_table(spark, p).collect()}
+    assert out == {"1": "COMPLETED", "2": "DONE", "3": "RUNNING"}
+    # no staging leftovers
+    leftovers = [d for d in os.listdir(tmp_path) if ".staging-" in d]
+    assert leftovers == []
+
+
+def test_garbage_staging_without_manifest_is_deleted(spark, tmp_path):
+    from slurm2sql_spark.sinks.parquet_sink import recover_staging
+
+    p = str(tmp_path / "t")
+    write_overwrite(_jobs(spark, [("1", "RUNNING", 100)]), p)
+    garbage = f"{p}.staging-deadbeef"
+    os.makedirs(garbage)
+    recover_staging(p)
+    assert not os.path.isdir(garbage)
+    assert {r.JobID for r in read_table(spark, p).collect()} == {"1"}
