@@ -212,10 +212,17 @@ def _state_codes_sql(codes: str) -> str:
 
 def _sql_ts(bound: str) -> str:
     """A sacct-style time bound -> an epoch-seconds SQL expression,
-    resolved in the session timezone (same zone the ingest used)."""
+    resolved in the session timezone (same zone the ingest used).
+    Accepts Slurm's relative grammar too ('now-1week', 'today'); an
+    unparseable bound exits with a usage error instead of a traceback."""
     from slurm2sql_spark.sources.sacct_source import _parse_sacct_time
 
-    d = _parse_sacct_time(bound)
+    try:
+        d = _parse_sacct_time(bound)
+    except ValueError as e:
+        raise SystemExit(f"error: {e} (expected YYYY-MM-DD[THH:MM[:SS]], "
+                         f"'now[-N{{seconds|minutes|hours|days|weeks}}]', "
+                         f"'today', 'yesterday', 'midnight', 'noon')") from e
     return f"to_unix_timestamp('{d.strftime('%Y-%m-%d %H:%M:%S')}')"
 
 
@@ -450,9 +457,14 @@ def ingest_cli(spark: SparkSession, argv) -> str:
     p.add_argument("--csv-input",
                    help="ingest this sacct-shaped CSV instead of live sacct")
     p.add_argument("--sacct-dump",
-                   help="raw `sacct -P --delimiter=';|;'` output file; "
-                        "driver-stitched with error accounting (exit 1 on "
-                        "unparseable lines, reference slurm2sql.py:785-788)")
+                   help="raw `sacct -P --delimiter=';|;'` output file, "
+                        "read as a distributed scan (any size)")
+    p.add_argument("--stitch-lines", action="store_true",
+                   help="with --sacct-dump: reassemble records whose "
+                        "JobName contains newlines, with error accounting "
+                        "(exit 1 on unparseable lines, reference "
+                        "slurm2sql.py:785-788). Driver-side: the whole "
+                        "dump must fit in driver memory")
     p.add_argument("--update", "-U", action="store_true",
                    help="upsert on JobID instead of overwrite")
     p.add_argument("--jobs-only", action="store_true")
@@ -578,10 +590,15 @@ def ingest_cli(spark: SparkSession, argv) -> str:
         from slurm2sql_spark.sinks.parquet_sink import upsert, write_overwrite
 
         errors: list = []
-        with open(args.sacct_dump) as f:
-            typed = api.ingest(
-                spark, raw_lines=f.read(), errors=errors
-            )
+        if args.stitch_lines:
+            # opt-in driver path: only one that can repair newline-split
+            # records and count unparseable lines
+            with open(args.sacct_dump) as f:
+                typed = api.ingest(spark, raw_lines=f.read(), errors=errors)
+        else:
+            # default: executor-side spark.read.csv scan — a multi-GB
+            # dump never touches driver memory
+            typed = api.ingest(spark, dump_path=args.sacct_dump)
         if args.jobs_only:
             from pyspark.sql import functions as F
 

@@ -34,6 +34,7 @@ Usage::
 
 from __future__ import annotations
 
+import re
 import subprocess
 from datetime import datetime, timedelta
 
@@ -109,14 +110,48 @@ def args_to_sacct_filter(
     return args
 
 
-def _parse_sacct_time(s: str) -> datetime:
-    """Parse a sacct-style time bound, keeping any time component
-    ('2026-08-13', '2026-08-13T06:00', '2026-08-13T06:00:30')."""
+_RELATIVE_UNIT_S = {
+    "": 1, "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60, "min": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _parse_sacct_time(s: str, now: datetime | None = None) -> datetime:
+    """Parse a sacct-style time bound.
+
+    Absolute forms keep any time component ('2026-08-13',
+    '2026-08-13T06:00', '2026-08-13T06:00:30'). Slurm's relative
+    grammar — which the reference's own -S help text recommends
+    ('now-1week') and passes to sacct verbatim — is resolved here since
+    no sacct does it for us on the --db/--csv paths: 'now',
+    'now±N[seconds|minutes|hours|days|weeks]' (bare N means seconds),
+    'today', 'yesterday', 'midnight', 'noon', 'teatime'.
+    """
     for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M", "%Y-%m-%d"):
         try:
             return datetime.strptime(s, fmt)
         except ValueError:
             continue
+    now = now or datetime.now()
+    midnight = now.replace(hour=0, minute=0, second=0, microsecond=0)
+    word = s.strip().lower()
+    fixed = {
+        "now": now,
+        "today": midnight,
+        "midnight": midnight,
+        "yesterday": midnight - timedelta(days=1),
+        "noon": midnight + timedelta(hours=12),
+        "teatime": midnight + timedelta(hours=16),
+    }
+    if word in fixed:
+        return fixed[word]
+    m = re.fullmatch(r"now([+-])(\d+)\s*([a-z]*)", word)
+    if m and m.group(3) in _RELATIVE_UNIT_S:
+        delta = timedelta(seconds=int(m.group(2)) * _RELATIVE_UNIT_S[m.group(3)])
+        return now + delta if m.group(1) == "+" else now - delta
     raise ValueError(f"unparseable sacct time bound: {s!r}")
 
 

@@ -296,6 +296,7 @@ def test_parse_slurmtime_grammar():
 # --- stitcher error accounting -> exit code (reference 785-788) ----------
 
 def test_ingest_cli_sacct_dump_error_exit(spark, tmp_path):
+    # error accounting needs the opt-in driver-side stitching path
     dump = tmp_path / "dump.txt"
     dump.write_text(
         "JobID;|;JobIDRaw;|;User;|;State\n"
@@ -303,11 +304,15 @@ def test_ingest_cli_sacct_dump_error_exit(spark, tmp_path):
         "x;|;x;|;x;|;x;|;extra;|;fields\n"
     )
     with pytest.raises(SystemExit) as e:
-        ingest_cli(spark, [str(tmp_path / "t"), "--sacct-dump", str(dump)])
+        ingest_cli(
+            spark,
+            [str(tmp_path / "t"), "--sacct-dump", str(dump), "--stitch-lines"],
+        )
     assert e.value.code == 1
 
 
 def test_ingest_cli_sacct_dump_clean(spark, tmp_path):
+    # default path: distributed spark.read.csv scan, no driver slurp
     dump = tmp_path / "dump.txt"
     dump.write_text(
         "JobID;|;JobIDRaw;|;User;|;State\n"
@@ -315,6 +320,22 @@ def test_ingest_cli_sacct_dump_clean(spark, tmp_path):
         "2;|;2;|;bob;|;RUNNING\n"
     )
     msg = ingest_cli(spark, [str(tmp_path / "t2"), "--sacct-dump", str(dump)])
+    assert "2 rows" in msg
+
+
+def test_ingest_cli_sacct_dump_stitch_opt_in(spark, tmp_path):
+    # a newline inside JobName splits a record across physical lines;
+    # only --stitch-lines reassembles it
+    dump = tmp_path / "dump.txt"
+    dump.write_text(
+        "JobID;|;JobName;|;User;|;State\n"
+        "1;|;my\njob;|;alice;|;COMPLETED\n"
+        "2;|;ok;|;bob;|;RUNNING\n"
+    )
+    msg = ingest_cli(
+        spark,
+        [str(tmp_path / "t3"), "--sacct-dump", str(dump), "--stitch-lines"],
+    )
     assert "2 rows" in msg
 
 

@@ -121,3 +121,35 @@ def test_args_to_sacct_filter_selectors():
     ]
     a = args_to_sacct_filter(user="u1", partition="gpu", start="2021-01-01")
     assert a == ["--user=u1", "--partition=gpu", "--starttime=2021-01-01"]
+
+
+def test_parse_sacct_relative_time_grammar():
+    """Slurm's relative bounds (the reference's help text recommends
+    '-S now-1week') resolve against an injected 'now'."""
+    from datetime import datetime, timedelta
+
+    from slurm2sql_spark.sources.sacct_source import _parse_sacct_time
+
+    now = datetime(2026, 8, 13, 10, 30, 45)
+    mid = datetime(2026, 8, 13)
+    assert _parse_sacct_time("now", now=now) == now
+    assert _parse_sacct_time("now-1week", now=now) == now - timedelta(weeks=1)
+    assert _parse_sacct_time("now-3day", now=now) == now - timedelta(days=3)
+    assert _parse_sacct_time("now-2hours", now=now) == now - timedelta(hours=2)
+    assert _parse_sacct_time("now+90", now=now) == now + timedelta(seconds=90)
+    assert _parse_sacct_time("today", now=now) == mid
+    assert _parse_sacct_time("yesterday", now=now) == mid - timedelta(days=1)
+    assert _parse_sacct_time("noon", now=now) == mid + timedelta(hours=12)
+    # absolute forms unchanged
+    assert _parse_sacct_time("2026-08-13T06:00") == datetime(2026, 8, 13, 6)
+
+
+def test_cli_bad_time_bound_clean_error(spark):
+    import pytest as _pytest
+
+    from slurm2sql_spark.cli import _sql_ts
+
+    with _pytest.raises(SystemExit, match="unparseable sacct time bound"):
+        _sql_ts("garbage-time")
+    # relative bound flows through to SQL without crashing
+    assert _sql_ts("now-1week").startswith("to_unix_timestamp(")
