@@ -21,16 +21,41 @@ from pyspark.sql import DataFrame
 __all__ = ["fan_out"]
 
 
-def fan_out(df: DataFrame, factor: int = 2, target: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    factor: int = 2,
+    target: int | None = None,
+    current_partitions: int | None = None,
+) -> DataFrame:
     """Spread ``df`` to at least cluster parallelism for a compute-heavy
     downstream stage; no-op when the plan already has enough partitions.
 
     ``factor`` multiplies ``defaultParallelism`` (2x gives stragglers a
-    second wave). Checking the partition count forces physical planning
-    of ``df`` — call this on a cheap scan/projection, not a deep plan.
+    second wave). Pass ``current_partitions`` when the caller already
+    knows the scan's split count (e.g. from file sizes) — then nothing
+    is planned at all. Otherwise the count is read from the JVM-side
+    query plan without a Python RDD conversion; that still forces
+    physical planning of ``df``, so call it on a cheap scan/projection,
+    not a deep plan (under AQE a deep plan's shuffle stages would run).
     """
     spark = df.sparkSession
     want = target or spark.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() >= want:
+    if current_partitions is None:
+        current_partitions = _plan_partition_count(df)
+    if current_partitions >= want:
         return df
     return df.repartition(want)
+
+
+def _plan_partition_count(df: DataFrame) -> int:
+    """Output-partition count of ``df``'s physical plan.
+
+    Uses the JVM ``QueryExecution.toRdd`` (lazy RDD[InternalRow]) so no
+    Python-side RDD conversion machinery (``DataFrame.rdd`` /
+    ``javaToPython``) is ever built; falls back to ``df.rdd`` only if
+    the internal accessor is unavailable (e.g. Spark Connect).
+    """
+    try:
+        return df._jdf.queryExecution().toRdd().getNumPartitions()
+    except AttributeError:  # pragma: no cover - connect-only fallback
+        return df.rdd.getNumPartitions()

@@ -40,7 +40,11 @@ def salted_agg(
 
     ``aggs`` maps output column -> (phase1_fn, phase2_fn) where
     phase1 runs within (key, salt) groups and phase2 merges the
-    partials, e.g. ``{"n": (F.count, F.sum), "mx": (F.max, F.max)}``.
+    partials. With a 2-tuple the source column defaults to the output
+    name; encode a different source as ``"out:col"`` — e.g.
+    ``{"n:JobID": (F.count, F.sum), "mx": (F.max, F.max)}`` counts
+    ``JobID`` into output ``n`` and maxes column ``mx``. A 3-tuple
+    ``(fn1, fn2, col)`` names the source explicitly.
     Only algebraic aggregates decompose this way — that is exactly the
     set that benefits (holistic aggregates like exact median can't be
     salted without a different algorithm).
@@ -60,13 +64,15 @@ def salted_agg(
 
 
 def _norm(aggs: dict) -> dict:
-    """Accept (fn1, fn2) pairs keyed by output name with the source
-    column encoded as ``out:col``, or (fn1, fn2, col) triples."""
+    """Accept (fn1, fn2) pairs keyed by output name — with the source
+    column encoded as ``out:col``, defaulting to the output name — or
+    (fn1, fn2, col) triples keyed by output name alone."""
     out = {}
     for name, spec in aggs.items():
         if len(spec) == 2:
             fn1, fn2 = spec
-            col = name
+            name, _, col = name.partition(":")
+            col = col or name
         else:
             fn1, fn2, col = spec
         out[name] = (fn1, fn2, col)

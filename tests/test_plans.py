@@ -81,3 +81,35 @@ def test_sim_topk_broadcasts_queries(spark, catalog):
     # corpus scan stays shuffle-free until the per-query window
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     catalog.drop_caches()
+
+
+def test_fan_out_avoids_python_rdd_conversion(spark, monkeypatch):
+    """fan_out must never build the Python RDD conversion (DataFrame.rdd);
+    it reads the partition count from the JVM query plan instead."""
+    from pyspark.sql import DataFrame
+
+    from slurm2sql_spark.plans import fan_out
+
+    def _boom(self):
+        raise AssertionError("fan_out touched DataFrame.rdd")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id")
+    out = fan_out(df, target=64)
+    assert out.count() > 0
+
+
+def test_fan_out_known_count_skips_planning(spark, monkeypatch):
+    """With current_partitions supplied, fan_out plans nothing at all."""
+    from slurm2sql_spark.plans import partitioning
+
+    def _boom(df):
+        raise AssertionError("fan_out planned the frame despite a known count")
+
+    monkeypatch.setattr(partitioning, "_plan_partition_count", _boom)
+    df = spark.range(10)
+    # enough partitions already -> identity, no planning
+    assert partitioning.fan_out(df, target=4, current_partitions=8) is df
+    # too few -> repartition, still no planning
+    out = partitioning.fan_out(df, target=16, current_partitions=2)
+    assert out is not df and out.count() == 10

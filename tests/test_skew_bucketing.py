@@ -84,3 +84,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_salted_agg_two_tuple_out_col_spec(spark):
+    """2-tuple specs: source defaults to the output name, or is encoded
+    as 'out:col' when they differ."""
+    from slurm2sql_spark.plans.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", i % 7) for i in range(90)] + [("k1", 3)], "k string, v long"
+    )
+    got = {
+        r["k"]: (r["n"], r["v"])
+        for r in salted_agg(
+            df, ["k"],
+            {"n:v": (F.count, F.sum), "v": (F.max, F.max)},
+            salt_buckets=4,
+        ).collect()
+    }
+    assert got == {"hot": (90, 6), "k1": (1, 3)}
