@@ -34,6 +34,7 @@ __all__ = [
     "lsh_topk",
     "embedding_near_dup_pairs",
     "ivf_centroids",
+    "ivf_cell_counts",
     "ivf_assign",
     "ivf_topk",
 ]
@@ -260,6 +261,7 @@ def ivf_centroids(
     vec_col: str = "c_vec",
     nlist: int = 16,
     iters: int = 1,
+    max_cell_share: float | None = None,
 ):
     """Train IVF centroids: deterministic seeding + ``iters`` Lloyd
     steps, all DataFrame ops; returns a plain ``[[float]]`` list (the
@@ -272,10 +274,64 @@ def ivf_centroids(
     (cell, pos, value) triples, map-side combined. The only driver
     materialization is the centroid matrix itself, which is model state
     (same shape as MLlib's KMeans.clusterCenters), never data.
+
+    ``max_cell_share`` guards against a degenerate seed set (e.g. the
+    ``nlist`` lowest-id vectors all sitting in one tight cluster)
+    concentrating the corpus in one Voronoi cell — which would turn the
+    probe equi-join on ``cell`` into a single-reducer hot spot. When
+    set, a post-train ``ivf_cell_counts`` diagnostic (nlist rows,
+    map-side combined) runs; if the largest cell holds more than the
+    given share of rows, training reruns once with hash-spread seeds
+    (order by ``xxhash64(id)`` — deterministic but uncorrelated with
+    any id-order clustering).
     """
+    cents = _train_centroids(corpus, id_col, vec_col, nlist, iters, F.col(id_col))
+    if max_cell_share is not None:
+        counts = ivf_cell_counts(corpus, cents, id_col, vec_col)
+        total = sum(counts)
+        if total and max(counts) > max_cell_share * total:
+            cents = _train_centroids(
+                corpus, id_col, vec_col, nlist, iters,
+                F.xxhash64(F.col(id_col).cast("string")),
+            )
+    return cents
+
+
+def ivf_cell_counts(
+    corpus: DataFrame,
+    centroids: list,
+    id_col: str = "c_id",
+    vec_col: str = "c_vec",
+) -> list[int]:
+    """Rows per Voronoi cell for ``centroids`` — the cell-balance
+    diagnostic. Cost: one narrow assignment pass + a map-side-combined
+    count shuffle of at most ``nlist`` rows."""
+    rows = (
+        ivf_assign(corpus, centroids, id_col, vec_col)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = [0] * len(centroids)
+    for r in rows:
+        counts[r.cell] = r.n
+    return counts
+
+
+def _train_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    iters: int,
+    seed_order,
+):
+    """Seed from the first ``nlist`` vectors under ``seed_order``, then
+    run ``iters`` Lloyd steps (see ``ivf_centroids`` for the shuffle
+    shape)."""
     seeds = (
         corpus.select(id_col, vec_col)
-        .orderBy(F.col(id_col))
+        .orderBy(seed_order)
         .limit(nlist)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
@@ -343,10 +399,13 @@ def ivf_topk(
     q_vec: str = "q_vec",
     c_id: str = "c_id",
     c_vec: str = "c_vec",
+    max_cell_share: float | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: partition the corpus into ``nlist``
     Voronoi cells, probe each query's ``nprobe`` nearest cells, exact
-    cosine re-rank inside the probed cells.
+    cosine re-rank inside the probed cells. ``max_cell_share`` (see
+    ``ivf_centroids``) re-seeds once if any cell exceeds that share of
+    the corpus — the guard against a skewed probe join.
 
     Scale shape: corpus assignment is a narrow map (broadcast
     centroids); search is an equi-join on ``cell`` — each query scans
@@ -355,7 +414,8 @@ def ivf_topk(
     small). Recall rises with nprobe; nprobe=nlist degenerates to exact
     brute force.
     """
-    cents = ivf_centroids(corpus, c_id, c_vec, nlist, iters)
+    cents = ivf_centroids(corpus, c_id, c_vec, nlist, iters,
+                          max_cell_share=max_cell_share)
     ccells = ivf_assign(corpus, cents, c_id, c_vec, nprobe=1).select("cell", c_id)
     qcells = ivf_assign(queries, cents, q_id, q_vec, nprobe=nprobe).select("cell", q_id)
     # ids-only dedup (a query probing nprobe cells can meet the same

@@ -138,3 +138,40 @@ def test_ivf_centroids_deterministic(spark):
     a = ivf_centroids(emb, nlist=4, iters=1)
     b = ivf_centroids(emb, nlist=4, iters=1)
     assert a == b
+
+
+def test_ivf_cell_balance_guard(spark):
+    """A clustered corpus whose nlist lowest ids all sit in one tight
+    cluster degenerates lowest-id seeding into one giant Voronoi cell;
+    max_cell_share triggers the hash-spread re-seed and bounds the
+    largest cell."""
+    import numpy as np
+
+    from slurm2sql_spark.operators.similarity import (
+        ivf_cell_counts,
+        ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # ids 0..15: identical vectors (the degenerate seed set for
+    # nlist=16 — every similarity ties, stable argsort sends all rows
+    # to cell 0)
+    for i in range(16):
+        rows.append((i, [10.0, 0.0, 0.0, 0.0]))
+    # ids 16..415: 8 well-separated clusters, 50 rows each
+    basis = rng.normal(0, 1, (8, 4)) * 10
+    for j in range(400):
+        c = j % 8
+        rows.append((16 + j, (basis[c] + rng.normal(0, 0.05, 4)).tolist()))
+    emb = spark.createDataFrame(rows, "c_id long, c_vec array<double>")
+
+    plain = ivf_centroids(emb, nlist=16, iters=1)
+    plain_counts = ivf_cell_counts(emb, plain)
+    # the degenerate seeding really is degenerate on this corpus
+    assert max(plain_counts) > 0.5 * sum(plain_counts)
+
+    guarded = ivf_centroids(emb, nlist=16, iters=1, max_cell_share=0.5)
+    counts = ivf_cell_counts(emb, guarded)
+    assert sum(counts) == 416
+    assert max(counts) <= 0.5 * 416
