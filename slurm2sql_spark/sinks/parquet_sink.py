@@ -63,9 +63,9 @@ def write_overwrite(
     w.parquet(path)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:
     """Scan the table, hiding the internal batch-sequence column."""
-    return spark.read.parquet(path).drop(BATCH_COL)
+    return spark.read.format(format).load(path).drop(BATCH_COL)
 
 
 def _max_batch(spark: SparkSession, path: str) -> int:
@@ -83,6 +83,7 @@ def upsert(
     path: str,
     key: str = "JobID",
     partition_cols: tuple[str, ...] = (),
+    format: str = "parquet",
 ) -> None:
     """Replace-on-conflict keyed on ``key`` (reference INSERT OR REPLACE,
     slurm2sql.py:1023-1027): newest batch wins per key, so replaying an
@@ -96,7 +97,17 @@ def upsert(
     (running job re-stamped to a new day) leave no stale duplicates.
     Without partitioning the whole table is rewritten (fine for tests,
     not for 100 TB — always partition in production).
+
+    ``format="delta"`` switches to a real ``MERGE INTO`` through the
+    Delta commit protocol (requires the optional ``delta-spark``
+    package) — the production answer on object stores, where the
+    filesystem-rename swap above has no atomic rename to lean on.
     """
+    if format == "delta":
+        _delta_upsert(spark, new_rows, path, key, partition_cols)
+        return
+    if format != "parquet":
+        raise ValueError(f"unsupported upsert format: {format!r}")
     recover_staging(path)
     if not os.path.exists(path):
         write_overwrite(new_rows, path, partition_cols)
@@ -160,6 +171,51 @@ def upsert(
     with open(os.path.join(staging, _MANIFEST), "w") as fh:
         json.dump({"whole_table": True}, fh)
     _install_whole(path, staging)
+
+
+def _delta_upsert(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    key: str,
+    partition_cols: tuple[str, ...],
+) -> None:
+    """``MERGE INTO`` upsert on a Delta table (reference K2 mapped to
+    SURVEY §7's named target).
+
+    Semantics match the parquet branch: one surviving row per ``key``,
+    newest batch wins, and a key whose partition value migrated is
+    *updated in place* by the MERGE (Delta rewrites the affected files
+    under its commit protocol — no stale duplicate can survive, and a
+    crash mid-merge leaves the previous snapshot visible). The batch is
+    pre-deduplicated on ``key`` because MERGE requires a unique source
+    row per matched target row — same last-write-wins outcome the
+    row-at-a-time INSERT OR REPLACE had (reference slurm2sql.py:1023-1027).
+    """
+    try:
+        from delta.tables import DeltaTable
+    except ImportError as e:  # pragma: no cover - exercised when absent
+        raise ImportError(
+            "format='delta' requires the optional delta-spark package "
+            "(and its Spark extensions configured on the session); "
+            "install delta-spark or use the default parquet backend"
+        ) from e
+
+    batch = new_rows.dropDuplicates([key]).withColumn(BATCH_COL, F.lit(0))
+    if not DeltaTable.isDeltaTable(spark, path):
+        w = batch.write.format("delta").mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.save(path)
+        return
+    (
+        DeltaTable.forPath(spark, path)
+        .alias("t")
+        .merge(batch.alias("s"), f"t.`{key}` = s.`{key}`")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
 
 
 # Characters Spark escapes in hive partition directory names — the EXACT

@@ -288,3 +288,54 @@ def test_garbage_staging_without_manifest_is_deleted(spark, tmp_path):
     recover_staging(p)
     assert not os.path.isdir(garbage)
     assert {r.JobID for r in read_table(spark, p).collect()} == {"1"}
+
+
+# --- optional Delta MERGE backend (K2's object-store path) ---------------
+
+def _has_delta():
+    try:
+        import delta  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(not _has_delta(), reason="delta-spark not installed")
+def test_delta_upsert_replaces_on_key_and_is_idempotent(spark, tmp_path):
+    p = str(tmp_path / "t")
+    upsert(spark, _jobs(spark, [("1", "RUNNING", 100), ("2", "PENDING", 90)]),
+           p, format="delta")
+    batch2 = _jobs(spark, [("1", "COMPLETED", 110), ("3", "RUNNING", 120)])
+    upsert(spark, batch2, p, format="delta")
+    upsert(spark, batch2, p, format="delta")  # replay = no-op in effect
+    out = {r.JobID: r.State
+           for r in read_table(spark, p, format="delta").collect()}
+    assert out == {"1": "COMPLETED", "2": "PENDING", "3": "RUNNING"}
+
+
+@pytest.mark.skipif(not _has_delta(), reason="delta-spark not installed")
+def test_delta_partitioned_upsert_migrates_key(spark, tmp_path):
+    p = str(tmp_path / "t")
+    day = 86400
+    base = with_day_partition(_jobs(spark, [("1", "RUNNING", 0)]))
+    upsert(spark, base, p, partition_cols=("day",), format="delta")
+    moved = with_day_partition(_jobs(spark, [("1", "COMPLETED", 5 * day)]))
+    upsert(spark, moved, p, partition_cols=("day",), format="delta")
+    rows = read_table(spark, p, format="delta").collect()
+    assert len(rows) == 1 and rows[0].State == "COMPLETED"
+
+
+@pytest.mark.skipif(_has_delta(), reason="delta-spark installed")
+def test_delta_absent_raises_actionable_import_error(spark, tmp_path):
+    with pytest.raises(ImportError, match="delta-spark"):
+        upsert(spark, _jobs(spark, [("1", "RUNNING", 100)]),
+               str(tmp_path / "t"), format="delta")
+
+
+def test_unknown_upsert_format_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported upsert format"):
+        upsert(spark, _jobs(spark, [("1", "RUNNING", 100)]),
+               str(tmp_path / "t"), format="orc")
