@@ -47,11 +47,33 @@ from slurm2sql_spark.sources.csv_source import SACCT_DELIMITER, stitch_lines
 __all__ = [
     "SacctDataSource",
     "args_to_sacct_filter",
+    "slurm_version",
     "ENDED_STATES",
     "COMPLETED_STATES",
     "CANCELLED_STATES",
     "FAILED_STATES",
 ]
+
+
+def slurm_version(cmd: tuple[str, ...] = ("sacct", "--version")) -> tuple[int, ...]:
+    """Probe the installed Slurm version as an int tuple (reference
+    slurm2sql.py:1123-1132; vestigial there — only tests call it — but
+    part of the public surface).
+
+    Output like ``slurm 19.05.7-Bull.1.0`` parses to ``(19, 5, 7)``;
+    no sacct (or unparseable output) falls back to ``(20, 11)``, the
+    latest release with a schema change (ReqGRES folded into ReqTRES) —
+    the schema-evolution behavior itself is handled structurally here
+    (a missing ReqGRES column just projects as NULL, transform.py).
+    """
+    try:
+        out = subprocess.check_output(list(cmd)).decode()
+    except (FileNotFoundError, subprocess.CalledProcessError):
+        return (20, 11)
+    m = re.match(r"slurm\s+([0-9]+)\.([0-9]+)(?:\.([0-9]+))?", out)
+    if not m:
+        return (20, 11)
+    return tuple(int(x) for x in m.groups() if x is not None)
 
 # Terminal job states (reference slurm2sql.py:1156-1159).
 ENDED_STATES = "CA,CD,DL,F,NF,OOM,PR,RV,TO"

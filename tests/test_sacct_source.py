@@ -153,3 +153,22 @@ def test_cli_bad_time_bound_clean_error(spark):
         _sql_ts("garbage-time")
     # relative bound flows through to SQL without crashing
     assert _sql_ts("now-1week").startswith("to_unix_timestamp(")
+
+
+def test_slurm_version_probe(tmp_path):
+    """reference slurm2sql.py:1123-1132: parse `sacct --version` output,
+    fall back to (20, 11) without sacct."""
+    from slurm2sql_spark.sources.sacct_source import slurm_version
+
+    fake = tmp_path / "sacct"
+    fake.write_text("#!/bin/sh\necho 'slurm 19.05.7-Bull.1.0'\n")
+    fake.chmod(0o755)
+    assert slurm_version((str(fake),)) == (19, 5, 7)
+
+    fake.write_text("#!/bin/sh\necho 'slurm 23.02'\n")
+    assert slurm_version((str(fake),)) == (23, 2)
+
+    assert slurm_version(("/nonexistent/sacct", "--version")) == (20, 11)
+
+    fake.write_text("#!/bin/sh\necho 'not slurm output'\n")
+    assert slurm_version((str(fake),)) == (20, 11)

@@ -1,0 +1,204 @@
+"""SF-scaling experiment: measure how per-query wall time scales from
+sf0.1 to a 10x synthetic corpus, for Spark AND the DuckDB oracle.
+
+Rationale (VERDICT r2): at toy scale the Spark numbers are dominated by
+a fixed ~0.3 s/query scheduler+codegen floor that vanishes at cluster
+scale. Scaling the input 10x shows which engine's time grows with
+compute and which was paying constant overhead — the per-query ratio
+``t(10x)/t(1x)`` is the evidence.
+
+The 10x corpus derives from sf0.1 WITHOUT creating cross-replica
+duplicate structure (straight duplication would quadratically blow up
+every dedup/ANN query's output and measure the wrong thing):
+
+- ``lineitem``: replicas shift ``l_orderkey`` by ``i * (max+1)`` —
+  distinct synthetic jobs, same per-job shape.
+- ``documents``: replicas shift ``doc_id`` and apply a per-replica
+  ROTATION of the letters a..j (an injective char map): shingle
+  equality is exactly preserved WITHIN a replica (near-dup structure
+  intact) while almost every shingle differs ACROSS replicas (no
+  spurious cross-replica candidates).
+- ``embeddings``: replicas shift ``vec_id`` and multiply by a
+  per-replica random SIGN vector — an orthogonal reflection, so all
+  intra-replica cosines are exactly preserved while cross-replica
+  cosines collapse to noise. Replica 0 is the identity, so the
+  ``vec_id < 10`` query set stays fixed while the corpus grows 10x.
+
+Usage: python tools/bench_scaling.py [--rebuild]
+Writes SCALING.json at the repo root and prints it.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SCALE_DST", "/tmp/spark_graft_x10")
+K = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
+
+# queries with a linear-ish DuckDB oracle: timed on both engines
+DUCK_QUERIES = [
+    "q1_pricing_summary",
+    "sacct_eff",
+    "sacct_user_rollup",
+    "dedup_exact",
+    "text_profile",
+]
+# banded/LSH family: Spark-only scaling (their DuckDB oracles are
+# deliberately all-pairs-quadratic correctness checks, not a baseline)
+SPARK_ONLY = [
+    "dedup_minhash_lsh",
+    "dedup_simhash_fast",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "sim_topk_cosine",
+]
+
+ALPHA = "abcdefghij"
+
+
+def build_scaled_dir(spark) -> None:
+    from pyspark.sql import DataFrame
+
+    marker = os.path.join(DST, "_BUILT")
+    if os.path.exists(marker) and "--rebuild" not in sys.argv:
+        return
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    os.makedirs(DST, exist_ok=True)
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    shift = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    reps = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * shift))
+        for i in range(K)
+    ]
+    functools.reduce(DataFrame.unionByName, reps).write.mode("overwrite").parquet(
+        f"{DST}/lineitem.parquet"
+    )
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    dshift = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * dshift))
+        .withColumn("text", F.translate("text", ALPHA, ALPHA[i:] + ALPHA[:i]))
+        for i in range(K)
+    ]
+    functools.reduce(DataFrame.unionByName, reps).write.mode("overwrite").parquet(
+        f"{DST}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    vshift = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    vec_type = emb.schema["embedding"].dataType
+    rng = np.random.default_rng(42)
+    reps = []
+    for i in range(K):
+        signs = (
+            [1.0] * dim if i == 0
+            else (rng.integers(0, 2, dim) * 2.0 - 1.0).tolist()
+        )
+        sarr = F.array(*[F.lit(float(s)) for s in signs])
+        reps.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vshift))
+            .withColumn(
+                "embedding",
+                F.zip_with("embedding", sarr, lambda x, s: x * s).cast(vec_type),
+            )
+        )
+    functools.reduce(DataFrame.unionByName, reps).write.mode("overwrite").parquet(
+        f"{DST}/embeddings.parquet"
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+
+
+def time_spark(QUERIES, spark, names, sf_dir, passes=2):
+    from slurm2sql_spark import catalog
+
+    best: dict[str, float] = {}
+    for _ in range(passes):
+        catalog.drop_caches()
+        for name in names:
+            t0 = time.perf_counter()
+            QUERIES[name].spark(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.perf_counter() - t0
+            best[name] = min(best.get(name, dt), dt)
+    catalog.drop_caches()
+    return {k: round(v, 3) for k, v in best.items()}
+
+
+def time_duck(QUERIES, names, sf_dir, passes=2):
+    import duckdb
+
+    best: dict[str, float] = {}
+    for _ in range(passes):
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            if os.path.exists(f"{sf_dir}/{t}.parquet"):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        for name in names:
+            t0 = time.perf_counter()
+            con.execute(QUERIES[name].oracle).fetchall()
+            dt = time.perf_counter() - t0
+            best[name] = min(best.get(name, dt), dt)
+        con.close()
+    return {k: round(v, 3) for k, v in best.items()}
+
+
+def main() -> None:
+    from slurm2sql_spark.catalog import QUERIES
+    from slurm2sql_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled_dir(spark)
+
+    names = DUCK_QUERIES + SPARK_ONLY
+    # warmup (JIT) outside the timed region, at 100x smaller scale
+    time_spark(QUERIES, spark, names, "/root/testdata/sf0.01", passes=1)
+
+    s1 = time_spark(QUERIES, spark, names, SRC, passes=2)
+    s10 = time_spark(QUERIES, spark, names, DST, passes=1)
+    d1 = time_duck(QUERIES, DUCK_QUERIES, SRC, passes=2)
+    d10 = time_duck(QUERIES, DUCK_QUERIES, DST, passes=1)
+
+    out = {"k": K, "src": SRC, "queries": {}}
+    for n in names:
+        q = {
+            "spark_1x": s1[n],
+            "spark_10x": s10[n],
+            "spark_ratio": round(s10[n] / s1[n], 2),
+        }
+        if n in d1:
+            q.update(
+                duck_1x=d1[n],
+                duck_10x=d10[n],
+                duck_ratio=round(d10[n] / d1[n], 2),
+                gap_1x=round(s1[n] / d1[n], 2),
+                gap_10x=round(s10[n] / d10[n], 2),
+            )
+        out["queries"][n] = q
+    with open("SCALING.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
