@@ -24,20 +24,23 @@ def ingest_csv(
     jobs_only: bool = False,
     now: int | None = None,
     update: bool = False,
+    table_format: str = "parquet",
 ) -> DataFrame:
     """CSV -> typed slurm DataFrame; optionally persist (reference
     slurm2sql(db, csv_input=...), slurm2sql.py:917-935 + 995-1004).
 
     ``update=True`` upserts on JobID (reference --update INSERT OR
     REPLACE); otherwise overwrite (reference delete-and-recreate).
+    ``table_format="delta"`` persists through the Delta commit protocol
+    (real MERGE for the upsert; needs the optional delta-spark package).
     """
     typed = slurm_transform(read_csv(spark, csv_path), now=now, jobs_only=jobs_only)
     if table_path:
         if update:
-            upsert(spark, typed, table_path)
+            upsert(spark, typed, table_path, format=table_format)
         else:
-            write_overwrite(typed, table_path)
-        return read_table(spark, table_path)
+            write_overwrite(typed, table_path, format=table_format)
+        return read_table(spark, table_path, format=table_format)
     return typed
 
 
@@ -83,7 +86,9 @@ def ingest(
     return slurm_transform(reader.load(), now=kwargs.get("now"))
 
 
-def open_table(spark: SparkSession, table_path: str) -> DataFrame:
+def open_table(
+    spark: SparkSession, table_path: str, format: str = "parquet"
+) -> DataFrame:
     """Open a previously built table (reference S5 import_or_open_db,
     slurm2sql.py:1080-1101)."""
-    return read_table(spark, table_path)
+    return read_table(spark, table_path, format=format)

@@ -467,6 +467,11 @@ def ingest_cli(spark: SparkSession, argv) -> str:
                         "dump must fit in driver memory")
     p.add_argument("--update", "-U", action="store_true",
                    help="upsert on JobID instead of overwrite")
+    p.add_argument("--table-format", choices=("parquet", "delta"),
+                   default="parquet",
+                   help="storage backend: parquet (staging-swap upsert, "
+                        "default) or delta (MERGE INTO through the Delta "
+                        "commit protocol; needs delta-spark)")
     p.add_argument("--jobs-only", action="store_true")
     p.add_argument("--sacct-bin", help="sacct executable (test seam)")
     p.add_argument("--user", "-u")
@@ -584,6 +589,7 @@ def ingest_cli(spark: SparkSession, argv) -> str:
         out = api.ingest_csv(
             spark, args.csv_input, table_path=args.table,
             jobs_only=args.jobs_only, update=args.update,
+            table_format=args.table_format,
         )
         return f"wrote {out.count()} rows to {args.table}"
     if args.sacct_dump:
@@ -604,10 +610,10 @@ def ingest_cli(spark: SparkSession, argv) -> str:
 
             typed = typed.filter(F.col("JobStep").isNull())
         if args.update:
-            upsert(spark, typed, args.table)
+            upsert(spark, typed, args.table, format=args.table_format)
         else:
-            write_overwrite(typed, args.table)
-        n = api.open_table(spark, args.table).count()
+            write_overwrite(typed, args.table, format=args.table_format)
+        n = api.open_table(spark, args.table, format=args.table_format).count()
         if errors:
             print(f"wrote {n} rows to {args.table}", file=sys.stderr)
             print(f"Completed with {len(errors)} errors", file=sys.stderr)
@@ -625,10 +631,13 @@ def ingest_cli(spark: SparkSession, argv) -> str:
         _live_sacct_df(spark, options), jobs_only=args.jobs_only
     )
     if args.update:
-        upsert(spark, typed, args.table)
+        upsert(spark, typed, args.table, format=args.table_format)
     else:
-        write_overwrite(typed, args.table)
-    return f"wrote {api.open_table(spark, args.table).count()} rows to {args.table}"
+        write_overwrite(typed, args.table, format=args.table_format)
+    return (
+        f"wrote {api.open_table(spark, args.table, format=args.table_format).count()}"
+        f" rows to {args.table}"
+    )
 
 
 def deidentify_cli(spark: SparkSession, argv) -> str:

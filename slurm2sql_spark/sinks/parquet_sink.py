@@ -54,13 +54,16 @@ def with_day_partition(df: DataFrame, time_col: str = "Time") -> DataFrame:
 
 
 def write_overwrite(
-    df: DataFrame, path: str, partition_cols: tuple[str, ...] = ()
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = (),
+    format: str = "parquet",
 ) -> None:
     """Full refresh (reference --delete-then-recreate, slurm2sql.py:749-753)."""
-    w = df.withColumn(BATCH_COL, F.lit(0)).write.mode("overwrite")
+    w = df.withColumn(BATCH_COL, F.lit(0)).write.mode("overwrite").format(format)
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.parquet(path)
+    w.save(path)
 
 
 def read_table(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:

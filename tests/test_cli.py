@@ -376,3 +376,19 @@ def test_sacct_cli_format_csv(spark, csv_path):
     assert any(l.startswith("1,alice,") for l in lines[1:])
     # no alignment padding in machine format
     assert "  " not in out
+
+
+def test_ingest_cli_table_format_delta_without_package(spark, tmp_path):
+    """--table-format delta surfaces the actionable ImportError when
+    delta-spark is absent (and works when present, covered by the
+    parametrized sink tests)."""
+    try:
+        import delta  # noqa: F401
+        pytest.skip("delta-spark installed; error path not reachable")
+    except ImportError:
+        pass
+    dump = tmp_path / "dump.txt"
+    dump.write_text("JobID;|;User;|;State\n1;|;a;|;COMPLETED\n")
+    with pytest.raises(Exception, match="delta"):
+        ingest_cli(spark, [str(tmp_path / "t"), "--sacct-dump", str(dump),
+                           "--update", "--table-format", "delta"])
