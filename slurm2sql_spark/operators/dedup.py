@@ -322,20 +322,21 @@ def simhash_signatures(
         .select("id", F.explode(F.split(F.trim(F.col("_t")), r"\s+")).alias("tok"))
         .withColumn("h", token_hash(F.col("tok")))
     )
+    # Per-bit majority vote, branch-free: the classic sum of +-1 per
+    # token equals 2*ones - n, so per bit we only sum the raw bit
+    # ((h>>i)&1 — long arithmetic, no CASE WHEN in the per-token hot
+    # path) and compare 2*ones > n once per DOC after the map-side
+    # combine. Same truth table including the tie (sum>0 <=> 2*ones>n).
     bit_sums = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
             for i in range(bits)
-        ]
+        ],
     )
     packed = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = (2 * F.col(f"b{i}") > F.col("_n")).cast("long")
         term = F.shiftleft(bit, i)
         packed = term if packed is None else packed.bitwiseXOR(term)
     return bit_sums.select("id", packed.alias("simhash"))
