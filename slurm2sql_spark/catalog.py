@@ -568,6 +568,9 @@ def drop_caches() -> None:
         except Exception:
             pass  # session may be gone
     _RESULT_CACHE.clear()
+    from slurm2sql_spark.operators import dedup
+
+    dedup.release_caches()
 
 
 # Backwards-compatible alias used by the flagship seam below.

@@ -53,7 +53,22 @@ __all__ = [
     "md5_token_hash60",
     "simhash_signatures",
     "simhash_near_dup_pairs",
+    "release_caches",
 ]
+
+#: frames persisted by operators in this module (see
+#: ngram_jaccard_pairs); released by release_caches().
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every frame an operator in this module persisted."""
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session may be gone
+            pass
 
 
 def normalize_text(c: Column) -> Column:
@@ -118,6 +133,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b).
 
@@ -129,6 +145,16 @@ def ngram_jaccard_pairs(
     missed; its Jaccard is necessarily low, so pairs above any
     reasonable ``threshold`` are unaffected. Pass ``None`` to disable
     (exact at any frequency — quadratic in the hottest posting).
+
+    ``persist_shingles`` (default on) persists the post-filter (id,
+    shingle) frame: it feeds the doc-size aggregate and BOTH sides of
+    the posting self-join, and per-branch column pruning makes the
+    subplans non-identical, so Spark's exchange reuse never fires —
+    without the persist the Arrow shingle kernel executes 8x (measured;
+    plan shows 8 ArrowEvalPython, 0 ReusedExchange). The persisted
+    frame spills to disk like any shuffle output, same footprint the
+    reused exchange would have had; ``release_caches()`` (wired into
+    ``catalog.drop_caches``) unpersists.
     """
     sh = shingles(df, id_col, text_col, n)
     if max_shingle_freq is not None:
@@ -144,6 +170,9 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
+    if persist_shingles:
+        sh = sh.persist()
+        _PERSISTED.append(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
