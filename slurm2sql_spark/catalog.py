@@ -1307,3 +1307,95 @@ def multimodal_pipeline(spark, sf_dir):
     return decoded.join(feats, "media_id").select(
         "media_id", "width", "height", "pixel_digest", F.size("features").alias("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deterministic sampling, domain mixing, packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8))::BIGINT
+          < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+             ELSE 0.0 END) * 4294967296
+    """,
+    doc="Content-addressed stratified sampling: membership is decided by "
+    "an md5 hash bucket of the row identity, so the subset is exactly "
+    "reproducible across engines, cluster layouts, and re-runs (unlike "
+    "df.sample, whose RNG depends on partition layout). Pure narrow "
+    "filter — no shuffle, no RNG state.",
+)
+def sample_stratified(spark, sf_dir):
+    from slurm2sql_spark.operators.sampling import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_sample(
+        docs, "doc_id",
+        strata_col="lang",
+        strata_fractions={"en": 0.5, "de": 0.25},
+        salt="s1",
+    )
+
+
+@register(
+    "mix_fractions",
+    """
+    WITH counts AS (
+      SELECT source AS stratum, count(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n) AS N FROM counts),
+    tgt(stratum, target) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    wt AS (
+      SELECT c.stratum, c.n, t.target, (SELECT N FROM tot) AS N
+      FROM counts c JOIN tgt t USING (stratum)
+    ),
+    r AS (SELECT min(n / (N * target)) AS R FROM wt)
+    SELECT stratum, n,
+           least(1.0, floor(target * (SELECT R FROM r) * N / n * 1000000
+                            + 0.001) / 1000000) AS fraction
+    FROM wt
+    """,
+    doc="Downsample-only domain mixing: per-stratum sampling fractions "
+    "that hit a target mix with maximum retention (R = min_s n_s/(N t_s); "
+    "binding stratum keeps 1.0). One |strata|-row count aggregate plus "
+    "arithmetic; feed to deterministic_sample.",
+)
+def mix_fractions_q(spark, sf_dir):
+    from slurm2sql_spark.operators.sampling import mix_fractions
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_fractions(
+        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+    SELECT source AS shard, doc_id AS id,
+           CAST(n_chars AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS "offset",
+           CAST(floor(coalesce(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 50000) AS BIGINT) AS bin
+    FROM documents
+    """,
+    doc="Sequence packing index: contiguous greedy concat-and-chunk "
+    "within a shard — each document's bin is where its first token "
+    "lands in the shard's concatenated stream (running-sum window, one "
+    "shuffle on the shard column; shards are the parallelism unit at "
+    "100 TB).",
+)
+def pack_sequences_q(spark, sf_dir):
+    from slurm2sql_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "n_chars", 50_000, "source")

@@ -1,0 +1,122 @@
+"""Training-data sampling operators: deterministic (hash-bucket)
+sampling, per-stratum rates, and domain-mixing fraction computation.
+
+Why not ``df.sample()``/``sampleBy()``: their RNG draws depend on
+partition layout and seed plumbing, so results change under
+repartitioning and can't be replicated by another engine. Training-data
+pipelines want *content-addressed* sampling — membership decided by a
+hash of the row's identity — which is reproducible across engines,
+cluster sizes, and re-runs, and lets a later pipeline stage re-derive
+exactly the same subset. (Same motivation as the reference's
+deterministic pseudonym hashing, deidentify.py, reused here for
+sampling membership.)
+
+Scale shape: a pure narrow filter — no shuffle, no RNG state, pushes
+down column pruning to the scan; the md5 bucket is one JVM-intrinsic
+expression per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "deterministic_sample", "mix_fractions"]
+
+#: bucket space: first 8 md5 hex chars = 32 bits
+_BUCKETS = float(1 << 32)
+
+
+def hash_bucket(c: Column | str, salt: str = "") -> Column:
+    """Uniform 32-bit bucket from the md5 of a row identity.
+
+    Engine-portable on purpose: DuckDB computes the identical value as
+    ``('0x' || substr(md5(CAST(id AS VARCHAR) || salt), 1, 8))::BIGINT``
+    — the same idiom as ``dedup.md5_token_hash60``.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 8),
+        16, 10,
+    ).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float | None = None,
+    strata_col: str | None = None,
+    strata_fractions: dict | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Keep rows whose identity hash-bucket falls under the rate.
+
+    Uniform mode: ``fraction`` applies to every row. Stratified mode:
+    ``strata_fractions`` maps ``strata_col`` values to per-stratum
+    rates (absent strata are dropped — pass a rate of 1.0 to keep one
+    whole). ``salt`` decorrelates independent samples over the same
+    corpus (different salt -> statistically independent subsets).
+    """
+    b = hash_bucket(id_col, salt)
+    if strata_fractions is not None:
+        if strata_col is None:
+            raise ValueError("strata_fractions requires strata_col")
+        rate = None
+        for value, frac in sorted(strata_fractions.items()):
+            cond = F.col(strata_col) == value
+            rate = F.when(cond, F.lit(float(frac))) if rate is None else rate.when(cond, F.lit(float(frac)))
+        rate = rate.otherwise(F.lit(0.0))
+    elif fraction is not None:
+        rate = F.lit(float(fraction))
+    else:
+        raise ValueError("pass fraction or strata_fractions")
+    return df.filter(b < rate * F.lit(_BUCKETS))
+
+
+def mix_fractions(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Per-stratum sampling fractions that hit a target mix with maximum
+    retention (downsample-only domain mixing).
+
+    Given target shares ``targets`` (e.g. ``{"web": .5, "code": .3,
+    "wiki": .2}``), the largest total sample a downsample-only plan can
+    produce keeps ``R = min_s(n_s / (N * t_s))`` of the corpus; each
+    stratum then samples at ``fraction_s = t_s * R * N / n_s`` (the
+    binding stratum at 1.0). One count aggregation (|strata| rows) plus
+    arithmetic — feed the result to ``deterministic_sample``.
+
+    ``quantize`` floor-quantizes fractions (1e-6 steps) so results are
+    engine-portable bit-for-bit.
+    """
+    t = F.create_map(
+        *[F.lit(x) for kv in sorted(targets.items()) for x in kv]
+    )
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("_total"))  # not "N": Spark resolves
+    # column names case-insensitively by default, so n/N would collide
+    with_t = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("target", t[F.col("stratum")])
+        .filter(F.col("target").isNotNull())
+    )
+    # R = min over strata of n_s / (N * t_s)
+    r = with_t.agg(
+        F.min(F.col("n") / (F.col("_total") * F.col("target"))).alias("_r")
+    )
+    q = float(quantize)
+    frac = F.least(
+        F.lit(1.0),
+        F.floor(
+            F.col("target") * F.col("_r") * F.col("_total") / F.col("n") * q + 0.001
+        ) / q,
+    )
+    return (
+        with_t.crossJoin(F.broadcast(r))
+        .select("stratum", "n", frac.alias("fraction"))
+    )

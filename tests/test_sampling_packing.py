@@ -1,0 +1,113 @@
+"""Training-data sampling / domain mixing / sequence packing operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_deterministic_sample_is_reproducible_and_unbiased(spark):
+    from slurm2sql_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    a = set(r.doc_id for r in deterministic_sample(df, "doc_id", 0.3).collect())
+    b = set(r.doc_id for r in deterministic_sample(df, "doc_id", 0.3).collect())
+    assert a == b  # content-addressed: identical across runs
+    assert 0.27 < len(a) / 20000 < 0.33  # unbiased within tolerance
+
+    # repartitioning must not change membership (df.sample would)
+    c = set(
+        r.doc_id
+        for r in deterministic_sample(df.repartition(7), "doc_id", 0.3).collect()
+    )
+    assert c == a
+
+    # a different salt draws a statistically independent subset
+    d = set(
+        r.doc_id
+        for r in deterministic_sample(df, "doc_id", 0.3, salt="x").collect()
+    )
+    overlap = len(a & d) / 20000
+    assert 0.06 < overlap < 0.12  # ~0.09 expected
+    assert d != a
+
+
+def test_deterministic_sample_strata(spark):
+    from slurm2sql_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(10000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = deterministic_sample(
+        df, "doc_id", strata_col="lang",
+        strata_fractions={"en": 0.5, "de": 0.1},
+    )
+    rates = {
+        r.lang: r.n / 5000
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 0.45 < rates["en"] < 0.55
+    assert 0.07 < rates["de"] < 0.13
+    # absent stratum -> dropped
+    assert set(rates) == {"en", "de"}
+
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "doc_id", strata_fractions={"en": 1.0})
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "doc_id")
+
+
+def test_mix_fractions_max_retention(spark):
+    from slurm2sql_spark.operators.sampling import mix_fractions
+
+    rows = (
+        [("web",)] * 600 + [("code",)] * 300 + [("wiki",)] * 100
+    )
+    df = spark.createDataFrame(rows, "source string")
+    out = {
+        r.stratum: (r.n, r.fraction)
+        for r in mix_fractions(
+            df, "source", {"web": 0.5, "code": 0.3, "wiki": 0.2}
+        ).collect()
+    }
+    # R = min(600/500, 300/300, 100/200) = 0.5 -> wiki binds at 1.0
+    assert out["wiki"] == (100, 1.0)
+    assert out["code"][1] == pytest.approx(0.5, abs=1e-6)
+    assert out["web"][1] == pytest.approx(0.5 * 0.5 * 1000 / 600, abs=1e-5)
+    # achieved mix matches the target exactly (expected counts)
+    kept = {s: n * f for s, (n, f) in out.items()}
+    total = sum(kept.values())
+    assert kept["web"] / total == pytest.approx(0.5, abs=1e-4)
+    assert kept["wiki"] / total == pytest.approx(0.2, abs=1e-4)
+
+
+def test_pack_sequences_contiguous_chunking(spark):
+    from slurm2sql_spark.operators.packing import pack_sequences
+
+    rows = [
+        # shard a: 40 + 70 + 30 + 80 tokens, budget 100
+        (1, 40, "a"), (2, 70, "a"), (3, 30, "a"), (4, 80, "a"),
+        # shard b: one doc longer than the budget spans bins
+        (5, 250, "b"), (6, 10, "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long, src string")
+    out = {
+        r.id: (r.shard, r.offset, r.bin)
+        for r in pack_sequences(df, "doc_id", "n_tok", 100, "src").collect()
+    }
+    assert out[1] == ("a", 0, 0)
+    assert out[2] == ("a", 40, 0)    # starts inside bin 0, straddles
+    assert out[3] == ("a", 110, 1)
+    assert out[4] == ("a", 140, 1)
+    assert out[5] == ("b", 0, 0)     # long doc starts bin 0
+    assert out[6] == ("b", 250, 2)   # next doc lands after the span
+
+    # placement is independent of input partitioning
+    out2 = {
+        r.id: (r.shard, r.offset, r.bin)
+        for r in pack_sequences(
+            df.repartition(5), "doc_id", "n_tok", 100, "src"
+        ).collect()
+    }
+    assert out2 == out
