@@ -1399,3 +1399,61 @@ def pack_sequences_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return pack_sequences(docs, "doc_id", "n_chars", 50_000, "source")
+
+
+@register(
+    "dedup_components",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8
+    ),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM e JOIN reach r ON r.node = e.b
+    )
+    SELECT node AS id, min(lbl) AS component FROM reach GROUP BY node
+    """,
+    doc="Near-dup clustering: verified MinHash-LSH pairs -> connected "
+    "components (iterative min-label propagation, one shuffle join per "
+    "round, localCheckpoint-ed) -> every document labeled with its "
+    "duplicate-group id (min reachable doc_id; singletons label "
+    "themselves). The oracle recomputes the exhaustive pair graph and "
+    "walks it with a recursive CTE.",
+)
+def dedup_components(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8
+    ).select("id_a", "id_b")
+    return connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("id"))
+    )

@@ -54,6 +54,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_dup_pairs",
     "release_caches",
+    "connected_components",
 ]
 
 #: frames persisted by operators in this module (see
@@ -426,3 +427,70 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected pair graph -> one row per
+    node with its component label (the min node id reachable): the
+    cluster step of every dedup pipeline (near-dup PAIRS -> duplicate
+    GROUPS -> keep the canonical doc, e.g. min id, per group).
+
+    Iterative min-label propagation, the standard distributed
+    formulation (GraphX/Pregel-style): each round every node takes the
+    min of its own label and its neighbors' labels — one shuffle join +
+    one groupBy per round, converging in graph-diameter rounds (near-dup
+    clusters are shallow; ``max_iter`` guards pathological chains, with
+    a warning if hit). Each round is ``localCheckpoint``-ed: iterative
+    lineage otherwise grows a plan Catalyst re-analyzes quadratically.
+    The only driver-side values are the per-round convergence flags
+    (one count each — same model-state exception as IVF's Lloyd loop).
+
+    ``nodes`` optionally supplies the full node universe (e.g. every
+    document) so isolated nodes appear as singleton components.
+    """
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    if nodes is None:
+        nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    logger.warning(
+        "connected_components: not converged after %d rounds "
+        "(a component with diameter > max_iter exists); labels are an "
+        "upper bound, re-run with a higher max_iter",
+        max_iter,
+    )
+    return labels

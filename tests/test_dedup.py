@@ -167,3 +167,27 @@ def test_simhash_md5_variant_bands(spark, docs):
     }
     assert got[(1, 2)] == 0  # identical token multisets -> same signature
     assert all(h <= 3 for h in got.values())
+
+
+def test_connected_components_clusters_and_singletons(spark):
+    from slurm2sql_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3 (diameter 2), pair 10-11, triangle 20-21-22
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 99]], "id long")
+    got = {r.id: r.component for r in connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from slurm2sql_spark.operators.dedup import connected_components
+
+    # a 12-node path: worst-case diameter for propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == 12
