@@ -1457,3 +1457,55 @@ def dedup_components(spark, sf_dir):
     return connected_components(
         pairs, nodes=docs.select(F.col("doc_id").alias("id"))
     )
+
+
+@register(
+    "dedup_incremental",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) * 1000000
+                 + 0.001) / 1000000 AS jaccard
+    FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8
+      AND id_b >= 450
+    """,
+    doc="Incremental dedup: the last 50 docs as a 'nightly batch' "
+    "near-dup-checked against the first 450 as the existing corpus via "
+    "the corpus's LSH band index (corpus x corpus never compared; "
+    "within-batch pairs included). The oracle is the exhaustive "
+    "all-pairs result restricted to pairs touching the batch — "
+    "hash-equality checks incremental recall equals the full run's.",
+)
+def dedup_incremental(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_incremental_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 450)
+    batch = docs.filter(F.col("doc_id") >= 450)
+    # pre-built corpus index, as production would store it
+    cb = minhash_band_rows(corpus, "doc_id", "text")
+    pairs = minhash_incremental_pairs(
+        batch, corpus, "doc_id", "text", threshold=0.8, corpus_bands=cb
+    )
+    return pairs.select("id_a", "id_b", _q6("jaccard").alias("jaccard"))

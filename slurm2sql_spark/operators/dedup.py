@@ -49,6 +49,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_band_rows",
+    "minhash_incremental_pairs",
     "minhash_near_dup_pairs",
     "md5_token_hash60",
     "simhash_signatures",
@@ -234,10 +236,44 @@ def minhash_lsh_pairs(
     pairs — feed to ``ngram_jaccard_pairs``-style verification or accept
     at the (b, r)-tuned threshold.
     """
+    band_rows = minhash_band_rows(
+        df, id_col, text_col, n, num_hashes, bands, _shingles=_shingles
+    )
+    x = band_rows.alias("x")
+    y = band_rows.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    _shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, bucket) LSH index rows for a corpus — one row per doc
+    per band, bucket = hash of the band's signature slice.
+
+    Public on purpose: this is the frame a production pipeline PERSISTS
+    next to the corpus (it is the only corpus-wide work in the minhash
+    family), so nightly batches join against it via
+    ``minhash_incremental_pairs`` without re-signing the corpus.
+    """
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, _shingles)
-    band_rows = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -253,18 +289,6 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    x = band_rows.alias("x")
-    y = band_rows.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
 
 
 def md5_token_hash60(c: Column) -> Column:
@@ -307,8 +331,18 @@ def minhash_near_dup_pairs(
     candidate list is small, shuffle-hash otherwise).
     """
     cand = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands)
-    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
-    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    return _verify_jaccard(cand, texts, n, threshold)
+
+
+def _verify_jaccard(
+    cand: DataFrame, texts: DataFrame, n: int, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs:
+    re-shingle only the pair texts in one Arrow batch (O(candidates x
+    doc_len), never corpus-wide)."""
+    ta = texts.select(F.col("id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = texts.select(F.col("id").alias("id_b"), F.col("text").alias("_tb"))
     pairs = cand.join(ta, "id_a").join(tb, "id_b")
 
     @F.pandas_udf("struct<shared:long, sz_a:long, sz_b:long, jaccard:double>")
@@ -330,6 +364,70 @@ def minhash_near_dup_pairs(
         .select("id_a", "id_b", "_j.shared", "_j.sz_a", "_j.sz_b", "_j.jaccard")
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_incremental_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    corpus_bands: DataFrame | None = None,
+    include_batch_pairs: bool = True,
+) -> DataFrame:
+    """Verified near-dups of a NEW batch against an existing corpus —
+    the nightly-delta shape: corpus x corpus is never compared, so the
+    cost is O(batch) + one equi-join against the corpus's LSH index.
+
+    ``corpus_bands`` takes the PRE-BUILT ``minhash_band_rows`` frame
+    for the corpus (persist it next to the corpus; rebuilding it here
+    is the only corpus-wide work and amortizes to zero across batches).
+    ``include_batch_pairs`` also reports duplicates WITHIN the batch.
+    Id spaces must be disjoint (overlapping ids would verify a doc
+    against itself and duplicate text-join rows). Output pairs are
+    normalized to id_a < id_b like ``minhash_near_dup_pairs``.
+    """
+    bb = minhash_band_rows(batch, id_col, text_col, n, num_hashes, bands)
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else minhash_band_rows(corpus, id_col, text_col, n, num_hashes, bands)
+    )
+    x, y = bb.alias("x"), cb.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") != F.col("y.id")),
+        )
+        .select(
+            F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+            F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    if include_batch_pairs:
+        z = bb.alias("z")
+        batch_cand = (
+            x.join(
+                z,
+                (F.col("x.band") == F.col("z.band"))
+                & (F.col("x.bucket") == F.col("z.bucket"))
+                & (F.col("x.id") < F.col("z.id")),
+            )
+            .select(F.col("x.id").alias("id_a"), F.col("z.id").alias("id_b"))
+        )
+        cand = cand.unionByName(batch_cand).distinct()
+    texts = batch.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).unionByName(
+        corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
+    return _verify_jaccard(cand, texts, n, threshold)
 
 
 def simhash_signatures(

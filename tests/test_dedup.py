@@ -191,3 +191,53 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r.id: r.component for r in connected_components(edges).collect()}
     assert set(got.values()) == {0} and len(got) == 12
+
+
+def test_minhash_incremental_matches_full_run(spark):
+    from slurm2sql_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_near_dup_pairs,
+    )
+
+    base = "copies differ only slightly here with shared phrasing across documents "
+    rows = []
+    for i in range(40):
+        rows.append((i, base * 3 + f"corpus tail {i} unique words {i * 7}"))
+    # batch: 45 near-dups a corpus doc, 46/47 near-dup each other, 48 novel
+    rows += [
+        (45, base * 3 + "corpus tail 3 unique words 21 x"),
+        (46, base * 3 + "batch twin alpha"),
+        (47, base * 3 + "batch twin alpha y"),
+        (48, "completely different content with nothing shared at all " * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.filter("doc_id < 40")
+    batch = docs.filter("doc_id >= 40")
+
+    inc = {
+        (r.id_a, r.id_b)
+        for r in minhash_incremental_pairs(
+            batch, corpus, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+        if r.id_a >= 40 or r.id_b >= 40
+    }
+    assert inc == full and (46, 47) in inc
+    # no corpus-x-corpus pair ever reported
+    assert all(b >= 40 for _, b in inc)
+
+    # without within-batch pairs, only batch-vs-corpus survives
+    only_cross = {
+        (r.id_a, r.id_b)
+        for r in minhash_incremental_pairs(
+            batch, corpus, "doc_id", "text",
+            threshold=0.8, include_batch_pairs=False,
+        ).collect()
+    }
+    assert (46, 47) not in only_cross
+    assert only_cross == {p for p in full if p[0] < 40}
