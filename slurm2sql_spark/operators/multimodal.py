@@ -29,6 +29,7 @@ __all__ = [
     "media_table",
     "decode_images",
     "extract_features",
+    "resize_images",
     "sample_frames",
 ]
 
@@ -135,6 +136,58 @@ def decode_images(
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "pixel_digest": [d[2] for d in decoded],
+                }
+            )
+
+    return _size_partitions(
+        df.select("media_id", "content"), target_partition_bytes
+    ).mapInPandas(run, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = False,
+    target_partition_bytes: int = 256 << 20,
+) -> DataFrame:
+    """content -> resized image bytes at (width, height) per image.
+
+    Same Arrow-batched ``mapInPandas`` shape as ``decode_images``; the
+    resize seam is the inner ``_resize``. STRICT mode raises
+    NotImplementedError (no imaging libs in this container);
+    ``fake=True`` emits a deterministic surrogate — sha256(bytes +
+    dims) stretched to exactly ``width*height`` bytes — so batch
+    plumbing, output sizing, and downstream byte-budget partitioning
+    are all real and testable.
+    """
+    out_schema = "media_id long, width int, height int, content binary"
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        def _resize(buf: bytes) -> bytes:
+            if not fake:
+                # Real implementation: PIL Image.resize((width, height))
+                raise NotImplementedError(
+                    "image resize requires an imaging library; "
+                    "run with fake=True for the deterministic stub"
+                )
+            seed = hashlib.sha256(
+                (buf or b"") + f"{width}x{height}".encode()
+            ).digest()
+            need = width * height
+            return (seed * (need // len(seed) + 1))[:need]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": width,
+                    "height": height,
+                    "content": [_resize(b) for b in pdf["content"]],
                 }
             )
 

@@ -85,3 +85,36 @@ def test_size_partitions_honors_byte_budget(spark):
     assert n_big_target == dp
     # partition count responds to the data volume, not a constant
     assert n_small_target >= n_big_target
+
+
+def test_resize_images_fake_deterministic(spark):
+    from slurm2sql_spark.operators.multimodal import media_table, resize_images
+
+    docs = spark.createDataFrame(
+        [(1, b"imagebytes-a"), (2, b"imagebytes-bb")], "doc_id long, blob binary"
+    )
+    media = media_table(docs, "doc_id", "blob", "image")
+    out = {r.media_id: r for r in resize_images(media, 16, 8, fake=True).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert (r.width, r.height) == (16, 8)
+        assert len(r.content) == 16 * 8  # exact output sizing
+    # deterministic across runs
+    again = {r.media_id: bytes(r.content)
+             for r in resize_images(media, 16, 8, fake=True).collect()}
+    assert again == {k: bytes(v.content) for k, v in out.items()}
+    # dims participate in the surrogate (different size -> different bytes)
+    other = {r.media_id: bytes(r.content)
+             for r in resize_images(media, 8, 16, fake=True).collect()}
+    assert other[1] != bytes(out[1].content)
+
+
+def test_resize_images_strict_raises(spark):
+    import pytest as _pytest
+
+    from slurm2sql_spark.operators.multimodal import media_table, resize_images
+
+    docs = spark.createDataFrame([(1, b"x")], "doc_id long, blob binary")
+    media = media_table(docs, "doc_id", "blob", "image")
+    with _pytest.raises(Exception, match="imaging library"):
+        resize_images(media, 4, 4, fake=False).collect()
