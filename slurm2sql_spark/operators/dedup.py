@@ -552,9 +552,17 @@ def connected_components(
     ``nodes`` optionally supplies the full node universe (e.g. every
     document) so isolated nodes appear as singleton components.
     """
-    sym = edges.select(
+    # Materialize the edge frame ONCE: it joins against labels every
+    # round, and a lazy `edges` (often a full near-dup pipeline) would
+    # re-execute per iteration — and even the symmetrization's union
+    # would run it twice. Checkpoint the directed pairs first, then
+    # mirror the materialized copy.
+    e0 = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    ).localCheckpoint(eager=True)
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     if nodes is None:
         nodes = sym.select(F.col("src").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("component"))
