@@ -391,6 +391,12 @@ def minhash_incremental_pairs(
     normalized to id_a < id_b like ``minhash_near_dup_pairs``.
     """
     bb = minhash_band_rows(batch, id_col, text_col, n, num_hashes, bands)
+    if include_batch_pairs:
+        # two candidate branches consume the batch index; persist so the
+        # batch's shingle/signature pass runs once (see ngram_jaccard_pairs
+        # for why exchange reuse won't do this for us)
+        bb = bb.persist()
+        _PERSISTED.append(bb)
     cb = (
         corpus_bands
         if corpus_bands is not None

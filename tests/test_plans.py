@@ -113,3 +113,17 @@ def test_fan_out_known_count_skips_planning(spark, monkeypatch):
     # too few -> repartition, still no planning
     out = partitioning.fan_out(df, target=16, current_partitions=2)
     assert out is not df and out.count() == 10
+
+
+def test_ngram_jaccard_shingle_frame_is_cached(spark, catalog):
+    """The post-filter shingle frame must go through the cache: its
+    three consumers (sizes + both self-join sides) would otherwise each
+    re-execute the Arrow shingle kernel (per-branch column pruning
+    defeats exchange reuse). Asserts InMemoryTableScan feeds every
+    consumer; the ArrowEvalPython count in the printed plan is not a
+    reliable signal (the cached child plan is re-printed per scan)."""
+    catalog.drop_caches()
+    df = catalog.QUERIES["dedup_ngram_jaccard"].spark(spark, SF_DIR)
+    plan = _plan(spark, df, mode="simple")
+    assert plan.count("InMemoryTableScan") >= 3, plan[:1500]
+    catalog.drop_caches()
