@@ -1509,3 +1509,70 @@ def dedup_incremental(spark, sf_dir):
         batch, corpus, "doc_id", "text", threshold=0.8, corpus_bands=cb
     )
     return pairs.select("id_a", "id_b", _q6("jaccard").alias("jaccard"))
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             embedding,
+             127.0 / greatest(1e-30,
+               list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max')) AS q_scale
+      FROM embeddings WHERE vec_id < 100
+    ),
+    ix AS (
+      SELECT vec_id, embedding, q_scale,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM s
+    )
+    SELECT vec_id, i - 1 AS pos,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * q_scale + 0.5) AS INT) AS q
+    FROM ix
+    """,
+    doc="Int8 scalar quantization, exploded to scalars for the oracle: "
+    "per-vector scale = 127/max|x|, q = floor(x*scale + 0.5) "
+    "(round-half-up, engine-portable). The packed array<tinyint> form "
+    "is 4x smaller than float32 — scan bytes, shuffle volume, and "
+    "cache hit rate for every downstream ANN operator.",
+)
+def embedding_quantize(spark, sf_dir):
+    from slurm2sql_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    q = quantize_embeddings(emb, "vec_id", "embedding")
+    return q.select(
+        F.col("id").alias("vec_id"),
+        F.posexplode("qvec").alias("pos", "q"),
+    ).select("vec_id", "pos", F.col("q").cast("int").alias("q"))
+
+
+@register(
+    "sim_quantized_recall",
+    """
+    SELECT vec_id AS q_id, true AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="Property check for quantized_topk: per query, the int8-scan "
+    "top-5 must recover >= 4 of the exact float32 top-5 (int8 cosine "
+    "error is ~0.4%, so ranks are nearly always preserved).",
+)
+def sim_quantized_recall(spark, sf_dir):
+    from slurm2sql_spark.operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    approx = quantized_topk(qs, cs, k=5).select("q_id", "c_id")
+    exact = sim_topk_cosine(spark, sf_dir).select("q_id", "c_id")
+    hits = (
+        exact.join(approx, ["q_id", "c_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.select("q_id", (F.col("n_hits") >= 4).alias("recall_ok")).orderBy(
+        "q_id"
+    )

@@ -37,6 +37,9 @@ __all__ = [
     "ivf_cell_counts",
     "ivf_assign",
     "ivf_topk",
+    "quantize_embeddings",
+    "dequantize_embeddings",
+    "quantized_topk",
 ]
 
 
@@ -439,4 +442,74 @@ def ivf_topk(
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "sim", "rank")
+    )
+
+
+# =====================================================================
+# Int8 scalar quantization — the 4x memory/shuffle reduction for ANN
+# =====================================================================
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: ``scale =
+    127/max|x|``, ``q_i = floor(x_i * scale + 0.5)`` (round-half-up —
+    deterministic and engine-portable, unlike banker's rounding).
+
+    Returns (id, q_scale, qvec array<tinyint>): 4x smaller than float32
+    — at 100 TB of embeddings this is the difference in scan bytes,
+    shuffle volume, and page-cache hit rate for every downstream ANN
+    operator. Dequantize with ``dequantize_embeddings``; cosine on the
+    dequantized vectors is exact up to ~0.4% (pinned by
+    sim_quantized_recall).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.lit(127.0) / F.greatest(
+        F.lit(1e-30), F.array_max(F.transform(v, lambda x: F.abs(x)))
+    )
+    qvec = F.transform(v, lambda x: F.floor(x * scale + 0.5).cast("tinyint"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        scale.alias("q_scale"),
+        qvec.alias("qvec"),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    id_col: str = "id",
+    scale_col: str = "q_scale",
+    qvec_col: str = "qvec",
+    out_col: str = "vec",
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: ``x_i ~= q_i / scale``."""
+    s = F.col(scale_col)
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(qvec_col), lambda q: q.cast("double") / s
+        ).alias(out_col),
+    )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Exact-scan top-k over the int8-quantized corpus: quantize,
+    dequantize on the fly, cosine re-rank — same plan shape as
+    ``cosine_topk`` (broadcast queries, zero corpus shuffle) but the
+    corpus-side bytes in flight are 1/4 of float32. Queries stay
+    full-precision (they're broadcast; their size is irrelevant)."""
+    qc = dequantize_embeddings(
+        quantize_embeddings(corpus, c_id, c_vec), out_col="c_vec_dq"
+    ).withColumnRenamed("id", c_id)
+    return cosine_topk(
+        queries, qc, k=k, q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec="c_vec_dq"
     )

@@ -175,3 +175,48 @@ def test_ivf_cell_balance_guard(spark):
     counts = ivf_cell_counts(emb, guarded)
     assert sum(counts) == 416
     assert max(counts) <= 0.5 * 416
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    import numpy as np
+
+    from slurm2sql_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(0, 1, 32).tolist()) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(emb, "vec_id", "embedding")
+    qs = {r.id: (r.q_scale, list(r.qvec)) for r in q.collect()}
+    # int8 range respected, max component hits exactly +-127
+    for i, (scale, qvec) in qs.items():
+        assert all(-127 <= v <= 127 for v in qvec)
+        assert max(abs(v) for v in qvec) == 127
+    back = {r.vec_id: np.array(r.vec)
+            for r in dequantize_embeddings(q).withColumnRenamed("id", "vec_id").collect()}
+    for i, orig in rows:
+        err = np.abs(back[i] - np.array(orig)).max()
+        scale = qs[i][0]
+        assert err <= 0.5 / scale + 1e-12  # half-step quantization bound
+
+
+def test_quantized_topk_matches_exact_on_separated_data(spark):
+    import numpy as np
+
+    from slurm2sql_spark.operators.similarity import cosine_topk, quantized_topk
+
+    rng = np.random.default_rng(11)
+    basis = rng.normal(0, 1, (5, 16)) * 4
+    rows = [(i, (basis[i % 5] + rng.normal(0, 0.05, 16)).tolist()) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter("vec_id < 5").selectExpr("vec_id as q_id", "embedding as q_vec")
+    cs = emb.selectExpr("vec_id as c_id", "embedding as c_vec")
+    exact = {(r.q_id, r.c_id) for r in cosine_topk(qs, cs, k=5).collect()}
+    quant = {(r.q_id, r.c_id) for r in quantized_topk(qs, cs, k=5).collect()}
+    # int8 flips ranks only among near-ties WITHIN a cluster; across the
+    # well-separated clusters membership must hold, and overall recall
+    # must stay high
+    assert len(exact & quant) / len(exact) >= 0.8
+    assert all(c % 5 == q for q, c in quant)  # never leaves the cluster
