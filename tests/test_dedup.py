@@ -241,3 +241,50 @@ def test_minhash_incremental_matches_full_run(spark):
     }
     assert (46, 47) not in only_cross
     assert only_cross == {p for p in full if p[0] < 40}
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Seeded random graphs: the distributed propagation must agree with
+    a reference union-find on every one."""
+    import random
+
+    from slurm2sql_spark.operators.dedup import connected_components
+
+    def uf_components(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min node in component
+        comp = {}
+        for x in range(n):
+            r = find(x)
+            comp.setdefault(r, []).append(x)
+        return {x: min(members) for r, members in comp.items() for x in members}
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 60
+        m = rng.randrange(20, 80)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = uf_components(n, edges)
+        edf = spark.createDataFrame(edges or [(0, 1)], "id_a long, id_b long")
+        if not edges:
+            want = uf_components(n, [(0, 1)])
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        got = {
+            r.id: r.component
+            for r in connected_components(edf, nodes=nodes).collect()
+        }
+        assert got == want, f"trial {trial}: mismatch"
