@@ -1576,3 +1576,81 @@ def sim_quantized_recall(spark, sf_dir):
     return hits.select("q_id", (F.col("n_hits") >= 4).alias("recall_ok")).orderBy(
         "q_id"
     )
+
+
+@register(
+    "text_chunks",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE doc_id < 100
+    ),
+    sized AS (SELECT doc_id, w, len(w) AS n FROM toks),
+    c AS (
+      SELECT doc_id, w, n,
+             unnest(generate_series(0,
+               CAST(ceil(greatest(n - 100, 0) / 80.0) AS INT))) AS chunk_idx
+      FROM sized
+    )
+    SELECT doc_id AS id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 80 AS BIGINT) AS tok_start,
+           CAST(least(chunk_idx * 80 + 100, n) AS BIGINT) AS tok_end,
+           array_to_string(w[chunk_idx * 80 + 1 : chunk_idx * 80 + 100], ' ')
+             AS chunk_text
+    FROM c
+    """,
+    doc="Overlapping token-window chunking (window 100, stride 80): one "
+    "row per chunk with span indices and the chunk text — pure "
+    "sequence/slice expressions, chunk explosion in the scan stage, "
+    "zero shuffles.",
+)
+def text_chunks(spark, sf_dir):
+    from slurm2sql_spark.operators.textstats import chunk_spans
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = chunk_spans(docs, "doc_id", "text", window=100, stride=80)
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.col("tok_end").cast("long").alias("tok_end"),
+        "chunk_text",
+    )
+
+
+@register(
+    "text_scrub_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IPV4]', 'g'),
+             '\+?[0-9][0-9()-]{7,}[0-9]', '[PHONE]', 'g') AS clean_text,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text,
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text,
+             '\+?[0-9][0-9()-]{7,}[0-9]')) AS n_phone
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="PII scrubbing: email/IPv4/phone redaction via chained "
+    "regexp_replace (RE2-compatible patterns, so the oracle reproduces "
+    "the redacted text bit-for-bit) plus per-type audit counts. "
+    "JVM-side, zero shuffles.",
+)
+def text_scrub_pii(spark, sf_dir):
+    from slurm2sql_spark.operators.textstats import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        scrub_pii(t).alias("clean_text"),
+        *[c.cast("long").alias(n) for c, n in zip(
+            pii_counts(t), ["n_email", "n_ipv4", "n_phone"]
+        )],
+    )

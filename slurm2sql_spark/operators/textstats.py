@@ -16,6 +16,10 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "text_profile",
+    "scrub_pii",
+    "pii_counts",
+    "chunk_spans",
+    "PII_PATTERNS",
 ]
 
 #: GPT-2-style pre-tokenizer pattern, restricted to the syntax shared by
@@ -132,4 +136,85 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         quality_score(text).alias("quality"),
         lang_id(text).alias("lang_pred"),
         fingerprint(text).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunking and PII scrubbing (training-data preprocessing)
+# ---------------------------------------------------------------------------
+
+#: PII patterns restricted to the regex syntax shared by Java (Spark)
+#: and RE2 (DuckDB) — no lookarounds/backrefs, so the oracle replicates
+#: the scrub bit-for-bit. Ordered: emails before phones (an email's
+#: digits must not half-match as a phone).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    # no spaces in the class: "1995 2000 2010"-style number lists in
+    # prose must not be swallowed as one phone
+    ("phone", r"\+?[0-9][0-9()-]{7,}[0-9]"),
+]
+
+
+def scrub_pii(c: Column) -> Column:
+    """Redact emails, IPv4 addresses, and phone-like digit runs with
+    ``[TYPE]`` placeholders. One chained ``regexp_replace`` — JVM-side,
+    zero shuffles, and each pattern is RE2-compatible so any engine can
+    reproduce the output exactly."""
+    out = c
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+def pii_counts(c: Column) -> list[Column]:
+    """Per-type match counts (aliased ``n_<type>``) for audit columns."""
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+
+
+def chunk_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Overlapping token-window chunk spans per document: one row per
+    chunk with (id, chunk_idx, tok_start, tok_end, chunk_text).
+
+    ``window`` tokens per chunk, advancing ``stride`` tokens (default
+    ``window``, i.e. non-overlapping). The final partial window is kept
+    (a document shorter than ``window`` yields one chunk). All
+    arithmetic + ``slice``/``sequence`` expressions — narrow, zero
+    shuffles, chunk explosion happens in the scan stage.
+    """
+    stride = stride or window
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(0, n - window) / stride)
+    extra = F.greatest(n - F.lit(window), F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra.cast("double") / F.lit(stride)).cast("int")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("_toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).alias("tok_start"),
+            F.least(
+                F.col("chunk_idx") * stride + window, F.size("_toks")
+            ).alias("tok_end"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, window),
+            ).alias("chunk_text"),
+        )
     )

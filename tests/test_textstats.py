@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def test_text_profile(spark):
@@ -84,3 +85,53 @@ def test_bpe_token_count_segmentation(spark):
         bpe_token_count(F.col("s"), count_whitespace=True).alias("nws"),
     ).collect()[0]
     assert (n, nws) == (2, 3)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from slurm2sql_spark.operators.textstats import pii_counts, scrub_pii
+
+    rows = [
+        (1, "mail bob.smith+x@example.co.uk now"),
+        (2, "server at 192.168.1.250 port"),
+        (3, "call +1(555)123-4567 or 0123456789 today"),
+        (4, "years 1995 2000 2010 are fine"),
+        (5, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r.id: (r.clean, r.n_email, r.n_ipv4, r.n_phone)
+        for r in df.select(
+            "id", scrub_pii(F.col("text")).alias("clean"),
+            *pii_counts(F.col("text")),
+        ).collect()
+    }
+    assert out[1] == ("mail [EMAIL] now", 1, 0, 0)
+    assert out[2] == ("server at [IPV4] port", 0, 1, 0)
+    assert out[3] == ("call [PHONE] or [PHONE] today", 0, 0, 2)
+    # number lists in prose are NOT phones
+    assert out[4] == ("years 1995 2000 2010 are fine", 0, 0, 0)
+    assert out[5] == ("no pii here", 0, 0, 0)
+
+
+def test_chunk_spans_windows(spark):
+    from slurm2sql_spark.operators.textstats import chunk_spans
+
+    text250 = " ".join(f"t{i}" for i in range(250))
+    df = spark.createDataFrame(
+        [(1, text250), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {}
+    for r in chunk_spans(df, "doc_id", "text", window=100, stride=80).collect():
+        out.setdefault(r.id, []).append(r)
+    c1 = sorted(out[1], key=lambda r: r.chunk_idx)
+    assert [(r.tok_start, r.tok_end) for r in c1] == [(0, 100), (80, 180), (160, 250)]
+    assert c1[0].chunk_text.startswith("t0 t1 ") and c1[0].chunk_text.endswith("t99")
+    assert c1[2].chunk_text.endswith("t249")
+    # short doc: one partial chunk
+    c2 = out[2]
+    assert len(c2) == 1 and (c2[0].tok_start, c2[0].tok_end) == (0, 3)
+    assert c2[0].chunk_text == "a b c"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_spans(df, "doc_id", "text", window=0)
