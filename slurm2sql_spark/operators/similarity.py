@@ -33,6 +33,7 @@ __all__ = [
     "lsh_signatures",
     "lsh_topk",
     "embedding_near_dup_pairs",
+    "tune_lsh",
     "ivf_centroids",
     "ivf_cell_counts",
     "ivf_assign",
@@ -136,6 +137,34 @@ def lsh_signatures(
     )
 
 
+def _band_key_rows(
+    df: DataFrame, id_col: str, vec_col: str, planes: int, bands: int, dim: int
+) -> DataFrame:
+    """(id, band, key) rows computed directly from the vectors: the
+    signature bits are packed PER BAND (``planes/bands`` bits each), so
+    total planes are unlimited (the single-long ``lsh_signatures``
+    packing caps at 63 — too few for ``tune_lsh`` output on large
+    corpora). Bit-compatible with slicing the packed signature: band b
+    holds planes [b*w, (b+1)*w)."""
+    w = planes // bands
+
+    @F.pandas_udf("array<long>")
+    def _keys(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes_t = _plane_matrix(w * bands, dim).T  # (dim, total)
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (mat @ planes_t) > 0  # (n, total)
+        weights = (1 << np.arange(w)).astype(np.int64)
+        ks = bits.reshape(len(mat), bands, w).astype(np.int64) @ weights
+        return pd.Series(list(ks))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        _keys(F.col(vec_col).cast("array<double>")).alias("_ks"),
+    ).select("id", F.posexplode("_ks").alias("band", "key"))
+
+
 def _band_rows(sig_df: DataFrame, planes: int, bands: int) -> DataFrame:
     """Explode a signature into (band, key) rows — candidate pairs are
     rows agreeing on any one band (classic banded LSH).
@@ -184,10 +213,12 @@ def lsh_topk(
     both sides — never a cross product. The query side stays broadcast
     when small.
     """
-    qsig = lsh_signatures(queries, q_id, q_vec, planes, dim)
-    csig = lsh_signatures(corpus, c_id, c_vec, planes, dim)
-    qb = _band_rows(qsig, planes, bands).withColumnRenamed("id", "q_id")
-    cb = _band_rows(csig, planes, bands).withColumnRenamed("id", "c_id")
+    qb = _band_key_rows(queries, q_id, q_vec, planes, bands, dim).withColumnRenamed(
+        "id", "q_id"
+    )
+    cb = _band_key_rows(corpus, c_id, c_vec, planes, bands, dim).withColumnRenamed(
+        "id", "c_id"
+    )
     # ids-only dedup: the distinct shuffles (q_id, c_id) pairs, never the
     # vectors; embeddings re-join once per surviving candidate.
     cand_ids = (
@@ -211,6 +242,35 @@ def lsh_topk(
     )
 
 
+def tune_lsh(
+    n: int,
+    threshold: float = 0.95,
+    recall: float = 0.95,
+    target_bucket: int = 64,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Pick (planes_per_band, bands) for hyperplane LSH from the
+    standard S-curve, scaling the bucket space with the corpus.
+
+    Fixed banding has a quadratic tail: candidates grow O(n^2 /
+    2^planes_per_band), so a config tuned at 5k docs (16 buckets/band)
+    melts at 50k (measured 11x time for 10x data). Per-plane agreement
+    for a pair at cosine ``threshold`` is ``p = 1 - acos(threshold)/pi``;
+    this picks ``w = log2(n / target_bucket)`` planes per band (expected
+    bucket size ~``target_bucket``) and then enough bands that
+    ``1 - (1 - p^w)^bands >= recall``.
+    """
+    import math
+
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    w = max(4, math.ceil(math.log2(max(2, n) / max(1, target_bucket))))
+    band_agree = p**w
+    if band_agree >= 1.0:
+        return w, 1
+    b = math.ceil(math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - band_agree))
+    return w, max(1, min(max_bands, b))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -219,12 +279,23 @@ def embedding_near_dup_pairs(
     planes: int = 16,
     bands: int = 4,
     dim: int = 64,
+    auto_tune: bool = False,
 ) -> DataFrame:
     """Corpus self-join near-dups: banded LSH candidates -> exact cosine
     filter at ``threshold`` (id_a < id_b). Same equi-join shape as
-    lsh_topk, so candidate generation is shuffle-hash, never O(n^2)."""
-    sig = lsh_signatures(df, id_col, vec_col, planes, dim)
-    rows = _band_rows(sig, planes, bands)
+    lsh_topk, so candidate generation is a shuffle-hash equi-join — but
+    beware the bucket-space tail: with FIXED (planes, bands) the
+    expected candidate count is O(n^2 / 2^(planes/bands)), so the
+    default 16-bucket bands are for small corpora only. Pass
+    ``auto_tune=True`` to size the banding from the corpus count via
+    ``tune_lsh`` (one count() job, model-state exception); at 100 TB
+    that is the difference between a linear and a quadratic candidate
+    stage.
+    """
+    if auto_tune:
+        w, b = tune_lsh(df.count(), threshold)
+        planes, bands = w * b, b
+    rows = _band_key_rows(df, id_col, vec_col, planes, bands, dim)
     a = rows.alias("a")
     b = rows.alias("b")
     # ids-only candidate dedup (see _band_rows): vectors join back in

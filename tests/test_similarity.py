@@ -220,3 +220,46 @@ def test_quantized_topk_matches_exact_on_separated_data(spark):
     # must stay high
     assert len(exact & quant) / len(exact) >= 0.8
     assert all(c % 5 == q for q, c in quant)  # never leaves the cluster
+
+
+def test_tune_lsh_scales_buckets_and_keeps_recall():
+    import math
+
+    from slurm2sql_spark.operators.similarity import tune_lsh
+
+    def recall(threshold, w, b):
+        p = 1.0 - math.acos(threshold) / math.pi
+        return 1.0 - (1.0 - p**w) ** b
+
+    for n in (1_000, 100_000, 10_000_000):
+        for threshold in (0.9, 0.95, 0.99):
+            w, b = tune_lsh(n, threshold)
+            assert recall(threshold, w, b) >= 0.95
+            # bucket space scales with the corpus
+            assert 2**w >= n / 128
+    # more data -> wider bands
+    assert tune_lsh(10_000_000, 0.95)[0] > tune_lsh(1_000, 0.95)[0]
+
+
+def test_embedding_near_dup_auto_tune_recovers_planted(spark):
+    import numpy as np
+
+    from slurm2sql_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(0, 1, 16).tolist()) for i in range(2000)]
+    planted = set()
+    for i in range(20):
+        base = np.array(rows[i][1])
+        rows.append((5000 + i, (base + rng.normal(0, 1e-3, 16)).tolist()))
+        planted.add((i, 5000 + i))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.99, dim=16, auto_tune=True
+        ).collect()
+    }
+    assert planted <= got
+    # random 16-d pairs essentially never hit cosine .99; nothing extra
+    assert got == planted

@@ -58,6 +58,10 @@ SPARK_ONLY = [
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "sim_topk_cosine",
+    "dedup_components",
+    "dedup_incremental",
+    "sim_quantized_recall",
+    "pack_sequences",
 ]
 
 ALPHA = "abcdefghij"
