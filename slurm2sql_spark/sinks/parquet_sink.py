@@ -159,8 +159,19 @@ def upsert(
         # recover_staging() (called on the next upsert), which re-runs the
         # same loop from the staged output. Without the manifest a crashed
         # swap left a mix of old and new partitions with no way back.
+        #
+        # The manifest records two EXPLICIT lists, classified while the
+        # staging dir is still complete: "installs" (rels with staged
+        # data to rename in) and "deletes" (affected rels with no
+        # surviving rows — the key-migration case). Inferring the delete
+        # case from "src absent" at replay time is wrong: after a crash
+        # mid-loop an already-installed rel ALSO has src absent (it was
+        # renamed away), and the inference would rmtree the freshly
+        # installed data.
+        installs = [r for r in rels if os.path.isdir(os.path.join(staging, r))]
+        deletes = [r for r in rels if r not in installs]
         with open(os.path.join(staging, _MANIFEST), "w") as fh:
-            json.dump({"affected": rels}, fh)
+            json.dump({"installs": installs, "deletes": deletes}, fh)
         _install_staged(path, staging)
         return
 
@@ -237,20 +248,34 @@ _MANIFEST = "_upsert_manifest.json"
 def _install_staged(path: str, staging: str) -> None:
     """Replay the staged partition swap described by the manifest.
 
-    Idempotent: every step checks current state, so it can be re-run
-    after a crash at any point. A manifest entry whose staged source is
-    absent means the merged output has no rows for that partition — its
-    table directory is deleted (the key-migration case)."""
+    Idempotent at every crash point because the manifest distinguishes
+    the two cases explicitly instead of inferring them from filesystem
+    state:
+
+    - ``deletes``: affected partitions with no surviving rows (key
+      migrated away) — ``rmtree(dst)`` unconditionally; re-running after
+      a crash just finds dst already gone.
+    - ``installs``: partitions with staged data. If src is absent the
+      rename already happened on a previous (crashed) replay — skip,
+      WITHOUT touching dst, which now holds the installed data. Only
+      when src is still present is dst cleared, immediately before the
+      rename, so the delete+rename pair re-runs as a unit.
+    """
     with open(os.path.join(staging, _MANIFEST)) as fh:
-        rels = json.load(fh)["affected"]
-    for rel in rels:
-        src = os.path.join(staging, rel)
+        manifest = json.load(fh)
+    for rel in manifest["deletes"]:
         dst = os.path.join(path, rel)
         if os.path.isdir(dst):
             shutil.rmtree(dst)
-        if os.path.isdir(src):
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.rename(src, dst)
+    for rel in manifest["installs"]:
+        src = os.path.join(staging, rel)
+        dst = os.path.join(path, rel)
+        if not os.path.isdir(src):
+            continue  # already installed by a replay that crashed later
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
     shutil.rmtree(staging, ignore_errors=True)
 
 

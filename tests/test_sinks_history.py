@@ -278,6 +278,62 @@ def test_upsert_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
     assert leftovers == []
 
 
+def test_upsert_crash_mid_install_loop_recovers(spark, tmp_path, monkeypatch):
+    """Crash AFTER the first partition rename but before the loop
+    finishes (the ADVICE r3 high finding): on replay, already-installed
+    partitions have src absent + dst present — the old 'src absent means
+    delete dst' inference destroyed the freshly installed data. The
+    manifest's explicit installs/deletes lists make the replay skip the
+    installed rel instead."""
+    import slurm2sql_spark.sinks.parquet_sink as sink
+
+    p = str(tmp_path / "t")
+    day = 86400
+    base = with_day_partition(
+        _jobs(spark, [("1", "RUNNING", 0 * day), ("2", "DONE", 1 * day + 60)])
+    )
+    upsert(spark, base, p, partition_cols=("day",))
+
+    # batch: job 1 migrates day0 -> day2 (delete rel for day0), job 4
+    # lands in day1 (install rel) — two installs + one delete, so the
+    # crash leaves a genuinely mixed state.
+    batch = with_day_partition(
+        _jobs(spark, [("1", "COMPLETED", 2 * day), ("4", "NEW", 1 * day + 90)])
+    )
+    real_rename = os.rename
+    renames = {"n": 0}
+
+    def crash_after_first(src, dst):
+        real_rename(src, dst)
+        renames["n"] += 1
+        if renames["n"] == 1:
+            raise RuntimeError("crash mid-install-loop")
+
+    monkeypatch.setattr(sink.os, "rename", crash_after_first)
+    try:
+        upsert(spark, batch, p, partition_cols=("day",))
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(sink.os, "rename", real_rename)
+    assert renames["n"] == 1  # exactly one partition was installed
+
+    # next upsert recovers the crashed batch first, then applies its own
+    upsert(
+        spark,
+        with_day_partition(_jobs(spark, [("5", "RUNNING", 3 * day)])),
+        p,
+        partition_cols=("day",),
+    )
+    out = {r.JobID: (r.State, str(r.day)) for r in read_table(spark, p).collect()}
+    assert out == {
+        "1": ("COMPLETED", "1970-01-03"),  # migrated, old day0 copy gone
+        "2": ("DONE", "1970-01-02"),
+        "4": ("NEW", "1970-01-02"),
+        "5": ("RUNNING", "1970-01-04"),
+    }
+    assert [d for d in os.listdir(tmp_path) if ".staging-" in d] == []
+
+
 def test_garbage_staging_without_manifest_is_deleted(spark, tmp_path):
     from slurm2sql_spark.sinks.parquet_sink import recover_staging
 
