@@ -32,11 +32,22 @@ import sys
 import time
 
 
-def _run_all(QUERIES, spark, sf_dir: str) -> dict[str, float]:
+def _run_all(
+    QUERIES, spark, sf_dir: str, errors: dict[str, str] | None = None
+) -> dict[str, float]:
+    # Fault-isolated: one broken query must not abort the run and erase
+    # the numbers for every healthy query (the r4 failure mode). Errors
+    # are recorded per-query and surfaced in the emitted JSON.
     times: dict[str, float] = {}
     for name, spec in QUERIES.items():
         t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        try:
+            spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            if errors is not None:
+                msg = f"{type(exc).__name__}: {exc}"
+                errors[name] = msg.splitlines()[0][:500]
+            continue
         times[name] = round(time.perf_counter() - t0, 3)
     return times
 
@@ -71,26 +82,30 @@ def main() -> None:
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(iters):
-        pass_times = _run_all(QUERIES, spark, sf_dir)
+        pass_times = _run_all(QUERIES, spark, sf_dir, errors)
         _drop_caches()
         for name, t in pass_times.items():
             times[name] = min(times.get(name, float("inf")), t)
+    # A query that succeeded on any pass has a number; drop its
+    # earlier-pass error so `errors` lists only truly-broken queries.
+    for name in times:
+        errors.pop(name, None)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_val,
-                "warmup_sf": warm_dir if warm_dir else None,
-                "iterations": iters,
-            }
-        )
-    )
+    payload = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        "warmup_sf": warm_dir if warm_dir else None,
+        "iterations": iters,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -60,16 +60,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # behaves identically under any session.
     spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); Spark reads it as a
-        # nanosecond LONG under this (runtime-settable) flag. Queries
-        # use `ts div 1000` (micros) to align with DuckDB's epoch_us.
+        # events.parquet's `ts` has shipped as both TIMESTAMP(NANOS) and
+        # timestamp[us] across testdata generations. The flag below only
+        # affects NANOS columns (reads them as a nanosecond LONG instead
+        # of erroring); it is a no-op for micros data, so it is safe to
+        # set unconditionally. The actual unit dispatch happens in
+        # _ts_us(), which branches on the dtype Spark really produced.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _ts_us() -> Column:
-    """events.ts (nanos long) -> microseconds, floor division."""
-    return F.expr("ts div 1000")
+def _ts_us(ev: DataFrame) -> Column:
+    """events.ts -> microseconds-since-epoch BIGINT, whatever the stored
+    physical type. Matches DuckDB's ``epoch_us(ts)`` on the same file:
+
+    - ``bigint``: TIMESTAMP(NANOS) read under ``nanosAsLong`` -> floor-
+      divide to micros.
+    - ``timestamp_ntz``: wall-clock micros via ``timestampdiff`` from
+      the NTZ epoch — pure calendar arithmetic, independent of the
+      session timezone (the driver's session TZ is not ours to assume),
+      matching DuckDB's naive-as-UTC ``epoch_us``.
+    - ``timestamp`` (LTZ): instant-based ``unix_micros`` — also
+      TZ-independent, matching ``epoch_us`` on a TIMESTAMPTZ read.
+    """
+    dt = dict(ev.dtypes)["ts"]
+    if dt == "bigint":
+        return F.expr("ts div 1000")
+    if dt.startswith("timestamp_ntz"):
+        return F.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+        )
+    return F.unix_micros(F.col("ts"))
 
 
 def _q6(c: Column | str) -> Column:
@@ -283,7 +304,7 @@ def latest_event_per_user(spark, sf_dir):
         .select(
             "user_id",
             "event_id",
-            _ts_us().alias("ts_us"),
+            _ts_us(ev).alias("ts_us"),
             "event_type",
             F.col("value"),
         )
@@ -346,7 +367,7 @@ def setops_users(spark, sf_dir):
 def sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = _ts_us()
+    us = _ts_us(ev)
     prev = F.lag(us).over(w)
     new_session = F.when(
         prev.isNull() | ((us - prev) > 1_800_000_000), 1
@@ -836,7 +857,7 @@ def deidentify_q(spark, sf_dir):
 def windowed_event_counts(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
-        (F.floor(_ts_us() / 3_600_000_000) * 3600).alias("window_start_s"),
+        (F.floor(_ts_us(ev) / 3_600_000_000) * 3600).alias("window_start_s"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),

@@ -276,25 +276,38 @@ def embedding_near_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    planes: int = 16,
-    bands: int = 4,
+    planes: int | None = None,
+    bands: int | None = None,
     dim: int = 64,
-    auto_tune: bool = False,
+    auto_tune: bool | None = None,
 ) -> DataFrame:
     """Corpus self-join near-dups: banded LSH candidates -> exact cosine
     filter at ``threshold`` (id_a < id_b). Same equi-join shape as
-    lsh_topk, so candidate generation is a shuffle-hash equi-join — but
-    beware the bucket-space tail: with FIXED (planes, bands) the
-    expected candidate count is O(n^2 / 2^(planes/bands)), so the
-    default 16-bucket bands are for small corpora only. Pass
-    ``auto_tune=True`` to size the banding from the corpus count via
-    ``tune_lsh`` (one count() job, model-state exception); at 100 TB
-    that is the difference between a linear and a quadratic candidate
-    stage.
+    lsh_topk, so candidate generation is a shuffle-hash equi-join.
+
+    Banding defaults to AUTO-TUNED from the corpus count via
+    ``tune_lsh`` (one count() job — model-state exception): with FIXED
+    (planes, bands) the expected candidate count is O(n^2 /
+    2^(planes/bands)), so any fixed config is a quadratic time bomb at
+    scale (measured 13x wall on 10x data with the old 4-bit-band
+    default). At 100 TB auto-tuning is the difference between a linear
+    and a quadratic candidate stage.
+
+    - ``auto_tune=None`` (default): tune unless the caller pinned BOTH
+      ``planes`` and ``bands`` (an explicit config is an explicit
+      choice — e.g. an oracle-checked test pinning determinism).
+    - ``auto_tune=True``: always tune, ignoring ``planes``/``bands``.
+    - ``auto_tune=False``: fixed banding; unspecified ``planes``/
+      ``bands`` fall back to the legacy 16/4 (small corpora only).
     """
+    if auto_tune is None:
+        auto_tune = planes is None or bands is None
     if auto_tune:
         w, b = tune_lsh(df.count(), threshold)
         planes, bands = w * b, b
+    else:
+        planes = 16 if planes is None else planes
+        bands = 4 if bands is None else bands
     rows = _band_key_rows(df, id_col, vec_col, planes, bands, dim)
     a = rows.alias("a")
     b = rows.alias("b")

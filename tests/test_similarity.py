@@ -263,3 +263,38 @@ def test_embedding_near_dup_auto_tune_recovers_planted(spark):
     assert planted <= got
     # random 16-d pairs essentially never hit cosine .99; nothing extra
     assert got == planted
+
+
+def test_embedding_near_dup_default_is_auto_tuned(spark, monkeypatch):
+    """The DEFAULT call path must size banding from the corpus count —
+    the fixed legacy 16/4 config is measured quadratic at scale (13x
+    wall at 10x data). Explicitly pinned (planes, bands) must still be
+    honored verbatim (oracle-checked catalog entry relies on it)."""
+    from slurm2sql_spark.operators import similarity as sim
+
+    calls: list[tuple[int, float]] = []
+    real_tune = sim.tune_lsh
+
+    def spy(n, threshold=0.95, **kw):
+        calls.append((n, threshold))
+        return real_tune(n, threshold, **kw)
+
+    monkeypatch.setattr(sim, "tune_lsh", spy)
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=i) * 2 - 1) for i in range(8)]).alias("v"),
+    )
+    # default path: no banding args -> must consult tune_lsh with n=500
+    sim.embedding_near_dup_pairs(emb, "vec_id", "v", dim=8).collect()
+    assert calls and calls[-1][0] == 500
+    # pinned path: explicit planes+bands -> tune_lsh NOT consulted
+    n_calls = len(calls)
+    sim.embedding_near_dup_pairs(
+        emb, "vec_id", "v", dim=8, planes=32, bands=4
+    ).collect()
+    assert len(calls) == n_calls
+    # forced path: auto_tune=True overrides pinned banding
+    sim.embedding_near_dup_pairs(
+        emb, "vec_id", "v", dim=8, planes=32, bands=4, auto_tune=True
+    ).collect()
+    assert len(calls) == n_calls + 1
