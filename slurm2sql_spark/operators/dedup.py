@@ -60,8 +60,32 @@ __all__ = [
 ]
 
 #: frames persisted by operators in this module (see
-#: ngram_jaccard_pairs); released by release_caches().
+#: ngram_jaccard_pairs); released by release_caches(). Grows until the
+#: caller releases — a long-lived library session calling the persisting
+#: operators in a loop without release_caches() pins executor/storage
+#: memory without bound, so _persist() warns past _PERSISTED_WARN
+#: entries. Appends/pops are not synchronized; call release_caches()
+#: from the thread that ran the jobs, not concurrently with them.
 _PERSISTED: list[DataFrame] = []
+_PERSISTED_WARN = 32
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    if len(_PERSISTED) == _PERSISTED_WARN:
+        import warnings
+
+        warnings.warn(
+            f"{_PERSISTED_WARN} frames pinned by dedup operators without "
+            "a release_caches() call — storage memory grows unboundedly "
+            "in long-lived sessions; call "
+            "slurm2sql_spark.operators.dedup.release_caches() between "
+            "batches",
+            ResourceWarning,
+            stacklevel=3,
+        )
+    return df
 
 
 def release_caches() -> None:
@@ -174,8 +198,7 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(rare, "shingle")
     if persist_shingles:
-        sh = sh.persist()
-        _PERSISTED.append(sh)
+        sh = _persist(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -389,14 +412,17 @@ def minhash_incremental_pairs(
     Id spaces must be disjoint (overlapping ids would verify a doc
     against itself and duplicate text-join rows). Output pairs are
     normalized to id_a < id_b like ``minhash_near_dup_pairs``.
+
+    With ``include_batch_pairs`` the batch index is persisted; call
+    ``release_caches()`` between batches in a long-lived session or
+    pinned frames accumulate (see ``_PERSISTED``).
     """
     bb = minhash_band_rows(batch, id_col, text_col, n, num_hashes, bands)
     if include_batch_pairs:
         # two candidate branches consume the batch index; persist so the
         # batch's shingle/signature pass runs once (see ngram_jaccard_pairs
         # for why exchange reuse won't do this for us)
-        bb = bb.persist()
-        _PERSISTED.append(bb)
+        bb = _persist(bb)
     cb = (
         corpus_bands
         if corpus_bands is not None

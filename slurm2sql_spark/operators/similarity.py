@@ -20,10 +20,14 @@
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 __all__ = [
     "dot",
@@ -146,6 +150,11 @@ def _band_key_rows(
     packing caps at 63 — too few for ``tune_lsh`` output on large
     corpora). Bit-compatible with slicing the packed signature: band b
     holds planes [b*w, (b+1)*w)."""
+    assert planes % bands == 0, (
+        f"planes ({planes}) must be divisible by bands ({bands}) — "
+        "otherwise the trailing planes would be silently dropped "
+        "(matching minhash_lsh_pairs' num_hashes % bands assert)"
+    )
     w = planes // bands
 
     @F.pandas_udf("array<long>")
@@ -268,6 +277,19 @@ def tune_lsh(
     if band_agree >= 1.0:
         return w, 1
     b = math.ceil(math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - band_agree))
+    if b > max_bands:
+        achieved = 1.0 - (1.0 - band_agree) ** max_bands
+        logger.warning(
+            "tune_lsh: bands capped at %d (requested recall %.3f needs "
+            "%d bands at threshold %.3f, n=%d); achieved pair recall is "
+            "~%.3f — raise max_bands or lower target_bucket to restore it",
+            max_bands,
+            recall,
+            b,
+            threshold,
+            n,
+            achieved,
+        )
     return w, max(1, min(max_bands, b))
 
 

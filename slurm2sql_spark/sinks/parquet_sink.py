@@ -170,8 +170,7 @@ def upsert(
         # installed data.
         installs = [r for r in rels if os.path.isdir(os.path.join(staging, r))]
         deletes = [r for r in rels if r not in installs]
-        with open(os.path.join(staging, _MANIFEST), "w") as fh:
-            json.dump({"installs": installs, "deletes": deletes}, fh)
+        _write_manifest(staging, {"installs": installs, "deletes": deletes})
         _install_staged(path, staging)
         return
 
@@ -182,8 +181,7 @@ def upsert(
     # rmtree and the rename is repaired by recover_staging().
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(staging)
-    with open(os.path.join(staging, _MANIFEST), "w") as fh:
-        json.dump({"whole_table": True}, fh)
+    _write_manifest(staging, {"whole_table": True})
     _install_whole(path, staging)
 
 
@@ -203,8 +201,12 @@ def _delta_upsert(
     under its commit protocol — no stale duplicate can survive, and a
     crash mid-merge leaves the previous snapshot visible). The batch is
     pre-deduplicated on ``key`` because MERGE requires a unique source
-    row per matched target row — same last-write-wins outcome the
-    row-at-a-time INSERT OR REPLACE had (reference slurm2sql.py:1023-1027).
+    row per matched target row. Caveat vs the reference's row-at-a-time
+    INSERT OR REPLACE (slurm2sql.py:1023-1027): with duplicate keys
+    WITHIN one batch, ``dropDuplicates`` keeps an arbitrary row (the
+    parquet branch shares this tie-break), not the last-seen one —
+    batches from the sacct source carry at most one row per JobIDRaw,
+    so the difference is unobservable on the reference's own inputs.
     """
     try:
         from delta.tables import DeltaTable
@@ -243,6 +245,22 @@ _HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
 
 
 _MANIFEST = "_upsert_manifest.json"
+
+
+def _write_manifest(staging: str, payload: dict) -> None:
+    """Atomically publish the staging manifest (the upsert commit point).
+
+    A plain open()+json.dump interrupted mid-write would leave truncated
+    JSON, and every later ``recover_staging`` would raise
+    JSONDecodeError — permanently wedging the table. Temp-file +
+    fsync + rename makes the manifest either absent (staging is garbage,
+    reclaimed by recover_staging) or complete — never half-written."""
+    tmp = os.path.join(staging, _MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, os.path.join(staging, _MANIFEST))
 
 
 def _install_staged(path: str, staging: str) -> None:
@@ -308,8 +326,18 @@ def recover_staging(path: str) -> None:
         if not os.path.exists(mf):
             shutil.rmtree(staging, ignore_errors=True)
             continue
-        with open(mf) as fh:
-            manifest = json.load(fh)
+        try:
+            with open(mf) as fh:
+                manifest = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            # _write_manifest publishes atomically, so a manifest from
+            # THIS writer can't be truncated — but a foreign/corrupted
+            # one must not wedge the table forever. _install_staged
+            # parses the manifest before any destructive step, so an
+            # unparseable manifest means the install never started: the
+            # staging dir is garbage, same as the manifest-absent case.
+            shutil.rmtree(staging, ignore_errors=True)
+            continue
         if manifest.get("whole_table"):
             _install_whole(path, staging)
         else:

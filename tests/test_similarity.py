@@ -265,6 +265,49 @@ def test_embedding_near_dup_auto_tune_recovers_planted(spark):
     assert got == planted
 
 
+def test_band_key_rows_rejects_indivisible_planes(spark):
+    from slurm2sql_spark.operators.similarity import _band_key_rows
+
+    emb = spark.createDataFrame(
+        [(0, [0.1] * 8)], "id long, v array<double>"
+    )
+    with pytest.raises(AssertionError, match="divisible"):
+        _band_key_rows(emb, "id", "v", planes=17, bands=4, dim=8)
+
+
+def test_tune_lsh_warns_when_bands_cap_binds(caplog):
+    import logging
+
+    from slurm2sql_spark.operators.similarity import tune_lsh
+
+    with caplog.at_level(logging.WARNING, "slurm2sql_spark.operators.similarity"):
+        # a low threshold at huge n needs far more than max_bands bands
+        w, b = tune_lsh(10_000_000, threshold=0.6, max_bands=8)
+    assert b == 8
+    assert any("bands capped" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "slurm2sql_spark.operators.similarity"):
+        tune_lsh(10_000, threshold=0.95)  # cap does not bind
+    assert not caplog.records
+
+
+def test_persisted_frames_warn_past_bound(spark, monkeypatch):
+    import warnings
+
+    from slurm2sql_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_PERSISTED", [])
+    monkeypatch.setattr(dedup, "_PERSISTED_WARN", 3)
+    df = spark.range(1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        for _ in range(3):
+            dedup._persist(df)
+    assert any(issubclass(x.category, ResourceWarning) for x in w)
+    dedup.release_caches()
+    assert not dedup._PERSISTED
+
+
 def test_embedding_near_dup_default_is_auto_tuned(spark, monkeypatch):
     """The DEFAULT call path must size banding from the corpus count —
     the fixed legacy 16/4 config is measured quadratic at scale (13x

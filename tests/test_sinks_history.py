@@ -346,6 +346,49 @@ def test_garbage_staging_without_manifest_is_deleted(spark, tmp_path):
     assert {r.JobID for r in read_table(spark, p).collect()} == {"1"}
 
 
+def test_truncated_manifest_staging_is_reclaimed_not_wedged(spark, tmp_path):
+    """A staging dir with unparseable manifest JSON (foreign writer /
+    disk corruption — our own writer publishes atomically) must be
+    treated as garbage, not raise JSONDecodeError forever."""
+    from slurm2sql_spark.sinks.parquet_sink import _MANIFEST, recover_staging
+
+    p = str(tmp_path / "t")
+    write_overwrite(_jobs(spark, [("1", "RUNNING", 100)]), p)
+    bad = f"{p}.staging-0badjson"
+    os.makedirs(bad)
+    with open(os.path.join(bad, _MANIFEST), "w") as fh:
+        fh.write('{"installs": ["day=1970-01-')  # truncated mid-write
+    recover_staging(p)  # must not raise
+    assert not os.path.isdir(bad)
+    # table untouched, and subsequent upserts work
+    upsert(spark, _jobs(spark, [("2", "DONE", 200)]), p, key="JobID")
+    assert {r.JobID for r in read_table(spark, p).collect()} == {"1", "2"}
+
+
+def test_manifest_written_atomically(spark, tmp_path, monkeypatch):
+    """No observable instant where the manifest file exists but is
+    incomplete: the writer must go through temp-file + rename."""
+    import slurm2sql_spark.sinks.parquet_sink as sink
+
+    seen: list[str] = []
+    real_rename = os.rename
+
+    def spy(src, dst):
+        if dst.endswith(sink._MANIFEST):
+            with open(src) as fh:
+                import json
+
+                json.load(fh)  # complete JSON before it becomes visible
+            seen.append(dst)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sink.os, "rename", spy)
+    p = str(tmp_path / "t")
+    upsert(spark, _jobs(spark, [("1", "RUNNING", 100)]), p, key="JobID")
+    upsert(spark, _jobs(spark, [("2", "DONE", 200)]), p, key="JobID")
+    assert seen, "manifest was not published via rename"
+
+
 # --- optional Delta MERGE backend (K2's object-store path) ---------------
 
 def _has_delta():
