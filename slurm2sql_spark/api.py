@@ -58,11 +58,13 @@ def ingest(
 
     ``raw_lines`` is the PIPE path: driver-side continuation stitching,
     sized for a single sacct stream — don't hand it a multi-GB dump.
-    ``dump_path`` is the FILE path: a distributed ``spark.read.csv``
-    scan over the pipe-delimited dump (scales to any size; assumes
-    newline-free records, which stitching exists to repair).
-    ``errors`` (raw_lines path only) collects unparseable lines so the
-    caller can exit nonzero (reference slurm2sql.py:785-788)."""
+    ``dump_path`` is the FILE path: a distributed line scan over the
+    pipe-delimited dump (scales to any size). It cannot REPAIR records
+    whose JobName embeds a newline (stitching exists for that), but it
+    DETECTS them: with ``errors`` passed, malformed lines are collected
+    into it so the caller can report the count and exit nonzero —
+    the same error contract as the stitching path (reference
+    slurm2sql.py:785-788)."""
     if raw_lines is not None:
         typed = slurm_transform(
             read_sacct_lines(spark, raw_lines, errors=errors),
@@ -70,11 +72,12 @@ def ingest(
         )
         return typed
     if dump_path is not None:
-        from slurm2sql_spark.sources.csv_source import sacct_lines_to_df
+        from slurm2sql_spark.sources.csv_source import sacct_dump_scan
 
-        return slurm_transform(
-            sacct_lines_to_df(spark, dump_path), now=kwargs.get("now")
-        )
+        ok, bad = sacct_dump_scan(spark, dump_path)
+        if errors is not None:
+            errors.extend(r.line for r in bad.collect())
+        return slurm_transform(ok, now=kwargs.get("now"))
     if csv_path is not None:
         return ingest_csv(spark, csv_path, **kwargs)
     from slurm2sql_spark.sources.sacct_source import SacctDataSource

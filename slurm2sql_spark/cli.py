@@ -19,6 +19,7 @@ Run: ``python -m slurm2sql_spark.cli {ingest,sacct,seff} ...``
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 
@@ -458,7 +459,9 @@ def ingest_cli(spark: SparkSession, argv) -> str:
                    help="ingest this sacct-shaped CSV instead of live sacct")
     p.add_argument("--sacct-dump",
                    help="raw `sacct -P --delimiter=';|;'` output file, "
-                        "read as a distributed scan (any size)")
+                        "read as a distributed scan (any size); "
+                        "malformed lines are counted and reported with "
+                        "exit 1 (repair needs --stitch-lines)")
     p.add_argument("--stitch-lines", action="store_true",
                    help="with --sacct-dump: reassemble records whose "
                         "JobName contains newlines, with error accounting "
@@ -597,14 +600,18 @@ def ingest_cli(spark: SparkSession, argv) -> str:
 
         errors: list = []
         if args.stitch_lines:
-            # opt-in driver path: only one that can repair newline-split
-            # records and count unparseable lines
+            # opt-in driver path: the only one that can REPAIR
+            # newline-split records (reassembles them before parsing)
             with open(args.sacct_dump) as f:
                 typed = api.ingest(spark, raw_lines=f.read(), errors=errors)
         else:
-            # default: executor-side spark.read.csv scan — a multi-GB
-            # dump never touches driver memory
-            typed = api.ingest(spark, dump_path=args.sacct_dump)
+            # default: executor-side line scan — a multi-GB dump never
+            # touches driver memory. Malformed lines (wrong field
+            # arity, e.g. a JobName with an embedded newline) are
+            # counted and reported with exit 1, same contract as the
+            # stitch path (reference slurm2sql.py:785-788) — but not
+            # repaired; the error message points at --stitch-lines.
+            typed = api.ingest(spark, dump_path=args.sacct_dump, errors=errors)
         if args.jobs_only:
             from pyspark.sql import functions as F
 
@@ -617,6 +624,13 @@ def ingest_cli(spark: SparkSession, argv) -> str:
         if errors:
             print(f"wrote {n} rows to {args.table}", file=sys.stderr)
             print(f"Completed with {len(errors)} errors", file=sys.stderr)
+            if not args.stitch_lines:
+                print(
+                    "(malformed lines were skipped, not repaired; "
+                    "re-run with --stitch-lines to reassemble "
+                    "newline-split records)",
+                    file=sys.stderr,
+                )
             raise SystemExit(1)
         return f"wrote {n} rows to {args.table}"
     # live sacct, one shot
@@ -670,11 +684,131 @@ def deidentify_cli(spark: SparkSession, argv) -> str:
     return f"wrote deidentified table to {out_path}"
 
 
+def import_cli(spark: SparkSession, argv) -> str:
+    """One-shot migration of a reference-built slurm2sql SQLite ``.db``
+    into a parquet table.
+
+    The reference can reopen a previously built database directly
+    (``import_or_open_db``, slurm2sql.py:1080-1101); a user migrating
+    with years of SQLite history runs this once and then queries the
+    parquet table with every other command. Stdlib ``sqlite3`` streams
+    the rows in batches through ``createDataFrame`` — no JDBC needed,
+    and driver memory holds one batch at a time.
+
+    The schema comes from the database itself (``PRAGMA table_info``
+    declared types, mapped through the reference's three-type system
+    int/real/text -> Long/Double/String, slurm2sql.py:40-45), so dbs
+    built by older reference versions with fewer columns import as-is.
+    SQLite is dynamically typed, so values are defensively coerced to
+    the declared column type (a TEXT '12' in an int column imports as
+    12, matching how sqlite itself would CAST on read).
+
+    The reference's resume watermark (``meta_slurm_lastupdate``,
+    slurm2sql.py:947,1104-1120) is carried over into this engine's
+    watermark store, so ``ingest --history-resume`` continues from
+    where the old database stopped.
+    """
+    import sqlite3
+
+    from slurm2sql_spark.streaming.history import set_watermark
+
+    p = argparse.ArgumentParser(prog="slurm2sql-spark import")
+    p.add_argument("db", help="existing slurm2sql SQLite database file")
+    p.add_argument("table", help="output parquet table path")
+    p.add_argument("--source-table", default="slurm",
+                   help="table to import (default: slurm)")
+    p.add_argument("--batch-rows", type=int, default=100_000,
+                   help="rows per createDataFrame batch (driver memory "
+                        "bound; default 100k)")
+    args = p.parse_args(argv)
+
+    if not os.path.exists(args.db):
+        raise SystemExit(f"no such database: {args.db}")
+    con = sqlite3.connect(f"file:{args.db}?mode=ro", uri=True)
+    try:
+        cols = con.execute(
+            f"PRAGMA table_info({_sqlite_ident(args.source_table)})"
+        ).fetchall()
+        if not cols:
+            raise SystemExit(
+                f"table {args.source_table!r} not found in {args.db}"
+            )
+        names = [c[1] for c in cols]
+        decls = [(c[2] or "").lower() for c in cols]
+
+        from pyspark.sql import types as T
+
+        def spark_type(decl: str):
+            if "int" in decl:
+                return T.LongType()
+            if decl in ("real", "double", "float") or "real" in decl:
+                return T.DoubleType()
+            return T.StringType()
+
+        def coerce(decl: str):
+            if "int" in decl:
+                return lambda v: None if v is None else int(v)
+            if "real" in decl or decl in ("double", "float"):
+                return lambda v: None if v is None else float(v)
+            return lambda v: None if v is None else str(v)
+
+        schema = T.StructType(
+            [
+                T.StructField(n, spark_type(d), True)
+                for n, d in zip(names, decls)
+            ]
+        )
+        coercers = [coerce(d) for d in decls]
+        cur = con.execute(
+            f"SELECT * FROM {_sqlite_ident(args.source_table)}"
+        )
+        total, first = 0, True
+        while True:
+            rows = cur.fetchmany(args.batch_rows)
+            if not rows:
+                break
+            batch = [
+                tuple(c(v) for c, v in zip(coercers, r)) for r in rows
+            ]
+            df = spark.createDataFrame(batch, schema)
+            df.write.mode("overwrite" if first else "append").parquet(
+                args.table
+            )
+            total += len(batch)
+            first = False
+        if first:  # zero rows: still create an empty table of the schema
+            spark.createDataFrame([], schema).write.mode(
+                "overwrite"
+            ).parquet(args.table)
+        # carry the resume watermark over, if the reference stored one
+        wm = None
+        try:
+            row = con.execute(
+                "SELECT update_time FROM meta_slurm_lastupdate "
+                "ORDER BY id DESC LIMIT 1"
+            ).fetchone()
+            wm = row[0] if row else None
+        except sqlite3.OperationalError:
+            pass  # older db without the meta table
+        if wm is not None:
+            set_watermark(args.table, int(wm))
+    finally:
+        con.close()
+    suffix = " (watermark carried over)" if wm is not None else ""
+    return f"imported {total} rows from {args.db} to {args.table}{suffix}"
+
+
+def _sqlite_ident(name: str) -> str:
+    """Quote a SQLite identifier (PRAGMA/SELECT cannot be parameterized)."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 _COMMANDS = {
     "ingest": ingest_cli,
     "sacct": sacct_cli,
     "seff": seff_cli,
     "deidentify": deidentify_cli,
+    "import": import_cli,
 }
 
 
@@ -705,6 +839,10 @@ def main_seff():
 
 def main_deidentify():
     main(["deidentify"] + sys.argv[1:])
+
+
+def main_import():
+    main(["import"] + sys.argv[1:])
 
 
 if __name__ == "__main__":

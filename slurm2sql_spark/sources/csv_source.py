@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 
 SACCT_DELIMITER = ";|;"
 
-__all__ = ["read_csv", "stitch_lines", "read_sacct_lines", "sacct_lines_to_df"]
+__all__ = [
+    "read_csv",
+    "stitch_lines",
+    "read_sacct_lines",
+    "sacct_lines_to_df",
+    "sacct_dump_scan",
+]
 
 
 def read_csv(spark: SparkSession, path: str, delimiter: str = ",") -> DataFrame:
@@ -96,3 +102,56 @@ def sacct_lines_to_df(spark: SparkSession, path: str) -> DataFrame:
     path: no embedded newlines, so Spark's CSV reader handles the
     multi-char delimiter distributedly with pushdown-friendly scans)."""
     return spark.read.option("header", True).option("sep", SACCT_DELIMITER).csv(path)
+
+
+def sacct_dump_scan(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed dump scan WITH malformed-record accounting — the
+    default ``--sacct-dump`` path (reference error contract:
+    slurm2sql.py:785-788 counts unparseable lines and exits 1).
+
+    Spark's CSV reader cannot do this accounting: in PERMISSIVE mode a
+    short line (the signature of a JobName with an embedded newline
+    splitting one record across physical lines) is silently null-padded,
+    never marked corrupt. So the scan is a ``spark.read.text`` line
+    scan + exact-arity split — sacct -P output has no quoting, so a
+    well-formed record is precisely a line with ``len(header)`` fields:
+
+    - arity == n: parsed (empty fields -> NULL, matching the CSV
+      reader's ``nullValue`` default so downstream converters see the
+      same shape either way);
+    - arity != n: returned in the second frame for counting/reporting —
+      both halves of a newline-split record land here (short), as do
+      too-many-field lines (the reference's unrecoverable case).
+
+    Repeated header lines (concatenated dumps) are dropped, not
+    counted as errors. Driver-side stitching (``--stitch-lines``) is
+    the only path that can REPAIR split records; this one detects and
+    reports them at any scale. Returns ``(ok_rows, bad_lines)``; both
+    are lazy, and the scan is shared when both are consumed in one job.
+    """
+    import re
+
+    lines = spark.read.text(path)
+    header_line = lines.first()
+    if header_line is None:
+        raise ValueError(f"empty sacct dump: {path}")
+    header_line = header_line[0]
+    header = header_line.split(SACCT_DELIMITER)
+    n = len(header)
+    body = lines.filter(F.col("value") != header_line)
+    parts = F.split(F.col("value"), re.escape(SACCT_DELIMITER), -1)
+    split = body.select("value", parts.alias("_p")).withColumn(
+        "_n", F.size("_p")
+    )
+    ok = split.filter(F.col("_n") == n).select(
+        *[
+            F.nullif(F.col("_p").getItem(i), F.lit("")).alias(h)
+            for i, h in enumerate(header)
+        ]
+    )
+    bad = split.filter(F.col("_n") != n).select(
+        F.col("value").alias("line"), F.col("_n").alias("n_fields")
+    )
+    return ok, bad

@@ -323,6 +323,45 @@ def test_ingest_cli_sacct_dump_clean(spark, tmp_path):
     assert "2 rows" in msg
 
 
+def test_ingest_cli_sacct_dump_default_counts_errors(spark, tmp_path, capsys):
+    """The DEFAULT (distributed) dump path must also honor the
+    reference's error contract (slurm2sql.py:785-788): malformed lines
+    — here a newline-split record (two short physical lines) and a
+    too-many-fields line — are counted, reported on stderr with a
+    --stitch-lines hint, and the exit code is 1. The well-formed rows
+    still land in the table."""
+    dump = tmp_path / "dump.txt"
+    dump.write_text(
+        "JobID;|;JobName;|;User;|;State\n"
+        "1;|;my\njob;|;alice;|;COMPLETED\n"  # splits into 2 short lines
+        "2;|;ok;|;bob;|;RUNNING\n"
+        "x;|;x;|;x;|;x;|;extra\n"  # too many fields
+    )
+    with pytest.raises(SystemExit) as e:
+        ingest_cli(spark, [str(tmp_path / "t4"), "--sacct-dump", str(dump)])
+    assert e.value.code == 1
+    err = capsys.readouterr().err
+    assert "3 errors" in err
+    assert "--stitch-lines" in err
+    # the one intact record was written
+    table = spark.read.parquet(str(tmp_path / "t4"))
+    assert [r.JobID for r in table.collect()] == ["2"]
+
+
+def test_ingest_cli_sacct_dump_repeated_header_tolerated(spark, tmp_path):
+    """Concatenated dumps repeat the header; duplicate header lines are
+    dropped, not parsed as data and not counted as errors."""
+    dump = tmp_path / "dump.txt"
+    dump.write_text(
+        "JobID;|;JobIDRaw;|;User;|;State\n"
+        "1;|;1;|;alice;|;COMPLETED\n"
+        "JobID;|;JobIDRaw;|;User;|;State\n"
+        "2;|;2;|;bob;|;RUNNING\n"
+    )
+    msg = ingest_cli(spark, [str(tmp_path / "t5"), "--sacct-dump", str(dump)])
+    assert "2 rows" in msg
+
+
 def test_ingest_cli_sacct_dump_stitch_opt_in(spark, tmp_path):
     # a newline inside JobName splits a record across physical lines;
     # only --stitch-lines reassembles it
@@ -392,3 +431,89 @@ def test_ingest_cli_table_format_delta_without_package(spark, tmp_path):
     with pytest.raises(Exception, match="delta"):
         ingest_cli(spark, [str(tmp_path / "t"), "--sacct-dump", str(dump),
                            "--update", "--table-format", "delta"])
+
+
+# --- SQLite import (reference import_or_open_db, slurm2sql.py:1080-1101) --
+
+def _make_reference_db(path: str, n_rows: int = 7, watermark: float | None = 1700000000.5):
+    """A miniature reference-built db: typed `slurm` table (three-type
+    system, reference slurm2sql.py:40-45) + meta_slurm_lastupdate."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    con.execute(
+        'CREATE TABLE slurm ("JobID" text UNIQUE, "JobStep" text, '
+        '"User" text, "State" text, "NCPUS" int, "CPUTime" real, '
+        '"MaxRSS" real)'
+    )
+    con.execute(
+        "CREATE TABLE meta_slurm_lastupdate "
+        "(id INTEGER PRIMARY KEY, update_time REAL)"
+    )
+    for i in range(n_rows):
+        con.execute(
+            "INSERT INTO slurm VALUES (?,?,?,?,?,?,?)",
+            (str(i), None, f"user{i % 3}", "COMPLETED", 2 + i,
+             float(10 * i), 1024.0 * i),
+        )
+    # sqlite is dynamically typed: sneak a TEXT value into an int column
+    # (real-world dbs have these) — import must coerce per declared type
+    con.execute(
+        "INSERT INTO slurm VALUES ('99', NULL, 'x', 'FAILED', '8', '1.5', NULL)"
+    )
+    if watermark is not None:
+        con.execute(
+            "INSERT INTO meta_slurm_lastupdate VALUES (1, ?)", (watermark,)
+        )
+    con.commit()
+    con.close()
+
+
+def test_import_cli_roundtrip(spark, tmp_path):
+    from slurm2sql_spark.cli import import_cli
+    from slurm2sql_spark.streaming.history import get_watermark
+
+    db = str(tmp_path / "old.db")
+    _make_reference_db(db)
+    table = str(tmp_path / "migrated")
+    msg = import_cli(spark, [db, table, "--batch-rows", "3"])  # >1 batch
+    assert "8 rows" in msg and "watermark carried over" in msg
+
+    df = spark.read.parquet(table)
+    types = dict(df.dtypes)
+    assert types["NCPUS"] == "bigint"
+    assert types["CPUTime"] == "double"
+    assert types["JobID"] == "string"
+    rows = {r.JobID: r for r in df.collect()}
+    assert len(rows) == 8
+    assert rows["3"].NCPUS == 5 and rows["3"].CPUTime == 30.0
+    # dynamically-typed sqlite values coerced per declared type
+    assert rows["99"].NCPUS == 8 and rows["99"].CPUTime == 1.5
+    # reference watermark continues the --history-resume protocol
+    assert get_watermark(table) == 1700000000
+
+
+def test_import_cli_queryable_after_migration(spark, tmp_path):
+    """The migrated table serves the reporting CLI — the 'switch from
+    the reference' workflow end-to-end."""
+    from slurm2sql_spark.cli import import_cli
+
+    db = str(tmp_path / "old.db")
+    _make_reference_db(db, watermark=None)
+    table = str(tmp_path / "migrated")
+    import_cli(spark, [db, table])
+    out = sacct_cli(spark, ["--db", table, "-o", "JobID,User,NCPUS"])
+    assert "user0" in out
+
+
+def test_import_cli_missing_inputs(spark, tmp_path):
+    from slurm2sql_spark.cli import import_cli
+
+    with pytest.raises(SystemExit, match="no such database"):
+        import_cli(spark, [str(tmp_path / "absent.db"), str(tmp_path / "t")])
+    import sqlite3
+
+    empty = str(tmp_path / "empty.db")
+    sqlite3.connect(empty).close()
+    with pytest.raises(SystemExit, match="not found"):
+        import_cli(spark, [empty, str(tmp_path / "t")])
