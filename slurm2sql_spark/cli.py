@@ -106,10 +106,27 @@ def format_table(df: DataFrame, limit: int = 10000, fmt: str = "simple") -> str:
     slurm2sql.py:1135-1151, 1174): NULL as empty string, numbers
     right-aligned. ``simple`` is the reference's compact default;
     ``plain``/``github``/``pretty``/``grid``/``rst`` mirror the
-    same-named tabulate styles; ``csv``/``tsv`` are machine-readable."""
+    same-named tabulate styles; ``csv``/``tsv`` are machine-readable.
+
+    Any OTHER name is handed to the real tabulate package when it is
+    installed (the reference accepts every tabulate style,
+    slurm2sql.py:1174); without tabulate, unknown names raise with the
+    supported list — the 8 native styles cover the reference's tested
+    surface without the dependency."""
     if fmt not in TABLE_FORMATS:
-        raise ValueError(
-            f"unknown --format {fmt!r}; supported: {', '.join(TABLE_FORMATS)}"
+        try:
+            from tabulate import tabulate as _tabulate
+        except ImportError:
+            raise ValueError(
+                f"unknown --format {fmt!r}; supported without the "
+                f"optional tabulate package: {', '.join(TABLE_FORMATS)} "
+                "(install tabulate for every tabulate style)"
+            ) from None
+        rows = df.limit(limit).collect()
+        return _tabulate(
+            [["" if v is None else v for v in r] for r in rows],
+            headers=df.columns,
+            tablefmt=fmt,
         )
     rows = df.limit(limit).collect()
     headers = df.columns

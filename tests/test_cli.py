@@ -137,11 +137,21 @@ def test_format_table_plain_and_grid(spark):
 
 
 def test_format_table_unknown_format_rejected(spark):
+    """Non-native format names delegate to the real tabulate package
+    when installed (reference accepts any tabulate style,
+    slurm2sql.py:1174); without it the error names the native styles
+    and the optional dependency."""
     import pytest as _pytest
 
     df = spark.createDataFrame([("a", 1)], "s string, n long")
-    with _pytest.raises(ValueError, match="unknown --format"):
-        format_table(df, fmt="nope")
+    try:
+        from tabulate import tabulate as _tab
+
+        out = format_table(df, fmt="orgtbl")
+        assert out == _tab([["a", 1]], headers=["s", "n"], tablefmt="orgtbl")
+    except ImportError:
+        with _pytest.raises(ValueError, match="unknown --format.*tabulate"):
+            format_table(df, fmt="orgtbl")
 
 
 # --- reference selector surface (slurm2sql.py:1039-1069, 1182-1275) ------
