@@ -52,6 +52,48 @@ def _null_if_empty(c: Column, dtype: str = "string") -> Column:
     return F.when(c.isNull() | (c == ""), F.lit(None).cast(dtype)).otherwise(c)
 
 
+# --- construction-cost control: whole-stage SQL templates -------------------
+#
+# Building the four projection stages through the Column API costs
+# thousands of py4j round trips per call (~1.5-6 s of pure DRIVER time
+# per fresh plan — execution is unaffected). Like the converter-level
+# templates (converters.sql_templated), the stage dictionaries are built
+# ONCE per (input columns, now) key, rendered to SQL text, and every
+# later call replays them as four selectExpr's — one py4j call each.
+# Falls back to the direct Column path when rendering is unavailable
+# (Spark Connect). Both paths share the same _stageN_exprs builders, so
+# there is a single source of truth for the semantics.
+
+_PLAN_SQL_CACHE: dict[tuple, tuple[list[str], ...]] = {}
+
+
+def _wc_sql(input_cols: list[str], d: dict[str, Column]) -> tuple[list[str], list[str]] | None:
+    """Render ``withColumns(d)`` over ``input_cols`` as a selectExpr
+    list (replacements in place, new columns appended — the exact
+    withColumns contract). Returns (select_list, output_cols); None if
+    any expression can't be rendered."""
+    out_sql: list[str] = []
+    out_cols: list[str] = []
+    for c in input_cols:
+        if c in d:
+            s = C._col_sql(d[c])
+            if s is None:
+                return None
+            out_sql.append(f"{s} AS `{c}`")
+        else:
+            out_sql.append(f"`{c}`")
+        out_cols.append(c)
+    for name, col in d.items():
+        if name in input_cols:
+            continue
+        s = C._col_sql(col)
+        if s is None:
+            return None
+        out_sql.append(f"{s} AS `{name}`")
+        out_cols.append(name)
+    return out_sql, out_cols
+
+
 def slurm_transform(
     raw: DataFrame, now: int | None = None, jobs_only: bool = False
 ) -> DataFrame:
@@ -68,24 +110,86 @@ def slurm_transform(
     if missing:
         raw = raw.withColumns({f: F.lit(None).cast("string") for f in missing})
 
-    now_col = (
+    key = (tuple(raw.columns), now)
+    plan = _PLAN_SQL_CACHE.get(key)
+    if plan is None and key not in _PLAN_SQL_CACHE:
+        plan = _render_plan(list(raw.columns), now)
+        _PLAN_SQL_CACHE[key] = plan  # None is cached too (Connect)
+        if len(_PLAN_SQL_CACHE) > 64:  # schema-per-call caller guard
+            _PLAN_SQL_CACHE.clear()
+            _PLAN_SQL_CACHE[key] = plan
+    if plan is not None:
+        out = raw
+        for stage_sql in plan:
+            out = out.selectExpr(*stage_sql)
+        if jobs_only:
+            out = out.filter(F.col("JobStep").isNull())
+        return out
+    return _transform_columns_path(raw, now, jobs_only)
+
+
+def _render_plan(cols0: list[str], now: int | None) -> tuple[list[str], ...] | None:
+    now_col = _now_col(now)
+    r1 = _wc_sql(cols0, _stage1_exprs())
+    if r1 is None:
+        return None
+    s1, cols1 = r1
+    r2 = _wc_sql(cols1, _stage2_exprs())
+    if r2 is None:
+        return None
+    s2, cols2 = r2
+    r3 = _wc_sql(cols2, _stage3_exprs(now_col))
+    if r3 is None:
+        return None
+    s3, _ = r3
+    final: list[str] = []
+    for name, col in _final_cols():
+        s = C._col_sql(col)
+        if s is None:
+            return None
+        final.append(f"{s} AS `{name}`")
+    return s1, s2, s3, final
+
+
+def _now_col(now: int | None) -> Column:
+    return (
         F.lit(now).cast("long")
         if now is not None
         else F.unix_timestamp(F.current_timestamp())
     )
 
-    # --- stage 1: one-pass TRES map parses (C14 x9, slurm2sql.py:643-686)
-    stage1 = raw.withColumns(
-        {
-            "_tin": F.str_to_map(F.col("TRESUsageInTot"), F.lit(","), F.lit("=")),
-            "_tal": F.str_to_map(F.col("AllocTRES"), F.lit(","), F.lit("=")),
-            "_tout": F.str_to_map(F.col("TRESUsageOutTot"), F.lit(","), F.lit("=")),
-            "_treq": F.str_to_map(F.col("ReqTRES"), F.lit(","), F.lit("=")),
-        }
-    )
 
+def _transform_columns_path(
+    raw: DataFrame, now: int | None, jobs_only: bool
+) -> DataFrame:
+    """Direct Column-API path (used when SQL rendering is unavailable);
+    semantically identical to the cached-SQL path by construction —
+    both apply the same _stageN_exprs over the same withColumns
+    contract."""
+    out = (
+        raw.withColumns(_stage1_exprs())
+        .withColumns(_stage2_exprs())
+        .withColumns(_stage3_exprs(_now_col(now)))
+        .select(*[col.alias(name) for name, col in _final_cols()])
+    )
+    if jobs_only:
+        out = out.filter(F.col("JobStep").isNull())
+    return out
+
+
+def _stage1_exprs() -> dict[str, Column]:
+    # --- stage 1: one-pass TRES map parses (C14 x9, slurm2sql.py:643-686)
+    return {
+        "_tin": F.str_to_map(F.col("TRESUsageInTot"), F.lit(","), F.lit("=")),
+        "_tal": F.str_to_map(F.col("AllocTRES"), F.lit(","), F.lit("=")),
+        "_tout": F.str_to_map(F.col("TRESUsageOutTot"), F.lit(","), F.lit("=")),
+        "_treq": F.str_to_map(F.col("ReqTRES"), F.lit(","), F.lit("=")),
+    }
+
+
+def _stage2_exprs() -> dict[str, Column]:
     # --- stage 2: shared expensive parses, materialized once each
-    stage2 = stage1.withColumns(
+    return (
         {
             # identity grammar (R15-R20, slurm2sql.py:412-462)
             "JobIDnostep": J.job_id_nostep(F.col("JobID")),
@@ -139,11 +243,13 @@ def slurm_transform(
         }
     )
 
+
+def _stage3_exprs(now_col: Column) -> dict[str, Column]:
     # --- stage 3: derived columns over cheap references
     end, start = F.col("End"), F.col("Start")
     nullexit = F.col("ExitCode").isNull() | (F.col("ExitCode") == "")
     reqmem_known = F.col("ReqMem").isNotNull()
-    stage3 = stage2.withColumns(
+    return (
         {
             # R1/R2: latest-active time. Branching mirrors the reference
             # exactly: *any* End except the literal 'Unknown' (including
@@ -195,6 +301,8 @@ def slurm_transform(
         }
     )
 
+
+def _final_cols() -> list[tuple[str, Column]]:
     # --- final projection: registry order, null-guarded passthroughs
     passthrough_str = {
         "JobName", "User", "Group", "Account", "SubmitLine", "State",
@@ -211,29 +319,21 @@ def slurm_transform(
         "NCPUS": "_ncpus",
         "NNodes": "_nnodes",
     }
-    cols: list[Column] = []
+    nullints = {
+        "Priority", "AllocNodes", "NTasks", "ReqCPUS", "AllocCPUS",
+    }
+    cols: list[tuple[str, Column]] = []
     for name, _dtype in SLURM_FIELDS:
         if name in passthrough_str:
-            cols.append(_null_if_empty(F.col(name)).alias(name))
+            cols.append((name, _null_if_empty(F.col(name))))
         elif name == "Comment":
-            cols.append(C.nullstr_strip(F.col("Comment")).alias("Comment"))
-        elif name == "Priority":
-            cols.append(C.nullint(F.col("Priority")).alias("Priority"))
+            cols.append((name, C.nullstr_strip(F.col("Comment"))))
         elif name == "ConsumedEnergy":
-            cols.append(C.nullint(F.col("ConsumedEnergyRaw")).alias("ConsumedEnergy"))
-        elif name == "AllocNodes":
-            cols.append(C.nullint(F.col("AllocNodes")).alias("AllocNodes"))
-        elif name == "NTasks":
-            cols.append(C.nullint(F.col("NTasks")).alias("NTasks"))
-        elif name == "ReqCPUS":
-            cols.append(C.nullint(F.col("ReqCPUS")).alias("ReqCPUS"))
-        elif name == "AllocCPUS":
-            cols.append(C.nullint(F.col("AllocCPUS")).alias("AllocCPUS"))
+            cols.append((name, C.nullint(F.col("ConsumedEnergyRaw"))))
+        elif name in nullints:
+            cols.append((name, C.nullint(F.col(name))))
         elif name in renames:
-            cols.append(F.col(renames[name]).alias(name))
+            cols.append((name, F.col(renames[name])))
         else:
-            cols.append(F.col(name).alias(name))
-    out = stage3.select(*cols)
-    if jobs_only:
-        out = out.filter(F.col("JobStep").isNull())
-    return out
+            cols.append((name, F.col(name)))
+    return cols
