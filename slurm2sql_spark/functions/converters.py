@@ -59,7 +59,7 @@ def _c(col: Column | str) -> Column:
 # rendering is unavailable (Spark Connect Columns have no _jc) — the
 # result is identical either way, only construction cost differs.
 
-_SQL_TEMPLATE_CACHE: dict[tuple[str, str], str] = {}
+_SQL_TEMPLATE_CACHE: dict[tuple, str | list[str]] = {}
 
 #: JVM handle to the classic-mode ColumnNode -> catalyst Expression
 #: converter (Spark 4 removed Column.expr()); lazily bound, re-bound
@@ -88,6 +88,25 @@ def _col_sql(col: Column | str) -> str | None:
         except Exception:
             _NODE_CONVERTER = None
     return None
+
+
+def cached_columns(key: tuple, build) -> list[Column]:
+    """Build a LIST of Column expressions once per ``key``, render each
+    to SQL text, and replay later calls as one ``F.expr`` parse per
+    element — the list-shaped sibling of ``sql_templated`` for
+    generated expression families (64 minhash aggs, 64 simhash bit
+    sums, band explodes). The expressions must reference fixed column
+    names; parameters that change the tree must be part of ``key``.
+    Falls back to the direct build when rendering is unavailable."""
+    sqls = _SQL_TEMPLATE_CACHE.get(key)
+    if sqls is None:
+        cols = build()
+        rendered = [_col_sql(c) for c in cols]
+        if any(s is None for s in rendered):
+            return cols
+        _SQL_TEMPLATE_CACHE[key] = rendered
+        return cols
+    return [F.expr(s) for s in sqls]
 
 
 def sql_templated(fn):

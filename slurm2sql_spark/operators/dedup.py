@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from slurm2sql_spark.functions.converters import cached_columns
 from slurm2sql_spark.plans import fan_out
 
 logger = logging.getLogger(__name__)
@@ -236,10 +237,13 @@ def minhash_signatures(
     composing several shingle consumers pay the explode once.
     """
     sh = _shingles if _shingles is not None else shingles(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    aggs = cached_columns(
+        ("minhash_aggs", num_hashes),
+        lambda: [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
     return sh.groupBy("id").agg(*aggs)
 
 
@@ -296,22 +300,25 @@ def minhash_band_rows(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, _shingles)
-    return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * r + i}") for i in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    (bb,) = cached_columns(
+        ("minhash_band_explode", bands, r),
+        lambda: [
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.col(f"h{b * r + i}") for i in range(r)]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb")
+        ],
+    )
+    return sig.select("id", bb).select("id", "bb.band", "bb.bucket")
 
 
 def md5_token_hash60(c: Column) -> Column:
@@ -487,19 +494,26 @@ def simhash_signatures(
     # ((h>>i)&1 — long arithmetic, no CASE WHEN in the per-token hot
     # path) and compare 2*ones > n once per DOC after the map-side
     # combine. Same truth table including the tie (sum>0 <=> 2*ones>n).
-    bit_sums = toks.groupBy("id").agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[
+    bit_aggs = cached_columns(
+        ("simhash_bit_aggs", bits),
+        lambda: [F.count(F.lit(1)).alias("_n")]
+        + [
             F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
             for i in range(bits)
         ],
     )
-    packed = None
-    for i in range(bits):
-        bit = (2 * F.col(f"b{i}") > F.col("_n")).cast("long")
-        term = F.shiftleft(bit, i)
-        packed = term if packed is None else packed.bitwiseXOR(term)
-    return bit_sums.select("id", packed.alias("simhash"))
+    bit_sums = toks.groupBy("id").agg(*bit_aggs)
+
+    def _pack():
+        packed = None
+        for i in range(bits):
+            bit = (2 * F.col(f"b{i}") > F.col("_n")).cast("long")
+            term = F.shiftleft(bit, i)
+            packed = term if packed is None else packed.bitwiseXOR(term)
+        return [packed.alias("simhash")]
+
+    (packed,) = cached_columns(("simhash_pack", bits), _pack)
+    return bit_sums.select("id", packed)
 
 
 def simhash_near_dup_pairs(
@@ -605,6 +619,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("_nbr"))
         )
+        # The convergence signal rides along as a flag column computed
+        # INSIDE the round (min-propagation only ever lowers a label,
+        # so "changed" == "some neighbor min is lower"): checking it is
+        # then a cheap scan of the just-checkpointed output instead of
+        # a second shuffle join against the previous labels — halves
+        # the jobs per round, and round count is what dominates here
+        # (each round is scheduling-bound, not compute-bound, until the
+        # graph is enormous).
         new_labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
@@ -612,17 +634,13 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
                 ).alias("component"),
+                (F.coalesce(F.col("_nbr"), F.col("component")) < F.col("component"))
+                .alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             return labels
     logger.warning(
