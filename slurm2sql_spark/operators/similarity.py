@@ -302,6 +302,8 @@ def embedding_near_dup_pairs(
     bands: int | None = None,
     dim: int = 64,
     auto_tune: bool | None = None,
+    tune_threshold: float | None = None,
+    recall: float = 0.95,
 ) -> DataFrame:
     """Corpus self-join near-dups: banded LSH candidates -> exact cosine
     filter at ``threshold`` (id_a < id_b). Same equi-join shape as
@@ -321,11 +323,26 @@ def embedding_near_dup_pairs(
     - ``auto_tune=True``: always tune, ignoring ``planes``/``bands``.
     - ``auto_tune=False``: fixed banding; unspecified ``planes``/
       ``bands`` fall back to the legacy 16/4 (small corpora only).
+
+    ``tune_threshold``/``recall`` shape the auto-tuned banding's
+    guarantee: candidates are generated with probability >= ``recall``
+    for pairs at cosine >= ``tune_threshold`` (default: ``threshold``).
+    When the duplicates you care about are much closer than the filter
+    threshold (exact/near-exact copies at cos ~0.999+), tuning for
+    ``tune_threshold=0.999`` needs FAR fewer bands than guaranteeing
+    recall at 0.95 — band count scales with 1/|ln(1 - p^w)| and p
+    rises steeply with the tune threshold — while the exact cosine
+    filter still applies ``threshold``. Pairs strictly between the two
+    thresholds get no recall guarantee: a documented trade, not a bug.
     """
     if auto_tune is None:
         auto_tune = planes is None or bands is None
     if auto_tune:
-        w, b = tune_lsh(df.count(), threshold)
+        w, b = tune_lsh(
+            df.count(),
+            threshold if tune_threshold is None else tune_threshold,
+            recall=recall,
+        )
         planes, bands = w * b, b
     else:
         planes = 16 if planes is None else planes
