@@ -330,6 +330,26 @@ def rollup_counts(spark, sf_dir):
 
 
 @register(
+    "cube_counts",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           count(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="Grouping-sets cube with a distinct-count per cell (SURVEY "
+    "§2.7 note: cube/rollup are free Spark additions; the distinct "
+    "count expands to a two-level aggregate, both map-side combined).",
+)
+def cube_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+@register(
     "setops_users",
     """
     SELECT user_id FROM events WHERE event_type = 'click'
