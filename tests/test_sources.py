@@ -38,3 +38,60 @@ def test_read_sacct_lines(spark):
     df = read_sacct_lines(spark, text)
     rows = {r["JobID"]: r["JobName"] for r in df.collect()}
     assert rows == {"1": "hello", "2": "multi\nline name"}
+
+
+def test_dump_scan_matches_stitch_on_clean_dump(spark, tmp_path):
+    """On a newline-free dump the distributed scan (default --sacct-dump
+    path) and the driver-side stitcher must parse to IDENTICAL typed
+    rows — same null mapping for empty fields, same column set."""
+    from slurm2sql_spark import api
+
+    text = (
+        "JobID;|;JobIDRaw;|;User;|;State;|;NCPUS;|;Elapsed;|;ReqMem\n"
+        "1;|;1;|;alice;|;COMPLETED;|;2;|;01:00:00;|;4G\n"
+        "1.batch;|;1.batch;|;alice;|;COMPLETED;|;2;|;01:00:00;|;\n"
+        "2;|;2;|;;|;RUNNING;|;;|;;|;\n"          # empty fields -> NULL
+        "3_7;|;99;|;bob;|;FAILED;|;8;|;1-00:00:00;|;16Gn\n"
+    )
+    dump = tmp_path / "clean.txt"
+    dump.write_text(text)
+    errors_scan: list = []
+    scan = api.ingest(
+        spark, dump_path=str(dump), errors=errors_scan, now=1_700_000_000
+    )
+    errors_stitch: list = []
+    stitch = api.ingest(
+        spark, raw_lines=text, errors=errors_stitch, now=1_700_000_000
+    )
+    assert errors_scan == [] and errors_stitch == []
+    assert scan.schema == stitch.schema
+    a = sorted(map(tuple, scan.collect()))
+    b = sorted(map(tuple, stitch.collect()))
+    assert a == b and len(a) == 4
+
+
+def test_sacct_dump_scan_reports_bad_lines(spark, tmp_path):
+    from slurm2sql_spark.sources.csv_source import sacct_dump_scan
+
+    dump = tmp_path / "bad.txt"
+    dump.write_text(
+        "A;|;B\n"
+        "1;|;x\n"
+        "short\n"
+        "1;|;2;|;3\n"
+    )
+    ok, bad = sacct_dump_scan(spark, str(dump))
+    assert sorted(map(tuple, ok.collect())) == [("1", "x")]
+    badrows = {r.line: r.n_fields for r in bad.collect()}
+    assert badrows == {"short": 1, "1;|;2;|;3": 3}
+
+
+def test_sacct_dump_scan_empty_file(spark, tmp_path):
+    import pytest
+
+    from slurm2sql_spark.sources.csv_source import sacct_dump_scan
+
+    p = tmp_path / "empty.txt"
+    p.write_text("")
+    with pytest.raises(ValueError, match="empty sacct dump"):
+        sacct_dump_scan(spark, str(p))
