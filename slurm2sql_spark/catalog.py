@@ -1199,9 +1199,13 @@ def dedup_embedding(spark, sf_dir):
     # recall=0.9999 the planted-pair miss probability stays <= ~1e-5
     # per run at every SF (deterministic enough for the hash-match
     # oracle; the exact-cosine filter stays at 0.95).
+    # n_hint: a bare parquet-scan count (no projection) is ~15x cheaper
+    # than counting the union+nudge pipeline; auto-tune only needs the
+    # order of magnitude.
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count() + 50
     pairs = embedding_near_dup_pairs(
         emb.unionByName(planted), "vec_id", "embedding", threshold=0.95,
-        auto_tune=True, tune_threshold=0.9995, recall=0.9999,
+        auto_tune=True, tune_threshold=0.9995, recall=0.9999, n_hint=n,
     )
     return pairs.select(
         "id_a", "id_b", (F.floor(F.col("sim") * 10000) / 10000).alias("sim")

@@ -304,6 +304,7 @@ def embedding_near_dup_pairs(
     auto_tune: bool | None = None,
     tune_threshold: float | None = None,
     recall: float = 0.95,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Corpus self-join near-dups: banded LSH candidates -> exact cosine
     filter at ``threshold`` (id_a < id_b). Same equi-join shape as
@@ -334,12 +335,18 @@ def embedding_near_dup_pairs(
     rises steeply with the tune threshold — while the exact cosine
     filter still applies ``threshold``. Pairs strictly between the two
     thresholds get no recall guarantee: a documented trade, not a bug.
+
+    ``n_hint`` supplies the (approximate) corpus count so auto-tune
+    skips its ``count()`` job — pass it when the caller already knows
+    the size (table stats, a cheap bare-scan count, a metadata read).
+    Banding only needs the order of magnitude: a 2x-off hint moves
+    ``planes_per_band`` by one bit.
     """
     if auto_tune is None:
         auto_tune = planes is None or bands is None
     if auto_tune:
         w, b = tune_lsh(
-            df.count(),
+            df.count() if n_hint is None else n_hint,
             threshold if tune_threshold is None else tune_threshold,
             recall=recall,
         )
