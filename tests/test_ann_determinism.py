@@ -62,6 +62,27 @@ def _ivf_build(spark, emb):
 
 
 @needs_testdata
+def test_simhash_fast_pairs_deterministic(spark):
+    """The third rows-only entry: xxhash64-based simhash pairs must be
+    a pure function of the data — identical across independent builds
+    and input partitionings (xxhash64 is seedless-deterministic; this
+    pins that no partition-order dependence sneaks into the banding or
+    the distinct)."""
+    from slurm2sql_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def run(df):
+        rows = simhash_near_dup_pairs(df, "doc_id", "text").collect()
+        return sorted((r.id_a, r.id_b, r.hamming) for r in rows)
+
+    base = run(docs)
+    assert run(docs) == base
+    assert run(docs.repartition(5, "doc_id")) == base
+    assert len(base) > 0
+
+
+@needs_testdata
 @pytest.mark.parametrize("build", [_lsh_build, _ivf_build], ids=["lsh", "ivf"])
 def test_ann_topk_candidate_set_deterministic(spark, build):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
