@@ -39,6 +39,7 @@ def read_sacct_stream(
     input_dir: str,
     delimiter: str = ",",
     fields: tuple[str, ...] | None = None,
+    max_files_per_trigger: int = 16,
 ) -> DataFrame:
     """Streaming read of sacct-shaped CSV files landing in a directory.
 
@@ -47,6 +48,9 @@ def read_sacct_stream(
     columns the files actually contain, in file order (default: the
     full sacct request list). Everything is string; the typed
     projection is the transform's job, same as batch.
+    ``max_files_per_trigger`` bounds each micro-batch (1 = one file per
+    batch, the knob that makes watermark progression across batches
+    observable/testable).
     """
     schema = T.StructType(
         [T.StructField(c, T.StringType(), True) for c in (fields or RAW_FIELDS)]
@@ -55,7 +59,7 @@ def read_sacct_stream(
         spark.readStream.schema(schema)
         .option("header", True)
         .option("sep", delimiter)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .csv(input_dir)
     )
 

@@ -159,3 +159,58 @@ def test_job_state_transitions_stateful(spark, tmp_path):
         ("200", "RUNNING", "COMPLETED"),
         ("201", None, "PENDING"),
     }
+
+
+def test_windowed_counts_drop_late_data(spark, tmp_path):
+    """Bounded-state proof: an event older than the watermark must be
+    DROPPED, not merged into its (already finalized) window. Two RUNS
+    over one checkpoint (the watermark persists in the checkpoint, so
+    the batch boundary is deterministic): run 1 sees events at 10:00
+    and 13:00 — the watermark commits at 12:30 (13:00 - 30 min
+    lateness) and the [10:00, 11:00) window finalizes with n_jobs=1.
+    Run 2 delivers a 10:15 straggler, below the persisted watermark ->
+    dropped; the finalized window must NOT grow to 2."""
+    from slurm2sql_spark.operators.transform import slurm_transform
+
+    d = tmp_path / "late_drops"
+    d.mkdir()
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    _write_csv(
+        d / "a.csv",
+        [
+            ("200", "200", "COMPLETED", "2021-01-01T10:00:00", "4", "cpu"),
+            ("201", "201", "COMPLETED", "2021-01-01T13:00:00", "4", "cpu"),
+        ],
+    )
+
+    def run():
+        stream = read_sacct_stream(spark, str(d), fields=FIELDS)
+        counts = windowed_job_counts(
+            slurm_transform(stream, now=1_700_000_000),
+            window="1 hour",
+            lateness="30 minutes",
+        )
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")  # append: windows emit once, when closed
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 1 and first[0].n_jobs == 1  # [10,11) closed
+
+    _write_csv(
+        d / "b.csv",
+        [("202", "202", "COMPLETED", "2021-01-01T10:15:00", "4", "cpu")],
+    )
+    run()
+    rows = spark.read.parquet(out).collect()
+    # straggler below the persisted 12:30 watermark: dropped — no new
+    # row for the already-finalized window, no count growth
+    assert len(rows) == 1 and rows[0].n_jobs == 1, f"late row leaked: {rows}"
