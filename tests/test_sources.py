@@ -95,3 +95,19 @@ def test_sacct_dump_scan_empty_file(spark, tmp_path):
     p.write_text("")
     with pytest.raises(ValueError, match="empty sacct dump"):
         sacct_dump_scan(spark, str(p))
+
+
+def test_sacct_dump_scan_gzipped(spark, tmp_path):
+    """sacct dumps are often stored gzipped; spark.read.text handles
+    the codec transparently, so the scan path (and its error
+    accounting) works on .gz files unchanged."""
+    import gzip
+
+    from slurm2sql_spark.sources.csv_source import sacct_dump_scan
+
+    p = tmp_path / "dump.txt.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write("JobID;|;User\n1;|;alice\nbad-line\n2;|;bob\n")
+    ok, bad = sacct_dump_scan(spark, str(p))
+    assert sorted(map(tuple, ok.collect())) == [("1", "alice"), ("2", "bob")]
+    assert bad.count() == 1
