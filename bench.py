@@ -104,7 +104,12 @@ def main() -> None:
         "iterations": iters,
     }
     if errors:
+        # make a partial total impossible to misread as a speedup:
+        # the value only sums SURVIVING queries, so flag it loudly
         payload["errors"] = errors
+        payload["queries_failed"] = len(errors)
+        payload["partial"] = True
+        payload["metric"] = "catalog_total_wall_partial"
     print(json.dumps(payload))
 
 

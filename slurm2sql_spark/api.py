@@ -62,9 +62,13 @@ def ingest(
     pipe-delimited dump (scales to any size). It cannot REPAIR records
     whose JobName embeds a newline (stitching exists for that), but it
     DETECTS them: with ``errors`` passed, malformed lines are collected
-    into it so the caller can report the count and exit nonzero —
-    the same error contract as the stitching path (reference
-    slurm2sql.py:785-788)."""
+    into it so the caller can report them and exit nonzero — the same
+    error contract as the stitching path (reference slurm2sql.py:785-788).
+    The collection is an eager extra scan and is CAPPED at 1000 sample
+    lines (a wrong-delimiter dump makes EVERY line malformed — an
+    unbounded collect would OOM the driver); callers needing the exact
+    count at any size should use ``sacct_dump_scan`` directly and
+    ``count()`` the bad frame, as the CLI does."""
     if raw_lines is not None:
         typed = slurm_transform(
             read_sacct_lines(spark, raw_lines, errors=errors),
@@ -76,7 +80,7 @@ def ingest(
 
         ok, bad = sacct_dump_scan(spark, dump_path)
         if errors is not None:
-            errors.extend(r.line for r in bad.collect())
+            errors.extend(r.line for r in bad.limit(1000).collect())
         return slurm_transform(ok, now=kwargs.get("now"))
     if csv_path is not None:
         return ingest_csv(spark, csv_path, **kwargs)

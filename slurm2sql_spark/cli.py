@@ -616,19 +616,28 @@ def ingest_cli(spark: SparkSession, argv) -> str:
         from slurm2sql_spark.sinks.parquet_sink import upsert, write_overwrite
 
         errors: list = []
+        n_errors = 0
+        bad = None
         if args.stitch_lines:
             # opt-in driver path: the only one that can REPAIR
             # newline-split records (reassembles them before parsing)
             with open(args.sacct_dump) as f:
                 typed = api.ingest(spark, raw_lines=f.read(), errors=errors)
+            n_errors = len(errors)
         else:
             # default: executor-side line scan — a multi-GB dump never
-            # touches driver memory. Malformed lines (wrong field
-            # arity, e.g. a JobName with an embedded newline) are
-            # counted and reported with exit 1, same contract as the
-            # stitch path (reference slurm2sql.py:785-788) — but not
-            # repaired; the error message points at --stitch-lines.
-            typed = api.ingest(spark, dump_path=args.sacct_dump, errors=errors)
+            # touches driver memory (the error COUNT is computed
+            # distributedly too; no collect of bad lines). Malformed
+            # lines (wrong field arity, e.g. a JobName with an embedded
+            # newline) are counted and reported with exit 1, same
+            # contract as the stitch path (reference
+            # slurm2sql.py:785-788) — but not repaired; the error
+            # message points at --stitch-lines.
+            from slurm2sql_spark.operators.transform import slurm_transform
+            from slurm2sql_spark.sources.csv_source import sacct_dump_scan
+
+            ok, bad = sacct_dump_scan(spark, args.sacct_dump)
+            typed = slurm_transform(ok)
         if args.jobs_only:
             from pyspark.sql import functions as F
 
@@ -638,9 +647,14 @@ def ingest_cli(spark: SparkSession, argv) -> str:
         else:
             write_overwrite(typed, args.table, format=args.table_format)
         n = api.open_table(spark, args.table, format=args.table_format).count()
-        if errors:
+        if bad is not None:
+            # count AFTER the write so the scan for good rows ran first
+            # (one scan for data, one cheap scan for the count — never
+            # a driver-side collect of the bad lines themselves)
+            n_errors = bad.count()
+        if n_errors:
             print(f"wrote {n} rows to {args.table}", file=sys.stderr)
-            print(f"Completed with {len(errors)} errors", file=sys.stderr)
+            print(f"Completed with {n_errors} errors", file=sys.stderr)
             if not args.stitch_lines:
                 print(
                     "(malformed lines were skipped, not repaired; "
@@ -717,8 +731,16 @@ def import_cli(spark: SparkSession, argv) -> str:
     int/real/text -> Long/Double/String, slurm2sql.py:40-45), so dbs
     built by older reference versions with fewer columns import as-is.
     SQLite is dynamically typed, so values are defensively coerced to
-    the declared column type (a TEXT '12' in an int column imports as
-    12, matching how sqlite itself would CAST on read).
+    the declared column type: a TEXT '12' or '12.5' in an int column
+    imports as 12 (float-then-truncate, like sqlite's CAST), and a
+    value no numeric reading exists for (garbage text, BLOB, NaN)
+    imports as NULL — deliberately NOT sqlite's CAST-to-0, which
+    destroys the absent/zero distinction the converters rely on.
+
+    The write is ATOMIC at the table level: batches append to a
+    temp directory next to the target, which is renamed into place
+    only after the last batch (and the empty-table case) committed —
+    a crash mid-import leaves any existing target untouched.
 
     The reference's resume watermark (``meta_slurm_lastupdate``,
     slurm2sql.py:947,1104-1120) is carried over into this engine's
@@ -739,9 +761,12 @@ def import_cli(spark: SparkSession, argv) -> str:
                         "bound; default 100k)")
     args = p.parse_args(argv)
 
+    if args.batch_rows < 1:
+        raise SystemExit("--batch-rows must be >= 1")
     if not os.path.exists(args.db):
         raise SystemExit(f"no such database: {args.db}")
     con = sqlite3.connect(f"file:{args.db}?mode=ro", uri=True)
+    staging = f"{args.table}.importing-{os.getpid()}"
     try:
         cols = con.execute(
             f"PRAGMA table_info({_sqlite_ident(args.source_table)})"
@@ -763,11 +788,37 @@ def import_cli(spark: SparkSession, argv) -> str:
             return T.StringType()
 
         def coerce(decl: str):
+            # SQLite columns can hold ANY dynamic type; coerce with
+            # sqlite-CAST-like leniency ('12.5' in an int column -> 12)
+            # but map unreadable values (garbage text, BLOB, NaN) to
+            # NULL instead of CAST's 0 — see the docstring.
             if "int" in decl:
-                return lambda v: None if v is None else int(v)
+                def to_int(v):
+                    if v is None or isinstance(v, (bytes, bytearray)):
+                        return None
+                    try:
+                        f = float(v)
+                        return int(f) if f == f else None  # NaN -> NULL
+                    except (TypeError, ValueError, OverflowError):
+                        return None
+                return to_int
             if "real" in decl or decl in ("double", "float"):
-                return lambda v: None if v is None else float(v)
-            return lambda v: None if v is None else str(v)
+                def to_float(v):
+                    if v is None or isinstance(v, (bytes, bytearray)):
+                        return None
+                    try:
+                        return float(v)
+                    except (TypeError, ValueError):
+                        return None
+                return to_float
+
+            def to_str(v):
+                if v is None:
+                    return None
+                if isinstance(v, (bytes, bytearray)):
+                    return bytes(v).decode("utf-8", "replace")
+                return str(v)
+            return to_str
 
         schema = T.StructType(
             [
@@ -779,6 +830,9 @@ def import_cli(spark: SparkSession, argv) -> str:
         cur = con.execute(
             f"SELECT * FROM {_sqlite_ident(args.source_table)}"
         )
+        # Batches append into a STAGING dir; the rename below is the
+        # commit point, so a crash mid-import never clobbers an
+        # existing table with a partial import.
         total, first = 0, True
         while True:
             rows = cur.fetchmany(args.batch_rows)
@@ -788,15 +842,13 @@ def import_cli(spark: SparkSession, argv) -> str:
                 tuple(c(v) for c, v in zip(coercers, r)) for r in rows
             ]
             df = spark.createDataFrame(batch, schema)
-            df.write.mode("overwrite" if first else "append").parquet(
-                args.table
-            )
+            df.write.mode("overwrite" if first else "append").parquet(staging)
             total += len(batch)
             first = False
         if first:  # zero rows: still create an empty table of the schema
             spark.createDataFrame([], schema).write.mode(
                 "overwrite"
-            ).parquet(args.table)
+            ).parquet(staging)
         # carry the resume watermark over, if the reference stored one
         wm = None
         try:
@@ -807,10 +859,18 @@ def import_cli(spark: SparkSession, argv) -> str:
             wm = row[0] if row else None
         except sqlite3.OperationalError:
             pass  # older db without the meta table
+        import shutil
+
+        if os.path.isdir(args.table):
+            shutil.rmtree(args.table)
+        os.rename(staging, args.table)
         if wm is not None:
             set_watermark(args.table, int(wm))
     finally:
         con.close()
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
     suffix = " (watermark carried over)" if wm is not None else ""
     return f"imported {total} rows from {args.db} to {args.table}{suffix}"
 

@@ -82,12 +82,24 @@ def _node_converter():
 
 def _col_sql(col: Column | str) -> str | None:
     global _NODE_CONVERTER
-    for _ in range(2):  # second try rebinds after a JVM restart
+    try:
+        conv = _node_converter()
+    except Exception:
+        return None  # no classic JVM (Spark Connect) — direct build path
+    try:
+        return conv.apply(_c(col)._jc.node()).sql()
+    except Exception:
+        # Two distinct failures land here: THIS expression cannot
+        # render (keep the binding — other expressions still can), or
+        # the JVM restarted under us (handle is dead — rebind next
+        # call). Distinguish with a cheap liveness probe instead of
+        # unconditionally clearing, which would re-pay Class.forName
+        # reflection on every unrenderable expression.
         try:
-            return _node_converter().apply(_c(col)._jc.node()).sql()
+            conv.toString()
         except Exception:
             _NODE_CONVERTER = None
-    return None
+        return None
 
 
 def cached_columns(key: tuple, build) -> list[Column]:

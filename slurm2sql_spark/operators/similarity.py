@@ -318,9 +318,11 @@ def embedding_near_dup_pairs(
     default). At 100 TB auto-tuning is the difference between a linear
     and a quadratic candidate stage.
 
-    - ``auto_tune=None`` (default): tune unless the caller pinned BOTH
-      ``planes`` and ``bands`` (an explicit config is an explicit
-      choice — e.g. an oracle-checked test pinning determinism).
+    - ``auto_tune=None`` (default): tune only when the caller pinned
+      NEITHER ``planes`` nor ``bands`` — any explicitly passed value
+      is an explicit choice (e.g. an oracle-checked test pinning
+      determinism) and is honored, with the other falling back to the
+      legacy default (planes=16 / bands=4).
     - ``auto_tune=True``: always tune, ignoring ``planes``/``bands``.
     - ``auto_tune=False``: fixed banding; unspecified ``planes``/
       ``bands`` fall back to the legacy 16/4 (small corpora only).
@@ -343,7 +345,10 @@ def embedding_near_dup_pairs(
     ``planes_per_band`` by one bit.
     """
     if auto_tune is None:
-        auto_tune = planes is None or bands is None
+        # any explicitly pinned dimension disables tuning — silently
+        # overriding an explicit planes= (or bands=) with tuned values
+        # would change the caller's recall/cost behind their back
+        auto_tune = planes is None and bands is None
     if auto_tune:
         w, b = tune_lsh(
             df.count() if n_hint is None else n_hint,

@@ -329,13 +329,17 @@ def recover_staging(path: str) -> None:
         try:
             with open(mf) as fh:
                 manifest = json.load(fh)
-        except (json.JSONDecodeError, OSError):
+        except (json.JSONDecodeError, UnicodeDecodeError, ValueError):
             # _write_manifest publishes atomically, so a manifest from
             # THIS writer can't be truncated — but a foreign/corrupted
             # one must not wedge the table forever. _install_staged
             # parses the manifest before any destructive step, so an
             # unparseable manifest means the install never started: the
             # staging dir is garbage, same as the manifest-absent case.
+            # NOTE: only PARSE failures mean garbage. A transient read
+            # error (EMFILE/EACCES/EIO) must propagate — deleting a
+            # complete staged batch on a transient error would turn a
+            # guaranteed roll-forward into data loss.
             shutil.rmtree(staging, ignore_errors=True)
             continue
         if manifest.get("whole_table"):

@@ -129,7 +129,12 @@ def sacct_dump_scan(
     counted as errors. Driver-side stitching (``--stitch-lines``) is
     the only path that can REPAIR split records; this one detects and
     reports them at any scale. Returns ``(ok_rows, bad_lines)``; both
-    are lazy, and the scan is shared when both are consumed in one job.
+    are LAZY and independent — consuming both runs the line scan once
+    each (plus the one-row header read), so an ingest with error
+    accounting reads the dump twice. Callers who cannot afford the
+    second scan can skip the bad-frame action; persisting ``split``
+    would trade memory for the rescan and is deliberately not done
+    here (dumps can exceed cluster cache).
     """
     import re
 

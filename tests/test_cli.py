@@ -527,3 +527,72 @@ def test_import_cli_missing_inputs(spark, tmp_path):
     sqlite3.connect(empty).close()
     with pytest.raises(SystemExit, match="not found"):
         import_cli(spark, [empty, str(tmp_path / "t")])
+
+
+def test_import_cli_dirty_values_null_not_crash(spark, tmp_path):
+    """SQLite's dynamic typing means int columns can hold '12.5', NaN,
+    or BLOBs; these must import as 12 / NULL / NULL — never crash
+    mid-import."""
+    import sqlite3
+
+    from slurm2sql_spark.cli import import_cli
+
+    db = str(tmp_path / "dirty.db")
+    con = sqlite3.connect(db)
+    con.execute('CREATE TABLE slurm ("JobID" text, "NCPUS" int, "CPUTime" real)')
+    con.execute("INSERT INTO slurm VALUES ('1', '12.5', 'garbage')")
+    con.execute("INSERT INTO slurm VALUES ('2', X'DEADBEEF', 3.5)")
+    con.execute("INSERT INTO slurm VALUES ('3', 9e999, 'NaN')")  # inf
+    con.commit(); con.close()
+    table = str(tmp_path / "t")
+    msg = import_cli(spark, [db, table])
+    assert "3 rows" in msg
+    rows = {r.JobID: r for r in spark.read.parquet(table).collect()}
+    assert rows["1"].NCPUS == 12          # float-then-truncate
+    assert rows["1"].CPUTime is None      # garbage text -> NULL
+    assert rows["2"].NCPUS is None        # BLOB -> NULL
+    assert rows["2"].CPUTime == 3.5
+    import math
+
+    assert math.isnan(rows["3"].CPUTime)  # NaN string parses to NaN double
+
+
+def test_import_cli_batch_rows_guard(spark, tmp_path):
+    from slurm2sql_spark.cli import import_cli
+
+    db = str(tmp_path / "g.db")
+    _make_reference_db(db)
+    with pytest.raises(SystemExit, match="batch-rows"):
+        import_cli(spark, [db, str(tmp_path / "t"), "--batch-rows", "0"])
+
+
+def test_import_cli_failure_preserves_existing_table(spark, tmp_path, monkeypatch):
+    """The staging rename is the commit point: a crash mid-import must
+    leave any existing target table untouched and clean up staging."""
+    import os
+
+    from slurm2sql_spark.cli import import_cli
+
+    db = str(tmp_path / "src.db")
+    _make_reference_db(db)
+    table = str(tmp_path / "t")
+    import_cli(spark, [db, table])
+    before = sorted(r.JobID for r in spark.read.parquet(table).collect())
+
+    calls = {"n": 0}
+    real = type(spark).createDataFrame
+
+    def boom(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid-import")
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(type(spark), "createDataFrame", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        import_cli(spark, [db, table, "--batch-rows", "3"])
+    monkeypatch.undo()
+    after = sorted(r.JobID for r in spark.read.parquet(table).collect())
+    assert after == before  # old table intact
+    leftovers = [d for d in os.listdir(tmp_path) if ".importing-" in d]
+    assert leftovers == []  # staging cleaned up

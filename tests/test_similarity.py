@@ -336,6 +336,12 @@ def test_embedding_near_dup_default_is_auto_tuned(spark, monkeypatch):
         emb, "vec_id", "v", dim=8, planes=32, bands=4
     ).collect()
     assert len(calls) == n_calls
+    # one-sided pin: an explicit planes= (legacy bands default) must
+    # also be honored, not silently replaced by tuned values
+    sim.embedding_near_dup_pairs(
+        emb, "vec_id", "v", dim=8, planes=32
+    ).collect()
+    assert len(calls) == n_calls
     # forced path: auto_tune=True overrides pinned banding
     sim.embedding_near_dup_pairs(
         emb, "vec_id", "v", dim=8, planes=32, bands=4, auto_tune=True
