@@ -127,3 +127,37 @@ def test_ngram_jaccard_shingle_frame_is_cached(spark, catalog):
     plan = _plan(spark, df, mode="simple")
     assert plan.count("InMemoryTableScan") >= 3, plan[:1500]
     catalog.drop_caches()
+
+
+def test_dump_scan_plan_is_jvm_side_single_scan(spark, tmp_path):
+    """The default --sacct-dump path must stay whole-stage-codegen'd:
+    one text scan, split/filter as JVM expressions, no Python eval and
+    no shuffle (the parse is a pure map stage)."""
+    from slurm2sql_spark.sources.csv_source import sacct_dump_scan
+
+    p = tmp_path / "d.txt"
+    p.write_text("JobID;|;User\n1;|;a\n2;|;b\n")
+    ok, bad = sacct_dump_scan(spark, str(p))
+    for df in (ok, bad):
+        plan = _plan(spark, df)
+        assert "Python" not in plan
+        assert "Exchange" not in plan  # map-only: no shuffle anywhere
+
+
+def test_templated_transform_plan_matches_column_path(spark, catalog):
+    """The SQL-template fast path must not change the OPTIMIZED plan
+    shape vs the direct Column build: same number of exchanges, same
+    Python-free property (row equality is pinned elsewhere; this pins
+    the physical cost)."""
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators import transform as T
+    from slurm2sql_spark.schema import RAW_FIELDS
+
+    raw = catalog._sacct_raw_from_lineitem(spark, SF_DIR)
+    missing = [f for f in RAW_FIELDS if f not in set(raw.columns)]
+    filled = raw.withColumns({f: F.lit(None).cast("string") for f in missing})
+    fast = _plan(spark, T.slurm_transform(raw, now=1))
+    direct = _plan(spark, T._transform_columns_path(filled, 1, False))
+    for marker in ("Exchange", "Python", "Scan parquet"):
+        assert fast.count(marker) == direct.count(marker), marker
