@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import os
 import re
+import shutil
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -859,8 +860,6 @@ def import_cli(spark: SparkSession, argv) -> str:
             wm = row[0] if row else None
         except sqlite3.OperationalError:
             pass  # older db without the meta table
-        import shutil
-
         if os.path.isdir(args.table):
             shutil.rmtree(args.table)
         os.rename(staging, args.table)
@@ -868,8 +867,6 @@ def import_cli(spark: SparkSession, argv) -> str:
             set_watermark(args.table, int(wm))
     finally:
         con.close()
-        import shutil
-
         shutil.rmtree(staging, ignore_errors=True)
     suffix = " (watermark carried over)" if wm is not None else ""
     return f"imported {total} rows from {args.db} to {args.table}{suffix}"
