@@ -738,10 +738,12 @@ def import_cli(spark: SparkSession, argv) -> str:
     imports as NULL — deliberately NOT sqlite's CAST-to-0, which
     destroys the absent/zero distinction the converters rely on.
 
-    The write is ATOMIC at the table level: batches append to a
-    temp directory next to the target, which is renamed into place
-    only after the last batch (and the empty-table case) committed —
-    a crash mid-import leaves any existing target untouched.
+    The write commits by directory rename: batches append to a temp
+    directory next to the target, any existing table is renamed aside,
+    and the staging dir is renamed into place only after the last batch
+    (and the empty-table case) committed.  A crash mid-import leaves
+    any existing target untouched; a crash between the two commit
+    renames leaves the old table recoverable at ``<table>.old-<pid>``.
 
     The reference's resume watermark (``meta_slurm_lastupdate``,
     slurm2sql.py:947,1104-1120) is carried over into this engine's
@@ -797,6 +799,11 @@ def import_cli(spark: SparkSession, argv) -> str:
                 def to_int(v):
                     if v is None or isinstance(v, (bytes, bytearray)):
                         return None
+                    # genuine ints pass through unchanged: routing them
+                    # via float() would corrupt |v| > 2**53 (job ids,
+                    # energy counters) through float precision loss
+                    if isinstance(v, int) and not isinstance(v, bool):
+                        return v
                     try:
                         f = float(v)
                         return int(f) if f == f else None  # NaN -> NULL
@@ -860,9 +867,27 @@ def import_cli(spark: SparkSession, argv) -> str:
             wm = row[0] if row else None
         except sqlite3.OperationalError:
             pass  # older db without the meta table
+        if os.path.exists(args.table) and not os.path.isdir(args.table):
+            raise SystemExit(
+                f"target {args.table!r} exists and is not a table directory"
+            )
+        # Commit: move any existing table aside FIRST, then rename the
+        # staging dir into place, then drop the backup.  A crash between
+        # the two renames leaves the old table recoverable at the
+        # .old-<pid> path instead of lost (the rmtree-then-rename
+        # ordering had a window where neither table existed).
+        backup = None
         if os.path.isdir(args.table):
-            shutil.rmtree(args.table)
-        os.rename(staging, args.table)
+            backup = f"{args.table}.old-{os.getpid()}"
+            os.rename(args.table, backup)
+        try:
+            os.rename(staging, args.table)
+        except OSError:
+            if backup is not None:  # roll the old table back into place
+                os.rename(backup, args.table)
+            raise
+        if backup is not None:
+            shutil.rmtree(backup, ignore_errors=True)
         if wm is not None:
             set_watermark(args.table, int(wm))
     finally:

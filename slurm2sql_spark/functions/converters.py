@@ -59,6 +59,11 @@ def _c(col: Column | str) -> Column:
 # rendering is unavailable (Spark Connect Columns have no _jc) — the
 # result is identical either way, only construction cost differs.
 
+# Thread-safety: this cache (and transform._PLAN_SQL_CACHE) relies on
+# GIL-atomic dict get/set only — concurrent driver threads may at worst
+# duplicate one template construction, never corrupt.  A None (Connect)
+# entry persists if the process later switches to a classic session;
+# that staleness costs construction speed, never correctness.
 _SQL_TEMPLATE_CACHE: dict[tuple, str | list[str]] = {}
 
 #: JVM handle to the classic-mode ColumnNode -> catalyst Expression

@@ -79,9 +79,9 @@ def _wc_sql(input_cols: list[str], d: dict[str, Column]) -> tuple[list[str], lis
             s = C._col_sql(d[c])
             if s is None:
                 return None
-            out_sql.append(f"{s} AS `{c}`")
+            out_sql.append(f"{s} AS {_bq(c)}")
         else:
-            out_sql.append(f"`{c}`")
+            out_sql.append(_bq(c))
         out_cols.append(c)
     for name, col in d.items():
         if name in input_cols:
@@ -89,9 +89,16 @@ def _wc_sql(input_cols: list[str], d: dict[str, Column]) -> tuple[list[str], lis
         s = C._col_sql(col)
         if s is None:
             return None
-        out_sql.append(f"{s} AS `{name}`")
+        out_sql.append(f"{s} AS {_bq(name)}")
         out_cols.append(name)
     return out_sql, out_cols
+
+
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for selectExpr.  Column names flow
+    in from the sacct dump header (sacct_dump_scan), so an embedded
+    backtick must be doubled or the rendered SQL misparses."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def slurm_transform(
@@ -147,7 +154,7 @@ def _render_plan(cols0: list[str], now: int | None) -> tuple[list[str], ...] | N
         s = C._col_sql(col)
         if s is None:
             return None
-        final.append(f"{s} AS `{name}`")
+        final.append(f"{s} AS {_bq(name)}")
     return s1, s2, s3, final
 
 

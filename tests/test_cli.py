@@ -596,3 +596,40 @@ def test_import_cli_failure_preserves_existing_table(spark, tmp_path, monkeypatc
     assert after == before  # old table intact
     leftovers = [d for d in os.listdir(tmp_path) if ".importing-" in d]
     assert leftovers == []  # staging cleaned up
+
+
+def test_import_cli_big_ints_exact(spark, tmp_path):
+    """Genuine SQLite ints must not round-trip through float(): values
+    with |v| > 2**53 (job ids, energy counters) would silently land on
+    a nearby wrong integer."""
+    import sqlite3
+
+    from slurm2sql_spark.cli import import_cli
+
+    big = 2**53 + 1          # not representable as a double
+    neg = -(2**60 + 7)
+    db = str(tmp_path / "big.db")
+    con = sqlite3.connect(db)
+    con.execute('CREATE TABLE slurm ("JobID" text, "Energy" int)')
+    con.execute("INSERT INTO slurm VALUES ('a', ?)", (big,))
+    con.execute("INSERT INTO slurm VALUES ('b', ?)", (neg,))
+    con.execute("INSERT INTO slurm VALUES ('c', '12.5')")  # text still coerces
+    con.commit(); con.close()
+    table = str(tmp_path / "t")
+    import_cli(spark, [db, table])
+    rows = {r.JobID: r.Energy for r in spark.read.parquet(table).collect()}
+    assert rows == {"a": big, "b": neg, "c": 12}
+
+
+def test_import_cli_target_is_plain_file(spark, tmp_path):
+    """A non-directory target is an explicit error, not an os.rename
+    crash halfway through the commit."""
+    from slurm2sql_spark.cli import import_cli
+
+    db = str(tmp_path / "src.db")
+    _make_reference_db(db)
+    target = tmp_path / "t"
+    target.write_text("not a table")
+    with pytest.raises(SystemExit, match="not a table directory"):
+        import_cli(spark, [db, str(target)])
+    assert target.read_text() == "not a table"  # untouched

@@ -94,3 +94,27 @@ def test_plan_cache_bounded(spark):
     assert len(T._PLAN_SQL_CACHE) <= 64
     T._PLAN_SQL_CACHE.clear()
     T._PLAN_SQL_CACHE.update(before)
+
+
+def test_backtick_in_passthrough_column_name(spark):
+    """Column names come from the sacct dump header, so a header field
+    containing a backtick must render to valid selectExpr SQL (doubled
+    backtick), not a misparse."""
+    from slurm2sql_spark.operators import transform as T
+
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("JobID", ST.StringType()),
+            ST.StructField("JobIDRaw", ST.StringType()),
+            ST.StructField("we`ird", ST.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([("1", "1", "weird")], schema)
+    # the odd column rides through stages 1-3 as a quoted passthrough
+    # (the final projection prunes to the COLUMNS registry); an
+    # unescaped backtick raises ParseException in the first selectExpr
+    out = T.slurm_transform(df, now=1_700_000_000)
+    assert out.first().JobID == "1"
+    assert "we`ird" not in out.columns  # pruned by the final projection
