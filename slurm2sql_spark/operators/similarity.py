@@ -441,8 +441,11 @@ def ivf_centroids(
     Seeding takes the ``nlist`` lowest-id corpus vectors (deterministic,
     no RNG state). Each Lloyd step assigns every vector to its nearest
     centroid (one broadcast + narrow Arrow-batched map), then recomputes
-    means with posexplode -> groupBy(cell, pos) — a single shuffle of
-    (cell, pos, value) triples, map-side combined. The only driver
+    per-cell mean vectors with one ``groupBy(cell)`` carrying ``dim``
+    position-wise ``avg`` aggregates assembled into an array — map-side
+    combined, and the driver collects ``nlist`` array rows (not the
+    ``nlist * dim`` exploded triples of the earlier shape, which became
+    a driver bottleneck at production nlist). The only driver
     materialization is the centroid matrix itself, which is model state
     (same shape as MLlib's KMeans.clusterCenters), never data.
 
@@ -508,21 +511,27 @@ def _train_centroids(
         .collect()
     )
     cents = [list(r.v) for r in seeds]
+    dim = len(cents[0])
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        # per-cell mean vector aggregated EXECUTOR-side: one avg
+        # aggregate per position, map-side combined, assembled into a
+        # single array column — the driver collects nlist rows, not
+        # nlist*dim (cell, pos, mean) triples.  At production nlist
+        # (~10^4-5) the exploded form was a driver bottleneck.
+        v = F.col(vec_col).cast("array<double>")
         means = (
-            assigned.select("cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            assigned.groupBy("cell")
+            .agg(
+                F.array(
+                    *[F.avg(F.element_at(v, p + 1)) for p in range(dim)]
+                ).alias("m")
+            )
             .collect()
         )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        by_cell = {r.cell: list(r.m) for r in means}
         cents = [
-            [by_cell[c][p] for p in range(len(cents[0]))]
-            if c in by_cell
-            else cents[c]  # empty cell keeps its seed
+            by_cell.get(c, cents[c])  # empty cell keeps its seed
             for c in range(len(cents))
         ]
     return cents
@@ -538,17 +547,32 @@ def ivf_assign(
     """Add a ``cell`` column (nearest centroid by cosine; ``nprobe>1``
     explodes each row into its nprobe nearest cells). One Arrow-batched
     matmul per batch against the broadcast centroid matrix — narrow, no
-    shuffle."""
+    shuffle.  The matrix rides as a SparkContext broadcast variable,
+    not a plain closure capture: a closure is re-pickled into every
+    stage that uses the UDF, a broadcast ships once per executor and is
+    re-read from the local block store (the difference is noise at
+    nlist=16, real at production nlist ~10^4-5)."""
     import numpy as np
 
     cmat = np.asarray(centroids, dtype=np.float64)
     cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    try:
+        from pyspark.sql import SparkSession
+
+        sc = SparkSession.getActiveSession().sparkContext
+        ref = sc.broadcast(cn)
+        # bind ONLY the broadcast handle into the UDF closure — binding
+        # cn itself would re-pickle the matrix into every stage anyway
+        get_cn = (lambda b: (lambda: b.value))(ref)
+    except Exception:  # Spark Connect has no sparkContext: closure ships
+        get_cn = (lambda m: (lambda: m))(cn)
 
     @F.pandas_udf("array<int>")
     def _cells(v: pd.Series) -> pd.Series:
+        c = get_cn()
         mat = np.stack(v.to_numpy()).astype(np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = mat @ cn.T  # (n, nlist)
+        sims = mat @ c.T  # (n, nlist)
         # top-nprobe cells, similarity-desc then cell-id for determinism
         order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype(np.int32)))

@@ -347,3 +347,35 @@ def test_embedding_near_dup_default_is_auto_tuned(spark, monkeypatch):
         emb, "vec_id", "v", dim=8, planes=32, bands=4, auto_tune=True
     ).collect()
     assert len(calls) == n_calls + 1
+
+
+def test_train_centroids_match_numpy_lloyd(spark):
+    """The executor-side per-cell mean aggregation (nlist array rows
+    collected, never nlist*dim exploded triples) must compute exactly
+    the Lloyd step: seed = nlist lowest-id vectors, assign by cosine,
+    new centroid = plain mean of assigned vectors."""
+    import numpy as np
+
+    from slurm2sql_spark.operators.similarity import ivf_centroids
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 1, (50, 6))
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(50)],
+        "c_id long, c_vec array<double>",
+    )
+    got = np.array(ivf_centroids(emb, nlist=4, iters=2))
+
+    cents = vecs[:4].copy()
+    for _ in range(2):
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+        vn = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+        )
+        cells = np.argmax(vn @ cn.T, axis=1)
+        for c in range(4):
+            if (cells == c).any():
+                cents[c] = vecs[cells == c].mean(axis=0)
+    assert np.allclose(got, cents, atol=1e-9)
