@@ -1110,10 +1110,67 @@ def _sim_topk_cosine_build(spark, sf_dir):
     )
 
 
+def _lsh_planes_values(planes: int = 16, bands: int = 8, dim: int = 64) -> str:
+    """Render the deterministic hyperplane matrix as DuckDB VALUES rows
+    ``(plane_id, band, weight, pvec)`` — the plane matrix is a pure
+    function of the fixed seed (similarity._plane_matrix), so the
+    oracle can carry it inline and recompute the exact signatures the
+    Spark side computes (same band layout: plane ``b*w + j`` has bit
+    weight ``1 << j`` inside band ``b``).  repr() of a Python float is
+    shortest-round-trip, so DuckDB parses back the identical double."""
+    from slurm2sql_spark.operators.similarity import _plane_matrix
+
+    m = _plane_matrix(planes, dim)
+    w = planes // bands
+    rows = []
+    for i in range(planes):
+        vec = "[" + ", ".join(repr(float(x)) for x in m[i]) + "]"
+        rows.append(f"({i}, {i // w}, {1 << (i % w)}, {vec})")
+    return ",\n      ".join(rows)
+
+
+_SIM_LSH_TOPK_ORACLE = f"""
+    WITH planes(plane_id, band, weight, pvec) AS (
+      VALUES {_lsh_planes_values()}
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sigs AS (
+      SELECT e.vec_id, p.band,
+             SUM(CASE WHEN list_dot_product(e.v, p.pvec) > 0
+                      THEN p.weight ELSE 0 END) AS key
+      FROM emb e, planes p
+      GROUP BY e.vec_id, p.band
+    ),
+    q AS (SELECT * FROM sigs WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      FROM sigs c JOIN q ON c.band = q.band AND c.key = q.key
+      WHERE c.vec_id != q.vec_id
+    ),
+    pairs AS (
+      SELECT cand.q_id, cand.c_id, list_cosine_similarity(eq.v, ec.v) AS sim
+      FROM cand
+      JOIN emb eq ON eq.vec_id = cand.q_id
+      JOIN emb ec ON ec.vec_id = cand.c_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, sim, row_number() OVER (
+        PARTITION BY q_id ORDER BY floor(sim * 10000) DESC, c_id) AS rank
+      FROM pairs
+    )
+    SELECT q_id, c_id, floor(sim * 10000) / 10000 AS sim, rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
 @register(
     "sim_lsh_topk",
-    None,  # approximate, plane-hash-specific; driver records rows-only
-    doc="LSH (random hyperplane) bucketed approximate top-k — the scale path.",
+    _SIM_LSH_TOPK_ORACLE,
+    doc="LSH (random hyperplane) bucketed approximate top-k — the scale "
+    "path. Fully oracled: the plane matrix is deterministic from the "
+    "fixed seed, so the DuckDB twin carries it inline, recomputes the "
+    "banded signatures with list_dot_product, and re-ranks candidates "
+    "with the same 1e-4-quantized ordering as sim_topk_cosine.",
 )
 def sim_lsh_topk(spark, sf_dir):
     # memoized: also consumed by sim_lsh_recall
@@ -1122,14 +1179,48 @@ def sim_lsh_topk(spark, sf_dir):
 
 
 def _sim_lsh_topk_build(spark, sf_dir):
-    from slurm2sql_spark.operators.similarity import lsh_topk
+    """Same candidate generation as operators.similarity.lsh_topk
+    (banded signature equi-join, ids-only distinct), but the exact
+    re-rank orders by floor(sim*10000) with c_id tie-break so the
+    ranking is reproducible across engines (the production operator
+    ranks on the raw double — last-ulp differences would flip ties)."""
+    from pyspark.sql import Window
+    from slurm2sql_spark.operators.similarity import _band_key_rows, cosine
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return lsh_topk(qs, cs, k=5, planes=16, dim=64)
+    qb = _band_key_rows(qs, "q_id", "q_vec", 16, 8, 64).withColumnRenamed(
+        "id", "q_id"
+    )
+    cb = _band_key_rows(cs, "c_id", "c_vec", 16, 8, 64).withColumnRenamed(
+        "id", "c_id"
+    )
+    cand_ids = (
+        cb.join(F.broadcast(qb), ["band", "key"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    cand = cand_ids.join(F.broadcast(qs), "q_id").join(cs, "c_id")
+    qsim = F.floor(F.col("sim_raw") * 10000)
+    sim = cand.withColumn(
+        "sim_raw",
+        cosine(
+            F.col("q_vec").cast("array<double>"),
+            F.col("c_vec").cast("array<double>"),
+        ),
+    ).select("q_id", "c_id", "sim_raw", qsim.alias("sim_q"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_q"), F.asc("c_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id", "c_id", (F.col("sim_q") / 10000).alias("sim"), "rank"
+        )
+    )
 
 
 @register(
