@@ -581,6 +581,96 @@ FROM e
 )
 
 
+def _duck_dur(sec: str) -> str:
+    """DuckDB H:MM:SS synthesis of an integer-seconds expression —
+    same concat+lpad shape the Spark synthesis uses."""
+    return (
+        f"CAST({sec} // 3600 AS VARCHAR) || ':' || "
+        f"lpad(CAST(({sec} % 3600) // 60 AS VARCHAR), 2, '0') || ':' || "
+        f"lpad(CAST({sec} % 60 AS VARCHAR), 2, '0')"
+    )
+
+
+def _duck_parse_dur(s: str) -> str:
+    """DuckDB H:MM:SS -> seconds parse (string_split + casts) — the
+    work class the Spark slurmtime converter pays per row."""
+    return (
+        f"(CAST(string_split({s}, ':')[1] AS BIGINT) * 3600 + "
+        f"CAST(string_split({s}, ':')[2] AS BIGINT) * 60 + "
+        f"CAST(string_split({s}, ':')[3] AS BIGINT))"
+    )
+
+
+#: STRING-PARITY flagship oracle: unlike _SACCT_EFF_ORACLE (which
+#: computes from typed integers and skips the string round trip the
+#: Spark entry pays), this twin synthesizes the same sacct-shaped
+#: strings (duration concat+lpad, TRES k=v lists) and PARSES them back
+#: (string_split + regexp_extract + casts) before aggregating — so the
+#: SCALING.json gap for `sacct_eff` measures engine-vs-engine on the
+#: same work, and the typed-vs-string oracle pair decomposes the
+#: flagship gap into parse cost vs engine overhead (BASELINE.md).
+_SACCT_EFF_STRING_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey AS o, l_linenumber AS ln,
+         CAST(l_quantity AS BIGINT) * 60 AS elapsed_s,
+         l_linenumber % 4 + 1 AS ncpus,
+         CAST(l_quantity AS BIGINT) * 60 * (l_linenumber % 4 + 1) AS cputime_s,
+         (CAST(l_quantity AS BIGINT) * 60 * (l_linenumber % 4 + 1) * (l_linenumber % 10)) // 10 AS used_s,
+         (l_orderkey % 100) * 100 AS alloc_kb,
+         ((l_orderkey % 100) * 100 * (l_linenumber % 5)) // 5 AS used_kb,
+         l_linenumber % 3 AS gpus,
+         l_orderkey % 200 AS util
+  FROM lineitem
+),
+raw AS (  -- synthesize the sacct strings (same shapes the Spark side builds)
+  SELECT o,
+         {_duck_dur('elapsed_s')} AS Elapsed,
+         {_duck_dur('cputime_s')} AS CPUTime,
+         'cpu=' || {_duck_dur('used_s')} || ',mem=' || CAST(used_kb AS VARCHAR)
+           || 'K,gres/gpuutil=' || CAST(util AS VARCHAR) AS TRESUsageInTot,
+         'cpu=' || CAST(ncpus AS VARCHAR) || ',mem=' || CAST(alloc_kb AS VARCHAR)
+           || 'K,gres/gpu=' || CAST(gpus AS VARCHAR) || ',billing='
+           || CAST(ncpus AS VARCHAR) AS AllocTRES,
+         CAST(ncpus AS VARCHAR) AS NCPUS
+  FROM li
+),
+p AS (  -- parse them back: every number below re-derived from strings only
+  SELECT o,
+         {_duck_parse_dur('Elapsed')} AS elapsed_s,
+         {_duck_parse_dur('CPUTime')} AS cputime_s,
+         {_duck_parse_dur("regexp_extract(TRESUsageInTot, 'cpu=([^,]+)', 1)")} AS used_s,
+         CAST(regexp_extract(AllocTRES, 'mem=([0-9]+)K', 1) AS BIGINT) * 1024 AS alloc_b,
+         CAST(regexp_extract(TRESUsageInTot, 'mem=([0-9]+)K', 1) AS BIGINT) * 1024 AS used_b,
+         CAST(regexp_extract(AllocTRES, 'gres/gpu=([0-9]+)', 1) AS BIGINT) AS gpus,
+         CAST(regexp_extract(TRESUsageInTot, 'gres/gpuutil=([0-9]+)', 1) AS BIGINT) AS util,
+         CAST(NCPUS AS BIGINT) AS ncpus
+  FROM raw
+),
+e AS (
+  SELECT CAST(o AS VARCHAR) AS JobID,
+         'job' || CAST(o AS VARCHAR) AS JobName,
+         'u' || CAST(o % 50 AS VARCHAR) AS "User",
+         'COMPLETED' AS State,
+         floor(CAST(sum(used_s) AS DOUBLE) / max(cputime_s) * 1000000 + 0.001) / 1000000 AS CPUeff,
+         CAST(max(cputime_s) AS DOUBLE) AS cpu_s_reserved,
+         CAST(sum(used_s) AS DOUBLE) AS cpu_s_used,
+         floor(max(CAST(used_b AS DOUBLE) / nullif(CAST(alloc_b AS DOUBLE), 0.0)) * 1000000 + 0.001) / 1000000 AS MemEff,
+         CAST(max(alloc_b) AS DOUBLE) AS AllocMem,
+         CAST(max(used_b) AS DOUBLE) AS TotalMem,
+         CAST(max(elapsed_s) AS DOUBLE) AS Elapsed,
+         CAST(max(ncpus) AS BIGINT) AS NCPUS,
+         CAST(max(gpus) AS DOUBLE) AS NGpus,
+         floor(sum((util / 100.0) * elapsed_s) / nullif(max(gpus * CAST(elapsed_s AS DOUBLE)), 0.0) * 1000000 + 0.001) / 1000000 AS GpuEff,
+         CAST(max(gpus) AS DOUBLE) * max(elapsed_s) AS gpu_s_reserved
+  FROM p GROUP BY o
+)
+SELECT JobID, JobName, "User", State, CPUeff, cpu_s_reserved, cpu_s_used,
+       MemEff, AllocMem, TotalMem, Elapsed, NCPUS, NGpus, GpuEff,
+       gpu_s_reserved
+FROM e
+"""
+
+
 #: per-(session, sf_dir, name) memo for expensive DataFrames consumed by
 #: more than one catalog entry (the flagship eff rollup feeds
 #: sacct_eff + sacct_user_rollup; the exact/approx top-k frames feed
@@ -679,10 +769,133 @@ def _sacct_eff_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "sacct_eff",
-    _SACCT_EFF_ORACLE,
+    _SACCT_EFF_STRING_ORACLE,
     doc="FLAGSHIP: synthesized sacct strings -> full ingest transform -> eff "
-    "rollup (A1-A8 + J1/J2); oracle computes the same numbers directly.",
+    "rollup (A1-A8 + J1/J2). The oracle is the STRING-PARITY twin: it "
+    "synthesizes and re-parses the same strings, so the SCALING gap is "
+    "engine-vs-engine on the same work (see sacct_eff_typed for the "
+    "parse-free pair).",
 )(_sacct_eff_df)
+
+
+@register(
+    "sacct_eff_typed",
+    _SACCT_EFF_ORACLE,
+    doc="The flagship eff rollup (A1-A8 + J1/J2) over PRE-TYPED columns — "
+    "no string synthesis or parsing on either side. Paired with "
+    "sacct_eff this decomposes the flagship gap: "
+    "(sacct_eff_typed vs its typed oracle) = pure engine overhead; "
+    "(sacct_eff vs its string-parity oracle) = like-for-like including "
+    "parse. Exercises the same eff() view (views.py) the string entry "
+    "runs, so its full hash-match also pins the typed ingest path "
+    "(reference eff view slurm2sql.py:950-987).",
+)
+def sacct_eff_typed(spark, sf_dir):
+    slurm = _typed_slurm_from_lineitem(spark, sf_dir)
+    return (
+        eff(slurm)
+        .select(
+            "JobID",
+            "JobName",
+            "User",
+            "State",
+            _q6("CPUeff").alias("CPUeff"),
+            "cpu_s_reserved",
+            "cpu_s_used",
+            _q6("MemEff").alias("MemEff"),
+            "AllocMem",
+            "TotalMem",
+            "Elapsed",
+            "NCPUS",
+            "NGpus",
+            _q6("GpuEff").alias("GpuEff"),
+            "gpu_s_reserved",
+        )
+    )
+
+
+def _typed_slurm_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A typed slurm-shaped frame carrying exactly the values the string
+    path produces AFTER parsing — same derivation table as
+    ``_sacct_raw_from_lineitem`` but skipping the synthesize->parse
+    round trip. Columns ``eff()`` aggregates but the derivation never
+    sets ride along as typed NULLs.
+
+    No ``fan_out`` here, deliberately: the string path repartitions
+    because synthesis+parse is compute-heavy per row (26.5s -> 4.6s,
+    tools/profile_part.py), but this path is narrow integer arithmetic
+    — the groupBy shuffle spreads the aggregation regardless, and the
+    extra exchange measured 2.05s -> 1.0s removed (sf0.1)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = F.col("l_orderkey")
+    ln = F.col("l_linenumber").cast("long")
+    q = F.col("l_quantity").cast("long")
+    elapsed_s = q * 60
+    ncpus = ln % 4 + 1
+    cputime_s = elapsed_s * ncpus
+    used_s = (cputime_s * (ln % 10) / 10).cast("long")
+    alloc_b = (o % 100) * 100 * 1024
+    used_b = ((o % 100) * 100 * (ln % 5) / 5).cast("long") * 1024
+    gpus = ln % 3
+    util = o % 200
+
+    def snull(name):
+        return F.lit(None).cast("string").alias(name)
+
+    def dnull(name):
+        return F.lit(None).cast("double").alias(name)
+
+    common_nulls = [
+        snull("Partition"), snull("SubmitLine"), snull("Account"),
+        snull("NodeList"), snull("ReqTRES"), snull("GpuType"),
+        dnull("Time"), dnull("Timelimit"), dnull("Start"), dnull("End"),
+        dnull("NNodes"), dnull("ReqMemNode"), dnull("MaxRSS"),
+        dnull("GpuMem"), dnull("MaxDiskRead"), dnull("MaxDiskWrite"),
+        dnull("TotDiskRead"), dnull("TotDiskWrite"),
+    ]
+    steps = li.select(
+        o.cast("string").alias("JobIDnostep"),
+        ln.cast("string").alias("JobStep"),
+        snull("User"),
+        snull("JobName"),
+        F.lit("COMPLETED").alias("State"),
+        elapsed_s.cast("double").alias("Elapsed"),
+        ncpus.alias("NCPUS"),
+        cputime_s.cast("double").alias("CPUTime"),
+        used_s.cast("double").alias("TotalCPU"),
+        alloc_b.cast("double").alias("AllocMem"),
+        used_b.cast("double").alias("TotalMem"),
+        (used_b.cast("double") / F.nullif(alloc_b.cast("double"), F.lit(0.0))).alias(
+            "MemEff"
+        ),
+        gpus.cast("double").alias("NGpus"),
+        (util / F.lit(100.0)).alias("GpuUtil"),
+        *common_nulls,
+    )
+    allocs = (
+        li.select(o.alias("ok"))
+        .distinct()
+        .select(
+            F.col("ok").cast("string").alias("JobIDnostep"),
+            snull("JobStep"),
+            F.concat(F.lit("u"), (F.col("ok") % 50).cast("string")).alias("User"),
+            F.concat(F.lit("job"), F.col("ok").cast("string")).alias("JobName"),
+            F.lit("COMPLETED").alias("State"),
+            dnull("Elapsed"),
+            F.lit(None).cast("long").alias("NCPUS"),
+            dnull("CPUTime"),
+            dnull("TotalCPU"),
+            dnull("AllocMem"),
+            dnull("TotalMem"),
+            dnull("MemEff"),
+            dnull("NGpus"),
+            dnull("GpuUtil"),
+            *common_nulls,
+        )
+    )
+    return steps.unionByName(allocs)
 
 
 @register(

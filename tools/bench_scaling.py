@@ -46,6 +46,7 @@ K = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
 DUCK_QUERIES = [
     "q1_pricing_summary",
     "sacct_eff",
+    "sacct_eff_typed",
     "sacct_user_rollup",
     "dedup_exact",
     "text_profile",
