@@ -14,12 +14,15 @@ Protocol:
    thresholds for the big generated parse methods (measured: no
    effect); sf0.01 is the smallest scale that does. Set
    SPARK_GRAFT_WARMUP_DIR= (empty) to disable.
-2. TIMED — $SPARK_GRAFT_BENCH_ITERS (default 2) full passes over the
-   catalog at the target SF; per-query wall time is the MIN across
-   passes (single-machine noise at these sub-second scales is large;
-   min-of-N is the standard steady-state estimator). Cross-query result
-   caches are dropped between passes, so every pass pays each query's
-   full compute at the target SF.
+2. TIMED — $SPARK_GRAFT_BENCH_ITERS (default 3) full passes over the
+   catalog at the target SF; the headline per-query wall time is the
+   MIN across passes (single-machine noise at these sub-second scales
+   is large; min-of-N is the standard steady-state estimator) and the
+   MEDIAN rides along (`queries_median` / `value_median`) so
+   run-to-run variance — page-cache state moves some queries 2-3x —
+   is visible in the record instead of silently folded into the min.
+   Cross-query result caches are dropped between passes, so every pass
+   pays each query's full compute at the target SF.
 
 The emitted JSON records the protocol (`warmup_sf`, `iterations`).
 """
@@ -80,25 +83,34 @@ def main() -> None:
         _run_all(QUERIES, spark, warm_dir)
         _drop_caches()
 
-    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
-    times: dict[str, float] = {}
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for _ in range(iters):
         pass_times = _run_all(QUERIES, spark, sf_dir, errors)
         _drop_caches()
         for name, t in pass_times.items():
-            times[name] = min(times.get(name, float("inf")), t)
+            samples.setdefault(name, []).append(t)
     # A query that succeeded on any pass has a number; drop its
     # earlier-pass error so `errors` lists only truly-broken queries.
-    for name in times:
+    for name in samples:
         errors.pop(name, None)
 
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    times = {name: min(xs) for name, xs in samples.items()}
+    medians = {name: round(_median(xs), 3) for name, xs in samples.items()}
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "catalog_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
+        "value_median": round(sum(medians.values()), 3),
         "sf": sf_val,
         "warmup_sf": warm_dir if warm_dir else None,
         "iterations": iters,

@@ -126,10 +126,25 @@ def build_scaled_dir(spark) -> None:
         fh.write("ok\n")
 
 
-def time_spark(QUERIES, spark, names, sf_dir, passes=2):
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
+def _fold(samples: dict[str, list[float]]):
+    """(min, median) per query — same policy as bench.py: min is the
+    steady-state headline, median exposes page-cache variance."""
+    return (
+        {k: round(min(v), 3) for k, v in samples.items()},
+        {k: round(_median(v), 3) for k, v in samples.items()},
+    )
+
+
+def time_spark(QUERIES, spark, names, sf_dir, passes=3):
     from slurm2sql_spark import catalog
 
-    best: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for _ in range(passes):
         catalog.drop_caches()
         for name in names:
@@ -137,16 +152,15 @@ def time_spark(QUERIES, spark, names, sf_dir, passes=2):
             QUERIES[name].spark(spark, sf_dir).write.mode("overwrite").format(
                 "noop"
             ).save()
-            dt = time.perf_counter() - t0
-            best[name] = min(best.get(name, dt), dt)
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
     catalog.drop_caches()
-    return {k: round(v, 3) for k, v in best.items()}
+    return _fold(samples)
 
 
-def time_duck(QUERIES, names, sf_dir, passes=2):
+def time_duck(QUERIES, names, sf_dir, passes=3):
     import duckdb
 
-    best: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for _ in range(passes):
         con = duckdb.connect()
         for t in (
@@ -161,10 +175,9 @@ def time_duck(QUERIES, names, sf_dir, passes=2):
         for name in names:
             t0 = time.perf_counter()
             con.execute(QUERIES[name].oracle).fetchall()
-            dt = time.perf_counter() - t0
-            best[name] = min(best.get(name, dt), dt)
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
         con.close()
-    return {k: round(v, 3) for k, v in best.items()}
+    return _fold(samples)
 
 
 def main() -> None:
@@ -179,25 +192,31 @@ def main() -> None:
     # warmup (JIT) outside the timed region, at 100x smaller scale
     time_spark(QUERIES, spark, names, "/root/testdata/sf0.01", passes=1)
 
-    s1 = time_spark(QUERIES, spark, names, SRC, passes=2)
-    s10 = time_spark(QUERIES, spark, names, DST, passes=1)
-    d1 = time_duck(QUERIES, DUCK_QUERIES, SRC, passes=2)
-    d10 = time_duck(QUERIES, DUCK_QUERIES, DST, passes=1)
+    s1, s1_med = time_spark(QUERIES, spark, names, SRC, passes=3)
+    s10, s10_med = time_spark(QUERIES, spark, names, DST, passes=3)
+    d1, d1_med = time_duck(QUERIES, DUCK_QUERIES, SRC, passes=3)
+    d10, d10_med = time_duck(QUERIES, DUCK_QUERIES, DST, passes=3)
 
-    out = {"k": K, "src": SRC, "queries": {}}
+    out = {"k": K, "src": SRC, "policy": "min+median of 3", "queries": {}}
     for n in names:
         q = {
             "spark_1x": s1[n],
             "spark_10x": s10[n],
             "spark_ratio": round(s10[n] / s1[n], 2),
+            "spark_1x_med": s1_med[n],
+            "spark_10x_med": s10_med[n],
         }
         if n in d1:
             q.update(
                 duck_1x=d1[n],
                 duck_10x=d10[n],
                 duck_ratio=round(d10[n] / d1[n], 2),
+                duck_1x_med=d1_med[n],
+                duck_10x_med=d10_med[n],
                 gap_1x=round(s1[n] / d1[n], 2),
                 gap_10x=round(s10[n] / d10[n], 2),
+                gap_1x_med=round(s1_med[n] / d1_med[n], 2),
+                gap_10x_med=round(s10_med[n] / d10_med[n], 2),
             )
         out["queries"][n] = q
     with open("SCALING.json", "w") as fh:
