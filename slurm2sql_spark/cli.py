@@ -484,8 +484,9 @@ def ingest_cli(spark: SparkSession, argv) -> str:
                    help="with --sacct-dump: reassemble records whose "
                         "JobName contains newlines, with error accounting "
                         "(exit 1 on unparseable lines, reference "
-                        "slurm2sql.py:785-788). Driver-side: the whole "
-                        "dump must fit in driver memory")
+                        "slurm2sql.py:785-788). Distributed: complete "
+                        "lines parse in place, only the rare split "
+                        "records route through a sequential repair task")
     p.add_argument("--update", "-U", action="store_true",
                    help="upsert on JobID instead of overwrite")
     p.add_argument("--table-format", choices=("parquet", "delta"),
@@ -620,11 +621,18 @@ def ingest_cli(spark: SparkSession, argv) -> str:
         n_errors = 0
         bad = None
         if args.stitch_lines:
-            # opt-in driver path: the only one that can REPAIR
-            # newline-split records (reassembles them before parsing)
-            with open(args.sacct_dump) as f:
-                typed = api.ingest(spark, raw_lines=f.read(), errors=errors)
-            n_errors = len(errors)
+            # opt-in repair path, now DISTRIBUTED: safe lines parse in
+            # place; only suspect runs (short/long lines + partition
+            # firsts) route through a single sequential repair task —
+            # a 100-TB dump with embedded newlines stays scale-parallel
+            # (csv_source.sacct_dump_scan_stitched)
+            from slurm2sql_spark.operators.transform import slurm_transform
+            from slurm2sql_spark.sources.csv_source import (
+                sacct_dump_scan_stitched,
+            )
+
+            ok, bad = sacct_dump_scan_stitched(spark, args.sacct_dump)
+            typed = slurm_transform(ok)
         else:
             # default: executor-side line scan — a multi-GB dump never
             # touches driver memory (the error COUNT is computed

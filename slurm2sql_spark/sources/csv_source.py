@@ -26,6 +26,7 @@ __all__ = [
     "read_sacct_lines",
     "sacct_lines_to_df",
     "sacct_dump_scan",
+    "sacct_dump_scan_stitched",
 ]
 
 
@@ -158,5 +159,186 @@ def sacct_dump_scan(
     )
     bad = split.filter(F.col("_n") != n).select(
         F.col("value").alias("line"), F.col("_n").alias("n_fields")
+    )
+    return ok, bad
+
+
+def sacct_dump_scan_stitched(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed dump scan that REPAIRS newline-split records — the
+    scale path for ``--stitch-lines`` (reference sacct_iter,
+    slurm2sql.py:877-914, whose repair was previously driver-only here).
+
+    Why this parallelizes: the stitch automaton's only state is the
+    pending short-line buffer, and after ANY line with field arity
+    ``>= n`` the buffer is provably empty (no-buffer + arity n -> record
+    emitted; pending buffer merges to arity ``>= n`` -> record or error
+    emitted; either way the buffer clears).  So a line with arity
+    ``== n`` whose in-file predecessor has arity ``>= n`` is a complete
+    record NO MATTER what any earlier line contained.  That classifies
+    every line locally:
+
+    - SAFE (arity == n, predecessor arity >= n, predecessor known):
+      parsed in place — the wide fast path, one narrow Arrow pass, no
+      shuffle, no cross-partition coordination.
+    - SUSPECT (arity != n, or first line of a partition where the
+      predecessor is unknown): routed to a single-task repair stage
+      that runs the exact ``stitch_lines`` kernel over file-adjacent
+      runs.  Suspect volume is proportional to how rare embedded
+      newlines are (plus one line per partition boundary), so the
+      sequential stage handles kilobytes while the terabytes stay on
+      the fast path.  A pathological all-short-lines dump degrades to
+      one sequential task — the same chain a single reader pays, now an
+      explicit worst case instead of the default.
+
+    File-adjacency across partitions is reconstructed from per-partition
+    sentinel rows carrying the partition's line count (empty partitions
+    included), so runs that span partition boundaries — including a
+    record whose continuation lines open the next split — stitch
+    exactly like the driver kernel.  ``spark.read.text`` assigns whole
+    physical lines to the split where they start, so partitions hold
+    contiguous in-order line ranges.  Single-file dumps only (a
+    directory's file ordering is not a record order); gzipped dumps
+    work (one partition, everything suspect-free except line arity).
+
+    Returns ``(ok_rows, bad_lines)`` with the same contract as
+    ``sacct_dump_scan``: empty fields -> NULL, bad lines counted not
+    repaired (here only genuinely unrecoverable merges land in ``bad``
+    — the reference's too-many-fields case), both frames lazy, and the
+    trailing unterminated buffer at EOF dropped silently (reference
+    behavior).  Unlike ``sacct_dump_scan``, repeated header lines are
+    data (arity n -> a record of column-name strings), matching the
+    driver stitcher byte for byte.
+    """
+    import re
+
+    import pandas as pd
+
+    lines = spark.read.text(path)
+    header_row = lines.first()
+    if header_row is None:
+        raise ValueError(f"empty sacct dump: {path}")
+    header = header_row[0].split(SACCT_DELIMITER)
+    n = len(header)
+    delim_re = re.escape(SACCT_DELIMITER)
+
+    tag_schema = "pid long, idx long, arity long, safe boolean, value string"
+
+    def _tag(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        idx0 = 0
+        prev_arity = None  # None == unknown (partition start)
+        for pdf in batches:
+            v = pdf["value"]
+            arity = v.str.count(delim_re) + 1
+            prev = arity.shift(1)
+            if prev_arity is not None and len(prev):
+                prev.iloc[0] = prev_arity
+            safe = (arity == n) & (prev >= n)  # NaN prev -> False
+            yield pd.DataFrame(
+                {
+                    "pid": pid,
+                    "idx": range(idx0, idx0 + len(pdf)),
+                    "arity": arity.astype("int64"),
+                    "safe": safe.fillna(False).astype(bool),
+                    "value": v,
+                }
+            )
+            idx0 += len(pdf)
+            if len(arity):
+                prev_arity = int(arity.iloc[-1])
+        # per-partition sentinel: idx=-1, arity = line count — lets the
+        # repair stage chain runs across partition boundaries (and over
+        # empty partitions, which emit only this row)
+        yield pd.DataFrame(
+            {"pid": [pid], "idx": [-1], "arity": [idx0],
+             "safe": [False], "value": [None]}
+        )
+
+    tagged = lines.mapInPandas(_tag, schema=tag_schema)
+
+    ok_fast = tagged.filter(F.col("safe")).select(
+        F.split(F.col("value"), delim_re, -1).alias("_p")
+    )
+
+    suspect = (
+        tagged.filter(~F.col("safe"))
+        .repartition(1)
+        .sortWithinPartitions("pid", "idx")
+    )
+
+    repair_schema = "bad boolean, value string"
+
+    def _repair(batches):
+        counts: dict[int, int] = {}
+        prev_pos: tuple[int, int] | None = None
+        buf: str | None = None
+
+        def _adjacent(a, b):
+            (ap, ai), (bp, bi) = a, b
+            if ap == bp:
+                return bi == ai + 1
+            if bi != 0 or ai != counts.get(ap, -2) - 1:
+                return False
+            return all(counts.get(p, -1) == 0 for p in range(ap + 1, bp))
+
+        out_ok: list[str] = []
+        out_bad: list[str] = []
+        for pdf in batches:
+            for pid, idx, value in zip(pdf["pid"], pdf["idx"], pdf["value"]):
+                pid, idx = int(pid), int(idx)
+                if idx == -1:
+                    counts[pid] = int(value) if value is not None else 0
+                    continue
+                if pid == 0 and idx == 0:
+                    prev_pos = (0, 0)  # the header line: skip, sync state
+                    buf = None
+                    continue
+                if prev_pos is not None and not _adjacent(prev_pos, (pid, idx)):
+                    # a SAFE line sits between the runs; the automaton
+                    # invariant guarantees the buffer was already empty
+                    buf = None
+                prev_pos = (pid, idx)
+                line = value
+                if buf is not None:
+                    line = buf + "\n" + line
+                    buf = None
+                fields = line.split(SACCT_DELIMITER)
+                if len(fields) < n:
+                    buf = line
+                elif len(fields) > n:
+                    out_bad.append(line)
+                else:
+                    out_ok.append(line)
+        # trailing unterminated buffer: dropped silently (reference)
+        yield pd.DataFrame(
+            {
+                "bad": [False] * len(out_ok) + [True] * len(out_bad),
+                "value": out_ok + out_bad,
+            }
+        )
+
+    # sentinel counts ride in `value` (string) for the repair kernel
+    suspect_packed = suspect.select(
+        "pid", "idx",
+        F.when(F.col("idx") == -1, F.col("arity").cast("string"))
+        .otherwise(F.col("value")).alias("value"),
+    )
+    repaired = suspect_packed.mapInPandas(_repair, schema=repair_schema)
+    ok_repaired = repaired.filter(~F.col("bad")).select(
+        F.split(F.col("value"), delim_re, -1).alias("_p")
+    )
+    ok = ok_fast.unionByName(ok_repaired).select(
+        *[
+            F.nullif(F.col("_p").getItem(i), F.lit("")).alias(h)
+            for i, h in enumerate(header)
+        ]
+    )
+    bad = repaired.filter(F.col("bad")).select(
+        F.col("value").alias("line"),
+        (F.size(F.split(F.col("value"), delim_re, -1))).alias("n_fields"),
     )
     return ok, bad

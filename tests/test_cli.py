@@ -306,7 +306,7 @@ def test_parse_slurmtime_grammar():
 # --- stitcher error accounting -> exit code (reference 785-788) ----------
 
 def test_ingest_cli_sacct_dump_error_exit(spark, tmp_path):
-    # error accounting needs the opt-in driver-side stitching path
+    # error accounting through the opt-in (now distributed) stitch path
     dump = tmp_path / "dump.txt"
     dump.write_text(
         "JobID;|;JobIDRaw;|;User;|;State\n"

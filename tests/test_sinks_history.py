@@ -438,3 +438,148 @@ def test_unknown_upsert_format_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported upsert format"):
         upsert(spark, _jobs(spark, [("1", "RUNNING", 100)]),
                str(tmp_path / "t"), format="orc")
+
+
+# --- fake-delta contract harness -----------------------------------------
+# delta-spark is not installable in every CI environment, but the
+# _delta_upsert branch must not ship untested: this fixture installs a
+# faithful in-process stand-in (parquet + a _delta_log marker, MERGE
+# semantics per the Delta MERGE spec: matched -> update all columns,
+# not matched -> insert) and runs the SAME upsert code path — builder
+# chain, merge-condition construction, initial-write branch and all.
+# Environments with real delta-spark additionally run the real tests
+# above; the fake asserts the exact calls our code makes, so a contract
+# drift (wrong condition string, missing whenNotMatchedInsertAll) fails
+# here even without the package.
+
+
+@pytest.fixture
+def fake_delta(monkeypatch, tmp_path):
+    import os
+    import re
+    import shutil
+    import sys
+    import types
+
+    import pyspark.sql.readwriter as RW
+
+    class _FakeMergeBuilder:
+        def __init__(self, spark, path):
+            self._spark, self._path = spark, path
+            self._source = self._cond = None
+            self._matched = self._not_matched = False
+
+        def alias(self, name):
+            return self
+
+        def merge(self, source, cond):
+            self._source, self._cond = source, cond
+            return self
+
+        def whenMatchedUpdateAll(self):
+            self._matched = True
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            self._not_matched = True
+            return self
+
+        def execute(self):
+            assert self._matched and self._not_matched, (
+                "MERGE built without both whenMatchedUpdateAll and "
+                "whenNotMatchedInsertAll"
+            )
+            m = re.fullmatch(r"t\.`(.+)` = s\.`(.+)`", self._cond)
+            assert m and m.group(1) == m.group(2), (
+                f"unexpected merge condition: {self._cond!r}"
+            )
+            key = m.group(1)
+            target = self._spark.read.parquet(self._path)
+            src = self._source
+            merged = target.join(
+                src.select(key), key, "left_anti"
+            ).unionByName(src)
+            tmp = self._path + ".fakedelta"
+            merged.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(self._path)
+            os.rename(tmp, self._path)
+            os.makedirs(os.path.join(self._path, "_delta_log"), exist_ok=True)
+
+    class FakeDeltaTable:
+        _last_builder = None
+
+        @staticmethod
+        def isDeltaTable(spark, path):
+            return os.path.isdir(os.path.join(path, "_delta_log"))
+
+        @classmethod
+        def forPath(cls, spark, path):
+            cls._last_builder = _FakeMergeBuilder(spark, path)
+            return cls._last_builder
+
+    delta_mod = types.ModuleType("delta")
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = FakeDeltaTable
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+
+    real_wfmt = RW.DataFrameWriter.format
+    real_save = RW.DataFrameWriter.save
+    real_rfmt = RW.DataFrameReader.format
+
+    def wfmt(self, fmt):
+        self._fake_delta = fmt == "delta"
+        return real_wfmt(self, "parquet" if fmt == "delta" else fmt)
+
+    def save(self, path=None, **kw):
+        real_save(self, path, **kw)
+        if getattr(self, "_fake_delta", False) and path:
+            os.makedirs(os.path.join(path, "_delta_log"), exist_ok=True)
+
+    def rfmt(self, fmt):
+        return real_rfmt(self, "parquet" if fmt == "delta" else fmt)
+
+    monkeypatch.setattr(RW.DataFrameWriter, "format", wfmt)
+    monkeypatch.setattr(RW.DataFrameWriter, "save", save)
+    monkeypatch.setattr(RW.DataFrameReader, "format", rfmt)
+    return FakeDeltaTable
+
+
+def test_fake_delta_upsert_replaces_on_key_and_is_idempotent(
+    spark, tmp_path, fake_delta
+):
+    p = str(tmp_path / "t")
+    upsert(spark, _jobs(spark, [("1", "RUNNING", 100), ("2", "PENDING", 90)]),
+           p, format="delta")
+    batch2 = _jobs(spark, [("1", "COMPLETED", 110), ("3", "RUNNING", 120)])
+    upsert(spark, batch2, p, format="delta")
+    upsert(spark, batch2, p, format="delta")  # replay = no-op in effect
+    out = {r.JobID: r.State
+           for r in read_table(spark, p, format="delta").collect()}
+    assert out == {"1": "COMPLETED", "2": "PENDING", "3": "RUNNING"}
+    assert fake_delta._last_builder is not None  # MERGE path really ran
+
+
+def test_fake_delta_partitioned_upsert_migrates_key(spark, tmp_path, fake_delta):
+    p = str(tmp_path / "t")
+    day = 86400
+    base = with_day_partition(_jobs(spark, [("1", "RUNNING", 0)]))
+    upsert(spark, base, p, partition_cols=("day",), format="delta")
+    moved = with_day_partition(_jobs(spark, [("1", "COMPLETED", 5 * day)]))
+    upsert(spark, moved, p, partition_cols=("day",), format="delta")
+    rows = read_table(spark, p, format="delta").collect()
+    assert len(rows) == 1 and rows[0].State == "COMPLETED"
+
+
+def test_fake_delta_batch_with_duplicate_keys_is_deduped(
+    spark, tmp_path, fake_delta
+):
+    """MERGE requires a unique source row per matched target row;
+    _delta_upsert pre-dedupes the batch (documented tie-break)."""
+    p = str(tmp_path / "t")
+    upsert(spark, _jobs(spark, [("1", "RUNNING", 100)]), p, format="delta")
+    dup = _jobs(spark, [("1", "COMPLETED", 110), ("1", "FAILED", 120)])
+    upsert(spark, dup, p, format="delta")
+    rows = read_table(spark, p, format="delta").collect()
+    assert len(rows) == 1 and rows[0].State in ("COMPLETED", "FAILED")

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from slurm2sql_spark.sources.csv_source import (
     read_sacct_lines,
     stitch_lines,
@@ -111,3 +113,110 @@ def test_sacct_dump_scan_gzipped(spark, tmp_path):
     ok, bad = sacct_dump_scan(spark, str(p))
     assert sorted(map(tuple, ok.collect())) == [("1", "alice"), ("2", "bob")]
     assert bad.count() == 1
+
+
+def _newline_dump_text(n_rows=400):
+    """A dump exercising every stitch case: clean rows, 1- and 2-newline
+    JobNames, empty fields, and one unrecoverable too-many-fields line."""
+    out = ["JobID;|;JobName;|;State;|;NCPUS"]
+    for i in range(n_rows):
+        if i % 7 == 3:
+            name = f"multi\nline-{i}"          # one embedded newline
+        elif i % 13 == 5:
+            name = f"very\nmulti\nline-{i}"    # two embedded newlines
+        elif i % 11 == 6:
+            name = ""                            # empty field -> NULL
+        else:
+            name = f"job{i}"
+        state = "COMPLETED" if i % 2 else "RUNNING"
+        out.append(f"{i};|;{name};|;{state};|;{i % 8}")
+    out.append("bad;|;too;|;many;|;fields;|;here")  # unrecoverable
+    return "\n".join(out) + "\n"
+
+
+def _stitched_rows(df):
+    # ""/NULL normalization: the distributed scans map empty -> NULL,
+    # the driver kernel keeps ""; both mean "absent" downstream
+    return sorted(
+        tuple("" if v is None else v for v in r) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("gz", [False, True], ids=["plain", "gzip"])
+def test_dump_scan_stitched_matches_driver_kernel(spark, tmp_path, gz):
+    """The distributed stitch must equal the driver stitcher on a
+    MULTI-PARTITION dump (plain) and on a gzipped single-partition one
+    — including records whose continuation lines cross a partition
+    boundary, and the bad-line set."""
+    from slurm2sql_spark.sources.csv_source import (
+        sacct_dump_scan_stitched,
+        stitch_lines,
+    )
+
+    text = _newline_dump_text()
+    if gz:
+        import gzip
+
+        dump = tmp_path / "dump.txt.gz"
+        dump.write_bytes(gzip.compress(text.encode()))
+    else:
+        dump = tmp_path / "dump.txt"
+        dump.write_text(text)
+
+    # force many small partitions so suspect runs cross boundaries
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        ok, bad = sacct_dump_scan_stitched(spark, str(dump))
+        if not gz:
+            n_parts = ok.rdd.getNumPartitions()
+            assert n_parts > 4, f"dump did not split ({n_parts} partitions)"
+        got = _stitched_rows(ok)
+        bad_got = sorted(r.line for r in bad.collect())
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    lines = text.splitlines()
+    errors: list = []
+    want = sorted(
+        tuple(f) for f in stitch_lines(iter(lines[1:]), 4, errors)
+    )
+    assert got == want
+    assert len(got) == 400  # every record recovered, exactly once
+    assert bad_got == sorted(errors) and len(bad_got) == 1
+
+
+def test_dump_scan_stitched_worst_cases(spark, tmp_path):
+    """Adversarial shapes: a record split across MANY lines, a short
+    fragment absorbed by exactly-completing continuation, a trailing
+    unterminated buffer (dropped silently, reference behavior), and a
+    repeated header line (data, matching the driver kernel)."""
+    from slurm2sql_spark.sources.csv_source import (
+        sacct_dump_scan_stitched,
+        stitch_lines,
+    )
+
+    text = (
+        "A;|;B;|;C\n"
+        "1;|;x\ny\nz\nw;|;ok\n"       # 3 embedded newlines
+        "A;|;B;|;C\n"                  # repeated header -> data row
+        "2;|;fine;|;ok\n"
+        "3;|;tail\nnever-completes\n"  # EOF buffer: dropped
+    )
+    dump = tmp_path / "worst.txt"
+    dump.write_text(text)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "32")
+    try:
+        ok, bad = sacct_dump_scan_stitched(spark, str(dump))
+        got = _stitched_rows(ok)
+        n_bad = bad.count()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    errors: list = []
+    want = sorted(
+        tuple(f) for f in stitch_lines(iter(text.splitlines()[1:]), 3, errors)
+    )
+    assert got == want
+    assert ("A", "B", "C") in got  # the repeated header parsed as data
+    assert n_bad == len(errors) == 0
