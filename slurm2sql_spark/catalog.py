@@ -712,11 +712,19 @@ def _eff_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship eff rollup, persisted once per (session, sf_dir).
 
     ``sacct_eff`` and ``sacct_user_rollup`` both consume this ~1-row-per-
-    job frame (17 columns), so a session running both pays the
+    job frame (15 columns), so a session running both pays the
     synthesize -> parse -> aggregate pipeline once instead of twice.
     Ratios are quantized here (q6) so every consumer sees identical
-    values. TotDiskRead/TotDiskWrite ride along only so ``user_rollup``
-    resolves; unused consumers prune them.
+    values.
+
+    Deliberately EXCLUDES TotDiskRead/TotDiskWrite: no catalog consumer
+    surfaces them (``sacct_user_rollup`` prunes the I/O-rate outputs),
+    and because the persist boundary pins every memoized column, the
+    two extra sum-aggregates plus one fs/disk TRES unit-parse were
+    measured to DOUBLE the whole map stage at 10x sf0.1 (33s -> 15s
+    wall, 304s -> 190s task CPU — one expression tips the generated
+    projection over a JIT/codegen cliff). Consumers that need the
+    rates (views.user_rollup resolution) append typed NULLs.
     """
     def build() -> DataFrame:
         raw = _sacct_raw_from_lineitem(spark, sf_dir)
@@ -739,8 +747,6 @@ def _eff_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "NGpus",
                 _q6("GpuEff").alias("GpuEff"),
                 "gpu_s_reserved",
-                "TotDiskRead",
-                "TotDiskWrite",
             )
         )
 
@@ -912,7 +918,16 @@ FROM e GROUP BY "User"
     doc="A9: second-level per-user rollup of the eff view with weighted means.",
 )
 def sacct_user_rollup(spark, sf_dir):
-    e = _eff_shared(spark, sf_dir)
+    # typed NULL I/O columns satisfy views.user_rollup's resolution; the
+    # entry prunes the rate outputs, so the memoized frame doesn't carry
+    # the fs/disk parse (see _eff_shared's docstring for the measured
+    # cost of pinning it through the persist boundary)
+    e = _eff_shared(spark, sf_dir).withColumns(
+        {
+            "TotDiskRead": F.lit(None).cast("double"),
+            "TotDiskWrite": F.lit(None).cast("double"),
+        }
+    )
     return user_rollup(e).select(
         "User",
         "NJobs",
