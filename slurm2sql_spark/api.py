@@ -51,6 +51,7 @@ def ingest(
     dump_path: str | None = None,
     sacct_options: dict | None = None,
     errors: list | None = None,
+    stitch: bool = False,
     **kwargs,
 ) -> DataFrame:
     """Multi-source front door: raw sacct text, a CSV file, a dump file,
@@ -59,16 +60,20 @@ def ingest(
     ``raw_lines`` is the PIPE path: driver-side continuation stitching,
     sized for a single sacct stream — don't hand it a multi-GB dump.
     ``dump_path`` is the FILE path: a distributed line scan over the
-    pipe-delimited dump (scales to any size). It cannot REPAIR records
-    whose JobName embeds a newline (stitching exists for that), but it
-    DETECTS them: with ``errors`` passed, malformed lines are collected
-    into it so the caller can report them and exit nonzero — the same
-    error contract as the stitching path (reference slurm2sql.py:785-788).
-    The collection is an eager extra scan and is CAPPED at 1000 sample
-    lines (a wrong-delimiter dump makes EVERY line malformed — an
-    unbounded collect would OOM the driver); callers needing the exact
-    count at any size should use ``sacct_dump_scan`` directly and
-    ``count()`` the bad frame, as the CLI does."""
+    pipe-delimited dump (scales to any size). By default it cannot
+    REPAIR records whose JobName embeds a newline, but it DETECTS
+    them; with ``stitch=True`` the distributed stitched scan repairs
+    them at any scale (``sacct_dump_scan_stitched`` — safe lines parse
+    in place, only suspect runs go through a sequential repair task),
+    and ``errors`` then receives only genuinely unrecoverable lines.
+    With ``errors`` passed, malformed lines are collected into it so
+    the caller can report them and exit nonzero — the same error
+    contract as the reference (slurm2sql.py:785-788). The collection
+    is an eager extra scan and is CAPPED at 1000 sample lines (a
+    wrong-delimiter dump makes EVERY line malformed — an unbounded
+    collect would OOM the driver); callers needing the exact count at
+    any size should use the scan functions directly and ``count()``
+    the bad frame, as the CLI does."""
     if raw_lines is not None:
         typed = slurm_transform(
             read_sacct_lines(spark, raw_lines, errors=errors),
@@ -76,9 +81,13 @@ def ingest(
         )
         return typed
     if dump_path is not None:
-        from slurm2sql_spark.sources.csv_source import sacct_dump_scan
+        from slurm2sql_spark.sources.csv_source import (
+            sacct_dump_scan,
+            sacct_dump_scan_stitched,
+        )
 
-        ok, bad = sacct_dump_scan(spark, dump_path)
+        scan = sacct_dump_scan_stitched if stitch else sacct_dump_scan
+        ok, bad = scan(spark, dump_path)
         if errors is not None:
             errors.extend(r.line for r in bad.limit(1000).collect())
         return slurm_transform(ok, now=kwargs.get("now"))

@@ -220,3 +220,24 @@ def test_dump_scan_stitched_worst_cases(spark, tmp_path):
     assert got == want
     assert ("A", "B", "C") in got  # the repeated header parsed as data
     assert n_bad == len(errors) == 0
+
+
+def test_api_ingest_dump_stitch_flag(spark, tmp_path):
+    """api.ingest(dump_path=..., stitch=True) repairs newline-split
+    records through the distributed stitched scan."""
+    from slurm2sql_spark import api
+
+    dump = tmp_path / "d.txt"
+    dump.write_text(
+        "JobID;|;JobName;|;User;|;State\n"
+        "1;|;my\njob;|;alice;|;COMPLETED\n"
+        "2;|;ok;|;bob;|;RUNNING\n"
+    )
+    errors: list = []
+    typed = api.ingest(
+        spark, dump_path=str(dump), stitch=True, errors=errors,
+        now=1_700_000_000,
+    )
+    rows = {r.JobID: r.JobName for r in typed.select("JobID", "JobName").collect()}
+    assert rows == {"1": "my\njob", "2": "ok"}
+    assert errors == []
