@@ -1531,13 +1531,104 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
+def _ivf_oracle_sql(nlist: int = 16, nprobe: int = 6, dim: int = 64) -> str:
+    """Render the full IVF pipeline as DuckDB SQL. Unlike the LSH
+    planes (data-independent, inlined as VALUES), IVF centroids are a
+    function of the DATA, so the oracle recomputes the training itself:
+    seed from the ``nlist`` lowest-id vectors, one Lloyd step (argmax-
+    cosine assignment + per-position mean), then the same probe/re-rank
+    the Spark entry runs. Float divergence risk is ulp-level (summation
+    order in the means differs between engines) against argmax margins
+    that are orders of magnitude larger, and the final ranking is
+    1e-4-quantized with an id tie-break — same contract that makes the
+    LSH oracle engine-portable."""
+    avgs = ", ".join(f"avg(e.v[{p + 1}])" for p in range(dim))
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    embn AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> x / greatest(
+               sqrt(list_dot_product(v, v)), 1e-12)) AS vn
+      FROM emb
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {nlist})
+    ),
+    sn AS (
+      SELECT cell, list_transform(v, x -> x / greatest(
+               sqrt(list_dot_product(v, v)), 1e-12)) AS c
+      FROM seeds
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell, row_number() OVER (
+          PARTITION BY e.vec_id
+          ORDER BY list_dot_product(e.vn, s.c) DESC, s.cell ASC) AS rn
+        FROM embn e CROSS JOIN sn s
+      ) WHERE rn = 1
+    ),
+    means AS (
+      SELECT a1.cell, [{avgs}] AS m
+      FROM a1 JOIN emb e USING (vec_id) GROUP BY a1.cell
+    ),
+    cents AS (
+      SELECT s.cell, coalesce(m.m, s.v) AS v
+      FROM seeds s LEFT JOIN means m ON s.cell = m.cell
+    ),
+    cn AS (
+      SELECT cell, list_transform(v, x -> x / greatest(
+               sqrt(list_dot_product(v, v)), 1e-12)) AS c
+      FROM cents
+    ),
+    a2 AS (
+      SELECT vec_id AS c_id, cell FROM (
+        SELECT e.vec_id, n.cell, row_number() OVER (
+          PARTITION BY e.vec_id
+          ORDER BY list_dot_product(e.vn, n.c) DESC, n.cell ASC) AS rn
+        FROM embn e CROSS JOIN cn n
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS q_id, cell FROM (
+        SELECT e.vec_id, n.cell, row_number() OVER (
+          PARTITION BY e.vec_id
+          ORDER BY list_dot_product(e.vn, n.c) DESC, n.cell ASC) AS rn
+        FROM embn e CROSS JOIN cn n WHERE e.vec_id < 10
+      ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT DISTINCT q.q_id, a2.c_id
+      FROM qprobe q JOIN a2 ON a2.cell = q.cell
+      WHERE a2.c_id != q.q_id
+    ),
+    pairs AS (
+      SELECT cand.q_id, cand.c_id, list_cosine_similarity(eq.v, ec.v) AS sim
+      FROM cand
+      JOIN emb eq ON eq.vec_id = cand.q_id
+      JOIN emb ec ON ec.vec_id = cand.c_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, sim, row_number() OVER (
+        PARTITION BY q_id ORDER BY floor(sim * 10000) DESC, c_id) AS rank
+      FROM pairs
+    )
+    SELECT q_id, c_id, floor(sim * 10000) / 10000 AS sim, rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
 @register(
     "sim_ivf_topk",
-    None,  # approximate + centroid-dependent; rows recorded, recall
-    # checked by sim_ivf_recall below
+    _ivf_oracle_sql(),
     doc="IVF approximate top-k: Voronoi-partition the corpus (16 cells, "
     "1 Lloyd step, deterministic seeding), probe each query's 6 nearest "
-    "cells, exact cosine re-rank — each query scans ~6/16 of the corpus.",
+    "cells, exact cosine re-rank — each query scans ~6/16 of the corpus. "
+    "Fully oracled: the DuckDB twin retrains the centroids from the same "
+    "data (seeding and the Lloyd step are deterministic), reassigns, and "
+    "re-ranks with the same 1e-4-quantized ordering.",
 )
 def sim_ivf_topk(spark, sf_dir):
     # memoized: also consumed by sim_ivf_recall
@@ -1546,14 +1637,48 @@ def sim_ivf_topk(spark, sf_dir):
 
 
 def _sim_ivf_topk_build(spark, sf_dir):
-    from slurm2sql_spark.operators.similarity import ivf_topk
+    """Same candidate generation as operators.similarity.ivf_topk
+    (trained centroids, nprobe-cell equi-join, ids-only distinct), but
+    the exact re-rank orders by floor(sim*10000) with c_id tie-break —
+    the engine-portable ranking contract shared with sim_lsh_topk (the
+    production operator ranks on the raw double)."""
+    from pyspark.sql import Window
+    from slurm2sql_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+        ivf_centroids,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return ivf_topk(qs, cs, k=5, nlist=16, nprobe=6, iters=1)
+    cents = ivf_centroids(cs, "c_id", "c_vec", nlist=16, iters=1)
+    ccells = ivf_assign(cs, cents, "c_id", "c_vec", nprobe=1).select("cell", "c_id")
+    qcells = ivf_assign(qs, cents, "q_id", "q_vec", nprobe=6).select("cell", "q_id")
+    cand_ids = (
+        ccells.join(F.broadcast(qcells), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    cand = cand_ids.join(F.broadcast(qs), "q_id").join(cs, "c_id")
+    sim = cand.withColumn(
+        "sim_raw",
+        cosine(
+            F.col("q_vec").cast("array<double>"),
+            F.col("c_vec").cast("array<double>"),
+        ),
+    ).select("q_id", "c_id", F.floor(F.col("sim_raw") * 10000).alias("sim_q"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_q"), F.asc("c_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id", "c_id", (F.col("sim_q") / 10000).alias("sim"), "rank"
+        )
+    )
 
 
 @register(
