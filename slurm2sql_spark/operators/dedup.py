@@ -146,8 +146,14 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         return pd.Series(out)
 
     # fan the narrow (id, text) projection out first: a single-row-group
-    # scan would otherwise run the UDF nearly serial (plans/partitioning)
-    narrow = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+    # scan would otherwise run the UDF nearly serial (plans/partitioning).
+    # min_bytes: on a tiny corpus the explicit repartition (AQE-exempt)
+    # costs more than the whole kernel; at scale the scan has plenty of
+    # splits and fan_out no-ops regardless.
+    narrow = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+        min_bytes=4 << 20,
+    )
     return narrow.select(
         "id",
         F.explode(_shingle(F.col("_t"))).alias("shingle"),
@@ -174,30 +180,49 @@ def ngram_jaccard_pairs(
     reasonable ``threshold`` are unaffected. Pass ``None`` to disable
     (exact at any frequency — quadratic in the hottest posting).
 
-    ``persist_shingles`` (default on) persists the post-filter (id,
-    shingle) frame: it feeds the doc-size aggregate and BOTH sides of
-    the posting self-join, and per-branch column pruning makes the
-    subplans non-identical, so Spark's exchange reuse never fires —
-    without the persist the Arrow shingle kernel executes 8x (measured;
-    plan shows 8 ArrowEvalPython, 0 ReusedExchange). The persisted
-    frame spills to disk like any shuffle output, same footprint the
-    reused exchange would have had; ``release_caches()`` (wired into
-    ``catalog.drop_caches``) unpersists.
+    ``persist_shingles`` (default on) persists the raw (id, shingle)
+    frame — it feeds the frequency count, the doc-size aggregate, and
+    both sides of the posting self-join, and per-branch column pruning
+    makes the subplans non-identical, so Spark's exchange reuse never
+    fires — without the persist the Arrow shingle kernel executes 8x
+    (measured; plan shows 8 ArrowEvalPython, 0 ReusedExchange). The
+    post-filter frame is persisted a second time pre-partitioned by
+    ``shingle``, which the posting self-join then consumes with ZERO
+    exchange (both sides read the same hash-partitioned cache). Both
+    frames spill to disk like the shuffle outputs they replace;
+    ``release_caches()`` (wired into ``catalog.drop_caches``)
+    unpersists.
+
+    Shuffle/skew shape, designed for the 100-TB corpus: the frequency
+    count is a map-side-combined groupBy (a shingle in f docs costs
+    each map task ONE output row, never f co-located rows), the cap
+    filter keeps the tiny HOT side (head of the Zipf curve) and applies
+    it as a broadcast anti-join — a narrow, skew-immune pass, vs the
+    old rare-side inner join that re-shuffled every shingle row by
+    shingle while the hot keys were still present. After the filter no
+    shingle appears in more than ``max_shingle_freq`` docs, so the
+    repartition + self-join that follow have a hard per-key skew bound.
+    (If an extreme corpus/cap combination ever made the hot set too big
+    to broadcast, drop the ``broadcast()`` hint and let AQE pick the
+    join strategy — the cap filter itself is unchanged.)
     """
     sh = shingles(df, id_col, text_col, n)
+    if persist_shingles:
+        sh = _persist(sh)
     if max_shingle_freq is not None:
         logger.info(
             "ngram_jaccard_pairs: dropping shingles shared by more than "
             "%d docs before the pair join (recall trade documented)",
             max_shingle_freq,
         )
-        rare = (
+        hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("f"))
-            .filter(F.col("f") <= max_shingle_freq)
+            .filter(F.col("f") > max_shingle_freq)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.repartition("shingle")
     if persist_shingles:
         sh = _persist(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -485,7 +510,10 @@ def simhash_signatures(
     variant a SQL oracle can replicate.
     """
     toks = (
-        fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        fan_out(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+            min_bytes=4 << 20,
+        )
         .select("id", F.explode(F.split(F.trim(F.col("_t")), r"\s+")).alias("tok"))
         .withColumn("h", token_hash(F.col("tok")))
     )
