@@ -2148,3 +2148,86 @@ def text_scrub_pii(spark, sf_dir):
             pii_counts(t), ["n_email", "n_ipv4", "n_phone"]
         )],
     )
+
+
+@register(
+    "asof_join_events",
+    """
+    WITH probe AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE event_type = 'error'
+    ), build AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id, p.ts_us, p.value,
+           CASE WHEN p.ts_us - b.ts_us <= 3600000000 THEN b.ts_us
+                END AS click_ts_us,
+           CASE WHEN p.ts_us - b.ts_us <= 3600000000 THEN b.click_value
+                END AS click_value
+    FROM probe p ASOF LEFT JOIN build b
+      ON p.user_id = b.user_id AND p.ts_us >= b.ts_us
+    """,
+    doc="Point-in-time join (operators/asof.py): each error event picks "
+    "up the latest preceding click by the same user within 1 h — "
+    "union-tag + one window pass, a single shuffle on user_id (no "
+    "range-join blowup). Oracle is DuckDB's native ASOF JOIN.",
+)
+def asof_join_events(spark, sf_dir):
+    from slurm2sql_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    ts = _ts_us(ev)
+    probe = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", ts.alias("ts_us"), "value"
+    )
+    # Build side deduped to one row per (user, ts): survivor choice on
+    # exact-duplicate timestamps is the caller's call (see asof.py doc).
+    build = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", ts.alias("ts_us"), "value")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("click_value"))
+    )
+    res = asof_join(
+        probe, build, on="ts_us", by="user_id", tolerance=3_600_000_000
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.col("ts_us_r").alias("click_ts_us"),
+        "click_value",
+    )
+
+
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           floor(quantile_cont(value, 0.25) * 1e6 + 1e-3) / 1e6 AS p25,
+           floor(quantile_cont(value, 0.5)  * 1e6 + 1e-3) / 1e6 AS p50,
+           floor(quantile_cont(value, 0.9)  * 1e6 + 1e-3) / 1e6 AS p90,
+           floor(quantile_cont(value, 0.99) * 1e6 + 1e-3) / 1e6 AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile`, "
+    "one pass for all four cut points) vs DuckDB quantile_cont — both "
+    "linear interpolation at rank p*(n-1); 1e-6 floor-quantized. At "
+    "scale swap percentile -> percentile_approx (t-digest sketch, "
+    "map-side combinable) — same plan shape, covered by test_approx.",
+)
+def value_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ps = F.expr("percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D))")
+    g = ev.groupBy("event_type").agg(ps.alias("ps"), F.count(F.lit(1)).alias("n"))
+    return g.select(
+        "event_type",
+        *[
+            _q6(F.element_at("ps", i + 1)).alias(n)
+            for i, n in enumerate(["p25", "p50", "p90", "p99"])
+        ],
+        "n",
+    ).orderBy("event_type")
