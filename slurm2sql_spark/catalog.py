@@ -2231,3 +2231,55 @@ def value_percentiles(spark, sf_dir):
         ],
         "n",
     ).orderBy("event_type")
+
+
+@register(
+    "range_join_events",
+    """
+    WITH err AS (
+      SELECT user_id, epoch_us(ts) AS err_ts
+      FROM events WHERE event_type = 'error'
+    ), win AS (
+      SELECT user_id, event_id AS window_id, epoch_us(ts) AS w_start,
+             epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS w_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT w.window_id, w.user_id, count(*) AS n_errors
+    FROM win w JOIN err e
+      ON e.user_id = w.user_id AND e.err_ts BETWEEN w.w_start AND w.w_end
+    GROUP BY 1, 2
+    """,
+    doc="Binned range join (operators/rangejoin.py): errors falling in "
+    "each purchase's value-minutes window. Intervals explode onto "
+    "10-min bins, probes equi-join on (user, bin), exact BETWEEN "
+    "re-check — a plain shuffled equi-join plan where a raw inequality "
+    "join would be a per-key nested loop. Oracle is DuckDB's IEJoin.",
+)
+def range_join_events(spark, sf_dir):
+    from slurm2sql_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    ts = _ts_us(ev)
+    win = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        ts.alias("w_start"),
+        (ts + F.floor(F.col("value") * F.lit(60000000.0)).cast("long")).alias(
+            "w_end"
+        ),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", ts.alias("err_ts")
+    )
+    j = range_join(
+        err,
+        win,
+        point="err_ts",
+        start="w_start",
+        end="w_end",
+        by="user_id",
+        bin_size=600_000_000,  # 10-min bins ~ median window length
+    )
+    return j.groupBy("window_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )

@@ -1,0 +1,110 @@
+"""Binned range join (operators/rangejoin.py): semantics vs a
+brute-force inequality join, exact integer binning on negative domains,
+the fan-out guard, and the plan contract (equi-join, no nested loop).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from slurm2sql_spark.operators.rangejoin import range_join
+
+
+def _random_case(spark, seed, lo=-500, hi=500):
+    rnd = random.Random(seed)
+    pts = [(rnd.randrange(3), rnd.randrange(lo, hi), i) for i in range(200)]
+    ivs = []
+    for j in range(60):
+        s = rnd.randrange(lo, hi)
+        ivs.append((rnd.randrange(3), s, s + rnd.randrange(0, 120), j))
+    points = spark.createDataFrame(pts, "k int, p bigint, pid int")
+    intervals = spark.createDataFrame(ivs, "k int, s bigint, e bigint, iid int")
+    want = {
+        (pid, iid)
+        for k, p, pid in pts
+        for k2, s, e, iid in ivs
+        if k == k2 and s <= p <= e
+    }
+    return points, intervals, want
+
+
+@pytest.mark.parametrize("bin_size", [1, 7, 64, 1000])
+def test_matches_bruteforce(spark, bin_size):
+    """Result is bin-size-independent and equal to the naive inequality
+    join — including negative values (integer div binning, not floor)."""
+    points, intervals, want = _random_case(spark, seed=bin_size)
+    out = range_join(
+        points, intervals, point="p", start="s", end="e", by="k",
+        bin_size=bin_size,
+    )
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert got == want
+    # exactly once per matching pair, never duplicated
+    assert out.count() == len(want)
+
+
+def test_unkeyed(spark):
+    points = spark.createDataFrame([(5, 0), (50, 1)], "p bigint, pid int")
+    intervals = spark.createDataFrame([(0, 10, 0)], "s bigint, e bigint, iid int")
+    out = range_join(points, intervals, point="p", start="s", end="e", bin_size=4)
+    assert [(r["pid"], r["iid"]) for r in out.collect()] == [(0, 0)]
+
+
+def test_null_and_inverted_intervals_drop(spark):
+    points = spark.createDataFrame([(5, 0), (None, 1)], "p bigint, pid int")
+    intervals = spark.createDataFrame(
+        [(0, 10, 0), (None, 10, 1), (8, 2, 2)], "s bigint, e bigint, iid int"
+    )
+    out = range_join(points, intervals, point="p", start="s", end="e", bin_size=4)
+    assert {(r["pid"], r["iid"]) for r in out.collect()} == {(0, 0)}
+
+
+def test_fanout_guard_raises(spark):
+    points = spark.createDataFrame([(5, 0)], "p bigint, pid int")
+    intervals = spark.createDataFrame([(0, 10_000_000, 0)], "s bigint, e bigint, iid int")
+    out = range_join(
+        points, intervals, point="p", start="s", end="e",
+        bin_size=1, max_bins_per_interval=1000,
+    )
+    with pytest.raises(Exception, match="range_join: interval spans"):
+        out.collect()
+
+
+def test_arg_validation(spark):
+    points = spark.createDataFrame([(5, 0)], "p bigint, pid int")
+    intervals = spark.createDataFrame([(0, 10, 0)], "s bigint, e bigint, pid int")
+    with pytest.raises(ValueError, match="collision"):
+        range_join(points, intervals, point="p", start="s", end="e", bin_size=4)
+    with pytest.raises(ValueError, match="positive"):
+        range_join(
+            points, intervals.withColumnRenamed("pid", "iid"),
+            point="p", start="s", end="e", bin_size=0,
+        )
+
+
+def test_plan_is_equi_join(spark):
+    """The whole point: the physical plan is a distributed equi-join,
+    not a nested loop or cartesian."""
+    points, intervals, _ = _random_case(spark, seed=1)
+    plan = (
+        range_join(points, intervals, point="p", start="s", end="e", by="k", bin_size=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+    assert "Join" in plan
+
+
+def test_partitioning_independence(spark):
+    points, intervals, want = _random_case(spark, seed=9)
+    out = range_join(
+        points.repartition(7), intervals.repartition(5),
+        point="p", start="s", end="e", by="k", bin_size=32,
+    )
+    assert {(r["pid"], r["iid"]) for r in out.collect()} == want

@@ -50,6 +50,9 @@ DUCK_QUERIES = [
     "sacct_user_rollup",
     "dedup_exact",
     "text_profile",
+    "asof_join_events",
+    "value_percentiles",
+    "range_join_events",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -124,6 +127,36 @@ def build_scaled_dir(spark) -> None:
     )
     with open(marker, "w") as fh:
         fh.write("ok\n")
+    _build_scaled_events(spark)
+
+
+def _build_scaled_events(spark) -> None:
+    """events replicas shift event_id AND user_id: 10x users with the
+    same per-user event count/timeline, so windowed/as-of per-key work
+    stays constant and the scaling is pure data volume. Guarded by its
+    own marker (added after the main marker already shipped)."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(DST, "_BUILT_EVENTS")
+    if os.path.exists(marker) and "--rebuild" not in sys.argv:
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    eshift = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    ushift = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    reps = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * eshift))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * ushift))
+        for i in range(K)
+    ]
+    functools.reduce(DataFrame.unionByName, reps).write.mode("overwrite").parquet(
+        f"{DST}/events.parquet"
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
 
 
 def _median(xs: list[float]) -> float:
@@ -189,15 +222,33 @@ def main() -> None:
     build_scaled_dir(spark)
 
     names = DUCK_QUERIES + SPARK_ONLY
+    duck_names = list(DUCK_QUERIES)
+    # --only a,b,c: re-measure just those queries and merge into the
+    # existing SCALING.json (for refreshing changed operators without
+    # paying the full ~15 min sweep).
+    merge_into = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - set(names)
+        if unknown:
+            raise SystemExit(f"--only: not in the scaling set: {sorted(unknown)}")
+        names = [n for n in names if n in only]
+        duck_names = [n for n in duck_names if n in only]
+        if os.path.exists("SCALING.json"):
+            with open("SCALING.json") as fh:
+                merge_into = json.load(fh)
+
     # warmup (JIT) outside the timed region, at 100x smaller scale
     time_spark(QUERIES, spark, names, "/root/testdata/sf0.01", passes=1)
 
     s1, s1_med = time_spark(QUERIES, spark, names, SRC, passes=3)
     s10, s10_med = time_spark(QUERIES, spark, names, DST, passes=3)
-    d1, d1_med = time_duck(QUERIES, DUCK_QUERIES, SRC, passes=3)
-    d10, d10_med = time_duck(QUERIES, DUCK_QUERIES, DST, passes=3)
+    d1, d1_med = time_duck(QUERIES, duck_names, SRC, passes=3)
+    d10, d10_med = time_duck(QUERIES, duck_names, DST, passes=3)
 
     out = {"k": K, "src": SRC, "policy": "min+median of 3", "queries": {}}
+    if merge_into is not None:
+        out["queries"].update(merge_into.get("queries", {}))
     for n in names:
         q = {
             "spark_1x": s1[n],
