@@ -96,10 +96,7 @@ def main() -> None:
     for name in samples:
         errors.pop(name, None)
 
-    def _median(xs: list[float]) -> float:
-        s = sorted(xs)
-        m = len(s) // 2
-        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+    from statistics import median as _median
 
     times = {name: min(xs) for name, xs in samples.items()}
     medians = {name: round(_median(xs), 3) for name, xs in samples.items()}

@@ -1407,47 +1407,20 @@ def sim_lsh_topk(spark, sf_dir):
 
 
 def _sim_lsh_topk_build(spark, sf_dir):
-    """Same candidate generation as operators.similarity.lsh_topk
-    (banded signature equi-join, ids-only distinct), but the exact
-    re-rank orders by floor(sim*10000) with c_id tie-break so the
-    ranking is reproducible across engines (the production operator
-    ranks on the raw double — last-ulp differences would flip ties)."""
-    from pyspark.sql import Window
-    from slurm2sql_spark.operators.similarity import _band_key_rows, cosine
+    """The PRODUCTION lsh_topk operator with ``rank_quantize=10000``:
+    ranking by floor(sim*10000) with a c_id tie-break is reproducible
+    across engines (raw-double ordering would flip on last-ulp
+    differences), which is what lets the DuckDB twin recompute the
+    identical result."""
+    from slurm2sql_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    qb = _band_key_rows(qs, "q_id", "q_vec", 16, 8, 64).withColumnRenamed(
-        "id", "q_id"
-    )
-    cb = _band_key_rows(cs, "c_id", "c_vec", 16, 8, 64).withColumnRenamed(
-        "id", "c_id"
-    )
-    cand_ids = (
-        cb.join(F.broadcast(qb), ["band", "key"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
-    )
-    cand = cand_ids.join(F.broadcast(qs), "q_id").join(cs, "c_id")
-    qsim = F.floor(F.col("sim_raw") * 10000)
-    sim = cand.withColumn(
-        "sim_raw",
-        cosine(
-            F.col("q_vec").cast("array<double>"),
-            F.col("c_vec").cast("array<double>"),
-        ),
-    ).select("q_id", "c_id", "sim_raw", qsim.alias("sim_q"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("sim_q"), F.asc("c_id"))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            "q_id", "c_id", (F.col("sim_q") / 10000).alias("sim"), "rank"
-        )
+    return lsh_topk(
+        qs, cs, k=5, planes=16, bands=8, dim=64, rank_quantize=10000
     )
 
 
@@ -1637,47 +1610,19 @@ def sim_ivf_topk(spark, sf_dir):
 
 
 def _sim_ivf_topk_build(spark, sf_dir):
-    """Same candidate generation as operators.similarity.ivf_topk
-    (trained centroids, nprobe-cell equi-join, ids-only distinct), but
-    the exact re-rank orders by floor(sim*10000) with c_id tie-break —
-    the engine-portable ranking contract shared with sim_lsh_topk (the
-    production operator ranks on the raw double)."""
-    from pyspark.sql import Window
-    from slurm2sql_spark.operators.similarity import (
-        cosine,
-        ivf_assign,
-        ivf_centroids,
-    )
+    """The PRODUCTION ivf_topk operator with ``rank_quantize=10000`` —
+    same engine-portable ranking contract as sim_lsh_topk (the DuckDB
+    twin retrains the centroids and re-ranks with the identical
+    quantized ordering)."""
+    from slurm2sql_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    cents = ivf_centroids(cs, "c_id", "c_vec", nlist=16, iters=1)
-    ccells = ivf_assign(cs, cents, "c_id", "c_vec", nprobe=1).select("cell", "c_id")
-    qcells = ivf_assign(qs, cents, "q_id", "q_vec", nprobe=6).select("cell", "q_id")
-    cand_ids = (
-        ccells.join(F.broadcast(qcells), "cell")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
-    )
-    cand = cand_ids.join(F.broadcast(qs), "q_id").join(cs, "c_id")
-    sim = cand.withColumn(
-        "sim_raw",
-        cosine(
-            F.col("q_vec").cast("array<double>"),
-            F.col("c_vec").cast("array<double>"),
-        ),
-    ).select("q_id", "c_id", F.floor(F.col("sim_raw") * 10000).alias("sim_q"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("sim_q"), F.asc("c_id"))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            "q_id", "c_id", (F.col("sim_q") / 10000).alias("sim"), "rank"
-        )
+    return ivf_topk(
+        qs, cs, k=5, nlist=16, nprobe=6, iters=1, rank_quantize=10000
     )
 
 

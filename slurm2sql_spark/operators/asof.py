@@ -82,6 +82,12 @@ def asof_join(
     on_r = on + suffix
     if on_r in left.columns or set(out_name.values()) & set(left.columns):
         raise ValueError("suffixed right column collides with a left column")
+    outs = [on_r, *out_name.values()]
+    if len(set(outs)) != len(outs):
+        # e.g. right has both `v` and `v_r` while left has `v`
+        raise ValueError(
+            "two right columns collide on the same suffixed output name"
+        )
 
     # Shared spine: by + on + side + tiebreak + right payload (NULL on
     # the probe side) + left payload (NULL on the build side).

@@ -69,8 +69,7 @@ def range_join(
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
 
-    def q(name: str) -> str:  # backtick-quoted identifier
-        return "`" + name.replace("`", "``") + "`"
+    from slurm2sql_spark.operators.transform import _bq as q
 
     s, e, p = F.col(start), F.col(end), F.col(point)
     # Integer `div` binning: exact at any epoch magnitude (float floor

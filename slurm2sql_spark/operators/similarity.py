@@ -47,6 +47,11 @@ __all__ = [
     "quantized_topk",
 ]
 
+#: centroid-matrix broadcasts, keyed by (sparkContext id, sha1 of the
+#: normalized matrix bytes) — see ivf_assign for the reuse/eviction
+#: contract.
+_BROADCASTS: dict = {}
+
 
 def dot(a: Column, b: Column) -> Column:
     """Elementwise product folded left-to-right (deterministic order)."""
@@ -212,6 +217,7 @@ def lsh_topk(
     q_vec: str = "q_vec",
     c_id: str = "c_id",
     c_vec: str = "c_vec",
+    rank_quantize: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: banded signature match (any of ``bands`` bands
     of ``planes/bands`` bits) generates candidates, then exact cosine
@@ -221,6 +227,12 @@ def lsh_topk(
     The join is an equi-join on (band, key): at scale it hash-partitions
     both sides — never a cross product. The query side stays broadcast
     when small.
+
+    ``rank_quantize=Q`` ranks by ``floor(sim*Q)`` with a ``c_id``
+    tie-break and reports the quantized sim — an engine-portable
+    ordering (ulp-level float divergence between engines cannot flip
+    ranks), used by the catalog's DuckDB-oracled entries. Default ranks
+    on the raw double.
     """
     qb = _band_key_rows(queries, q_id, q_vec, planes, bands, dim).withColumnRenamed(
         "id", "q_id"
@@ -243,11 +255,31 @@ def lsh_topk(
         "sim",
         cosine(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")),
     ).select("q_id", "c_id", "sim")
-    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return _rank_topk(sim, k, rank_quantize)
+
+
+def _rank_topk(
+    sim: DataFrame,
+    k: int,
+    rank_quantize: int | None,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+) -> DataFrame:
+    """Shared exact-re-rank tail for the ANN operators: top-k per query
+    from a (q_id, c_id, sim) frame, raw-double or quantized ordering."""
+    if rank_quantize is None:
+        w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+        ranked = sim.withColumn("rank", F.row_number().over(w))
+        return ranked.filter(F.col("rank") <= k).select(
+            q_id, c_id, "sim", "rank"
+        )
+    q = F.lit(float(rank_quantize))
+    sim_q = sim.select(q_id, c_id, F.floor(F.col("sim") * q).alias("sim_q"))
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim_q"), F.asc(c_id))
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        sim_q.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "sim", "rank")
+        .select(q_id, c_id, (F.col("sim_q") / q).alias("sim"), "rank")
     )
 
 
@@ -302,8 +334,9 @@ def tune_lsh(
             break
         b = max(1, math.ceil(log_miss / math.log(1.0 - band_agree)))
         if b > max_bands:
-            continue  # feasibility only worsens as w grows, but cost
-            # still improves for very high p — keep sweeping
+            # b(w) is non-decreasing in w (band_agree = p^w shrinks),
+            # so once infeasible no wider band can come back.
+            break
         cost = b * (1.0 + candidate_cost * max(1, n) / 2.0 ** (w + 1))
         if best is None or cost < best[0]:
             best = (cost, w, b)
@@ -560,7 +593,28 @@ def ivf_assign(
         from pyspark.sql import SparkSession
 
         sc = SparkSession.getActiveSession().sparkContext
-        ref = sc.broadcast(cn)
+        # Reuse one broadcast per distinct matrix (keyed by content
+        # digest) instead of creating a fresh one per call: repeated
+        # assigns with the same trained centroids — and each Lloyd
+        # iteration's new matrix — would otherwise pin an executor copy
+        # per call for the session lifetime. Eviction UNPERSISTs (never
+        # destroys): executors drop their copy, but a still-lazy plan
+        # holding the handle transparently re-fetches from the driver.
+        # Plain dict ops only (GIL-atomic); worst concurrent case is a
+        # duplicated broadcast, same posture as the other module caches.
+        import hashlib
+
+        key = (id(sc), hashlib.sha1(cn.tobytes()).hexdigest())
+        ref = _BROADCASTS.get(key)
+        if ref is None:
+            while len(_BROADCASTS) >= 8:
+                old_key = next(iter(_BROADCASTS))
+                try:
+                    _BROADCASTS.pop(old_key).unpersist(blocking=False)
+                except Exception:
+                    pass  # context of an older session may be gone
+            ref = sc.broadcast(cn)
+            _BROADCASTS[key] = ref
         # bind ONLY the broadcast handle into the UDF closure — binding
         # cn itself would re-pickle the matrix into every stage anyway
         get_cn = (lambda b: (lambda: b.value))(ref)
@@ -595,12 +649,15 @@ def ivf_topk(
     c_id: str = "c_id",
     c_vec: str = "c_vec",
     max_cell_share: float | None = None,
+    rank_quantize: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: partition the corpus into ``nlist``
     Voronoi cells, probe each query's ``nprobe`` nearest cells, exact
     cosine re-rank inside the probed cells. ``max_cell_share`` (see
     ``ivf_centroids``) re-seeds once if any cell exceeds that share of
     the corpus — the guard against a skewed probe join.
+    ``rank_quantize``: engine-portable quantized ordering, see
+    ``lsh_topk``.
 
     Scale shape: corpus assignment is a narrow map (broadcast
     centroids); search is an equi-join on ``cell`` — each query scans
@@ -629,12 +686,7 @@ def ivf_topk(
         "sim",
         cosine(F.col(q_vec).cast("array<double>"), F.col(c_vec).cast("array<double>")),
     ).select(q_id, c_id, "sim")
-    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_id, c_id, "sim", "rank")
-    )
+    return _rank_topk(sim, k, rank_quantize, q_id=q_id, c_id=c_id)
 
 
 # =====================================================================

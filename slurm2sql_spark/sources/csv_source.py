@@ -94,7 +94,14 @@ def read_sacct_lines(
     schema = T.StructType(
         [T.StructField(h, T.StringType(), True) for h in header]
     )
-    rows = [tuple(f) for f in stitch_lines(it, len(header), errors)]
+    # Empty fields -> NULL, matching the distributed scans (and the
+    # reference's stored semantics: its converters map '' to None at
+    # insert, slurm2sql.py nullstr family) — so every ingest seam hands
+    # the transform byte-identical frames.
+    rows = [
+        tuple(x if x != "" else None for x in f)
+        for f in stitch_lines(it, len(header), errors)
+    ]
     return spark.createDataFrame(rows, schema)
 
 
@@ -211,10 +218,20 @@ def sacct_dump_scan_stitched(
     data (arity n -> a record of column-name strings), matching the
     driver stitcher byte for byte.
     """
+    import os
     import re
 
     import pandas as pd
 
+    if os.path.isdir(path):
+        # The repair kernel chains file-adjacent runs; a directory's
+        # file ordering is not a record order, so stitching across its
+        # files would silently merge unrelated records. (The driver
+        # open() path failed loudly on directories; keep that contract.)
+        raise ValueError(
+            f"--stitch-lines needs a single dump file, got a directory: "
+            f"{path} (stitch each file separately)"
+        )
     lines = spark.read.text(path)
     header_row = lines.first()
     if header_row is None:

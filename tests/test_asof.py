@@ -127,6 +127,11 @@ def test_name_collision_suffix_and_error(spark):
         asof_join(bad, right, on="t", by="k")
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="t", by="k", direction="nearest")
+    # two right columns mapping to one output name (right has v AND
+    # v_r while left has v) -> hard error, not a silent drop
+    dup = right.withColumn("v_r", F.col("v") * 2)
+    with pytest.raises(ValueError, match="same suffixed output"):
+        asof_join(left, dup, on="t", by="k")
 
 
 def test_single_shuffle_plan(spark):

@@ -241,3 +241,16 @@ def test_api_ingest_dump_stitch_flag(spark, tmp_path):
     rows = {r.JobID: r.JobName for r in typed.select("JobID", "JobName").collect()}
     assert rows == {"1": "my\njob", "2": "ok"}
     assert errors == []
+
+
+def test_dump_scan_stitched_rejects_directory(spark, tmp_path):
+    """The stitch kernel chains file-adjacent runs, so a directory's
+    arbitrary file ordering would silently merge unrelated records —
+    must fail loudly like the replaced driver open() path did."""
+    from slurm2sql_spark.sources.csv_source import sacct_dump_scan_stitched
+
+    d = tmp_path / "dumps"
+    d.mkdir()
+    (d / "a.txt").write_text("JobID;|;User\n1;|;alice\n")
+    with pytest.raises(ValueError, match="directory"):
+        sacct_dump_scan_stitched(spark, str(d))

@@ -35,6 +35,7 @@ import json
 import os
 import sys
 import time
+from statistics import median as _median
 
 sys.path.insert(0, ".")
 
@@ -76,6 +77,9 @@ def build_scaled_dir(spark) -> None:
 
     marker = os.path.join(DST, "_BUILT")
     if os.path.exists(marker) and "--rebuild" not in sys.argv:
+        # events replicas shipped after the main marker: a dir built by
+        # an older run has _BUILT but no events — backfill regardless.
+        _build_scaled_events(spark)
         return
     import numpy as np
     from pyspark.sql import functions as F
@@ -157,12 +161,6 @@ def _build_scaled_events(spark) -> None:
     )
     with open(marker, "w") as fh:
         fh.write("ok\n")
-
-
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    m = len(s) // 2
-    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
 
 def _fold(samples: dict[str, list[float]]):
