@@ -136,7 +136,9 @@ def streaming_dedup(
     )
 
 
-def job_state_transitions(typed_stream: DataFrame) -> DataFrame:
+def job_state_transitions(
+    typed_stream: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Custom stateful operator: emit one row per observed JobID state
     CHANGE across micro-batches (``prev_state`` is NULL on first sight).
 
@@ -146,9 +148,13 @@ def job_state_transitions(typed_stream: DataFrame) -> DataFrame:
     surfaces exactly those flips as they arrive. Built on
     ``applyInPandasWithState`` — per-JobID state is one string (the
     last seen state), stored in the state store, so memory is O(live
-    jobs), not O(events). Terminal-state keys could be evicted with a
-    processing-time timeout; kept indefinitely here since job ids
-    recycle slowly.
+    jobs), not O(events).
+
+    ``state_ttl_ms`` arms a PROCESSING-time timeout per key: a JobID
+    silent for that long has its state evicted, bounding the store on
+    an unbounded stream (an evicted job that reappears re-emits with
+    ``prev_state`` NULL — same contract as first sight). Default keeps
+    state forever, which is only sane for bounded/test streams.
 
     Ordering note: rows WITHIN one micro-batch arrive per-key in
     arbitrary order; transitions are taken in (End, Start, State)
@@ -159,6 +165,14 @@ def job_state_transitions(typed_stream: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # TTL fired with no new rows for this key: drop the state,
+            # emit nothing (the job went quiet — nothing changed).
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=["JobID", "prev_state", "new_state"]
+            )
+            return
         last = state.get[0] if state.exists else None
         out = []
         batch = pd.concat(list(pdfs), ignore_index=True)
@@ -170,6 +184,8 @@ def job_state_transitions(typed_stream: DataFrame) -> DataFrame:
                 out.append((key[0], last, s))
                 last = s
         state.update((last,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             out, columns=["JobID", "prev_state", "new_state"]
         )
@@ -178,6 +194,11 @@ def job_state_transitions(typed_stream: DataFrame) -> DataFrame:
     for c in ("Start", "End"):  # sort keys; tolerate pre-transform input
         if c not in src.columns:
             src = src.withColumn(c, F.lit(None).cast("string"))
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         src.select("JobID", "State", "Start", "End")
         .groupBy("JobID")
@@ -186,6 +207,6 @@ def job_state_transitions(typed_stream: DataFrame) -> DataFrame:
             outputStructType="JobID string, prev_state string, new_state string",
             stateStructType="last string",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

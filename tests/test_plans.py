@@ -67,11 +67,15 @@ def test_sacct_eff_no_collect_no_python(spark, catalog):
 def test_no_row_at_a_time_python_in_any_catalog_plan(spark, catalog):
     """Arrow-batched Python (ArrowEvalPython / MapInPandas /
     FlatMapGroupsInPandas) is allowed where documented; row-at-a-time
-    BatchEvalPython is never acceptable in an engine plan."""
+    BatchEvalPython is never acceptable in an engine plan. Neither is
+    an unbroadcast cartesian product — BroadcastNestedLoopJoin over a
+    broadcast tiny side (1-row totals, 10-row query sets) is fine,
+    CartesianProductExec (both sides shuffled all-to-all) never is."""
     catalog.drop_caches()
     for name, spec in catalog.QUERIES.items():
         plan = _plan(spark, spec.spark(spark, SF_DIR), mode="simple")
         assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
     catalog.drop_caches()
 
 

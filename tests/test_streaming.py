@@ -214,3 +214,59 @@ def test_windowed_counts_drop_late_data(spark, tmp_path):
     # straggler below the persisted 12:30 watermark: dropped — no new
     # row for the already-finalized window, no count growth
     assert len(rows) == 1 and rows[0].n_jobs == 1, f"late row leaked: {rows}"
+
+
+def test_job_state_transitions_ttl_eviction(spark, tmp_path):
+    """state_ttl_ms arms a processing-time timeout: a key silent past
+    the TTL has its state evicted (bounding the store on unbounded
+    streams), and the job reappearing is treated as first sight
+    (prev_state NULL) — the documented re-emit contract."""
+    import time
+
+    from slurm2sql_spark.streaming.stream import job_state_transitions
+
+    drops = tmp_path / "drops3"
+    drops.mkdir()
+    ckpt = str(tmp_path / "ckpt3")
+    out = str(tmp_path / "out3")
+
+    def run_once():
+        stream = read_sacct_stream(spark, str(drops), fields=FIELDS)
+        q = (
+            job_state_transitions(stream, state_ttl_ms=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_csv(
+        drops / "t1.csv",
+        [("300", "300", "RUNNING", "2021-01-01T10:00:00", "4", "cpu")],
+    )
+    run_once()
+    time.sleep(0.2)  # let the 1 ms TTL lapse
+    # an unrelated batch advances processing time -> 300's timeout fires
+    _write_csv(
+        drops / "t2.csv",
+        [("301", "301", "PENDING", "2021-01-01T11:00:00", "1", "cpu")],
+    )
+    run_once()
+    _write_csv(
+        drops / "t3.csv",
+        [("300", "300", "COMPLETED", "2021-01-01T12:00:00", "4", "cpu")],
+    )
+    run_once()
+
+    rows = sorted(
+        (r.JobID, r.prev_state, r.new_state)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        ("300", None, "COMPLETED"),  # state evicted -> first sight again
+        ("300", None, "RUNNING"),
+        ("301", None, "PENDING"),
+    ]
