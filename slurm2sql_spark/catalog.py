@@ -2228,3 +2228,62 @@ def range_join_events(spark, sf_dir):
     return j.groupBy("window_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_errors")
     )
+
+
+@register(
+    "sample_exact_k",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source
+        ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                 doc_id
+      ) AS rk FROM documents
+    ) WHERE rk <= 20
+    """,
+    doc="EXACT-k per-stratum deterministic sample (L29, "
+    "operators/sampling.py:sample_exact_k): rank by identity md5 "
+    "bucket, keep the 20 smallest per source — fixed-size eval pools, "
+    "reproducible across engines/partitionings (no RNG).",
+)
+def sample_exact_k_q(spark, sf_dir):
+    from slurm2sql_spark.operators.sampling import sample_exact_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_exact_k(docs, "doc_id", k=20, strata_col="source")
+
+
+@register(
+    "split_assign",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8))::BIGINT
+               AS bkt
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bkt < 0.8 * 4294967296.0 THEN 'train'
+                WHEN bkt < 0.9 * 4294967296.0 THEN 'val'
+                WHEN bkt < 1.0 * 4294967296.0 THEN 'test'
+                END AS split,
+           count(*) AS n, min(doc_id) AS min_doc
+    FROM b GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test assignment (L30, "
+    "operators/sampling.py:split_assign): hash-bucket ranges, so a "
+    "row's split survives re-snapshots and corpus growth (no "
+    "train/test leakage); summarized per (source, split).",
+)
+def split_assign_q(spark, sf_dir):
+    from slurm2sql_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    assigned = split_assign(
+        docs, "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="v1",
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc")
+    )

@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "deterministic_sample", "mix_fractions"]
+__all__ = [
+    "hash_bucket",
+    "deterministic_sample",
+    "mix_fractions",
+    "sample_exact_k",
+    "split_assign",
+]
 
 #: bucket space: first 8 md5 hex chars = 32 bits
 _BUCKETS = float(1 << 32)
@@ -120,3 +126,67 @@ def mix_fractions(
         with_t.crossJoin(F.broadcast(r))
         .select("stratum", "n", frac.alias("fraction"))
     )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    strata_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT-k deterministic sample (per stratum if ``strata_col``):
+    rank rows by their identity hash and keep the k smallest — the
+    content-addressed analog of a fixed-size reservoir, for eval sets
+    and few-shot pools where "about 1%" isn't acceptable.
+
+    Deterministic under repartitioning AND replicable by another engine
+    (rank by md5 bucket with an ``id_col`` tie-break — total order, no
+    RNG). Unlike rate-based ``deterministic_sample`` (a narrow filter),
+    exact-k needs a per-stratum sort: one shuffle on ``strata_col``
+    (single partition when unstratified — use only for k·|strata| that
+    fit a task, i.e. eval-set-sized outputs, not corpus resharding; at
+    100 TB the strata partitioning is what keeps this parallel).
+    A stratum with fewer than k rows keeps them all.
+    """
+    from pyspark.sql import Window
+
+    b = hash_bucket(id_col, salt)
+    part = [strata_col] if strata_col else []
+    w = Window.partitionBy(*part).orderBy(b.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: dict,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    chosen by the identity hash-bucket falling into consecutive
+    fraction ranges (``splits`` maps name -> fraction, summing to
+    <= 1.0; any remainder assigns NULL — an explicit holdout).
+
+    Content-addressed like ``deterministic_sample``: a row's split
+    never changes across runs, engines, or growing corpora (new rows
+    land in splits at the target rates; old rows stay put) — the
+    property that prevents train/test leakage when a corpus is
+    re-snapshotted. Narrow map, no shuffle.
+    """
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    b = hash_bucket(id_col, salt)
+    expr = None
+    edge = 0.0
+    # insertion order = range order, pinned so callers control layout
+    for name, frac in splits.items():
+        edge += float(frac)
+        cond = b < F.lit(edge) * F.lit(_BUCKETS)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr.otherwise(F.lit(None).cast("string")))

@@ -111,3 +111,51 @@ def test_pack_sequences_contiguous_chunking(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_sample_exact_k(spark):
+    from slurm2sql_spark.operators.sampling import sample_exact_k
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(200)], "id long, s string"
+    )
+    out = sample_exact_k(df, "id", k=10, strata_col="s")
+    rows = out.collect()
+    by_s: dict = {}
+    for r in rows:
+        by_s.setdefault(r["s"], set()).add(r["id"])
+    assert {k: len(v) for k, v in by_s.items()} == {"a": 10, "b": 10}
+    # deterministic under repartitioning
+    again = sample_exact_k(df.repartition(7), "id", k=10, strata_col="s")
+    assert {(r["s"], r["id"]) for r in again.collect()} == {
+        (r["s"], r["id"]) for r in rows
+    }
+    # short stratum keeps everything
+    small = sample_exact_k(df.filter(F.col("id") < 5), "id", k=10)
+    assert small.count() == 5
+
+
+def test_split_assign_stable_and_leakage_free(spark):
+    from slurm2sql_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r["id"]: r["split"] for r in split_assign(df, "id", splits).collect()}
+    # rates roughly honored
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert None not in c  # fractions sum to 1.0 -> no holdout
+    # growing the corpus NEVER moves an existing row's split
+    grown = spark.createDataFrame([(i,) for i in range(4000)], "id long")
+    gfull = {
+        r["id"]: r["split"] for r in split_assign(grown, "id", splits).collect()
+    }
+    assert all(gfull[i] == s for i, s in full.items())
+    # remainder becomes an explicit NULL holdout
+    part = {r["id"]: r["split"]
+            for r in split_assign(df, "id", {"train": 0.5}).collect()}
+    assert sum(1 for v in part.values() if v is None) > 0
+    with pytest.raises(ValueError, match="> 1"):
+        split_assign(df, "id", {"a": 0.9, "b": 0.2})
