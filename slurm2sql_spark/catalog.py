@@ -2287,3 +2287,53 @@ def split_assign_q(spark, sf_dir):
     return assigned.groupBy("source", "split").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc")
     )
+
+
+@register(
+    "doc_winnow",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+      FROM documents WHERE doc_id < 300
+    ), h AS (
+      SELECT doc_id, length(s) - 8 + 1 AS ng,
+             list_transform(range(1, length(s) - 8 + 2),
+               i -> ('0x' || substr(md5(substr(s, i::INT, 8)), 1, 8))::BIGINT
+             ) AS hashes
+      FROM t
+    ), fp AS (
+      SELECT doc_id,
+             CASE WHEN ng < 1 THEN []::BIGINT[]
+                  WHEN ng < 4 THEN [list_aggregate(hashes, 'min')]
+                  ELSE list_sort(list_distinct(list_transform(
+                         range(1, ng - 4 + 2),
+                         j -> list_aggregate(
+                                list_slice(hashes, j::INT, (j + 3)::INT),
+                                'min')
+                       ))) END AS fps
+      FROM h
+    )
+    SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+           md5(array_to_string(fps, ',')) AS fp_digest
+    FROM fp
+    """,
+    doc="Winnowing fingerprints (L31, MOSS scheme, "
+    "operators/textstats.py:winnow_fingerprints): per-doc minimum of "
+    "each 4-window of character-8-gram hashes — local fingerprints "
+    "that survive insertions/reorderings; summarized as count + digest "
+    "of the sorted set.",
+)
+def doc_winnow(spark, sf_dir):
+    from slurm2sql_spark.operators.textstats import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fped = winnow_fingerprints(docs, "text", out_col="_fps", k=8, w=4)
+    fps = F.col("_fps")
+    return fped.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.md5(
+            F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))
+        ).alias("fp_digest"),
+    )

@@ -15,6 +15,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "winnow_fingerprints",
     "text_profile",
     "scrub_pii",
     "pii_counts",
@@ -121,6 +122,69 @@ def fingerprint(text: Column) -> Column:
     token set — robust to token order and repetition (the
     rolling-hash-class dedup key)."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.lower(text))))))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "fingerprints",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local-fingerprinting scheme,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): hash every character k-gram,
+    slide a window of ``w`` consecutive gram hashes, keep each window's
+    minimum — the selected hashes are position-robust local
+    fingerprints, guaranteed to share values for any match of length
+    >= w+k-1 even across insertions/reorderings that break whole-doc
+    digests like ``fingerprint``.
+
+    Adds ``out_col`` (sorted distinct fingerprint set, array<bigint>).
+    Engine-portable hashing (md5 hex-prefix, the ``hash_bucket`` idiom).
+    Shorter-than-one-window docs degrade to a single global-min
+    fingerprint; docs shorter than one gram to an empty array.
+
+    Shape notes: DataFrame-level (not a Column expression) on purpose —
+    the gram-hash array is hoisted into a real column so each window
+    reads an attribute. The naive nested-HOF form
+    (``transform(seq, j -> array_min(slice(hashes, j, w)))``) re-evaluates
+    the WHOLE hash array per window element — O(len²) per doc, measured
+    as a wall-clock cliff. Window minima instead come from ``w`` shifted
+    ``slice``s folded with ``zip_with``/``least``: each slice reads the
+    hoisted array once, O(len·w) total, still a pure narrow projection —
+    zero shuffle. Feed the exploded (doc, fingerprint) pairs to an
+    inverted-index join (the ``dedup.py`` shingle pattern) for
+    corpus-level overlap detection.
+    """
+    import functools
+
+    t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    out = df.withColumn("_wt", t)
+    wt = F.col("_wt")
+    ng = F.length(wt) - F.lit(k) + 1  # number of k-grams
+    gram_hash = lambda i: (  # noqa: E731 — inline for the HOF lambda
+        F.conv(F.substring(F.md5(wt.substr(i, F.lit(k))), 1, 8), 16, 10)
+        .cast("long")
+    )
+    # Spark's sequence(1, 0) yields a DESCENDING [1, 0], so the empty
+    # case must be guarded, not relied on (DuckDB's range(1, 1) is []).
+    hashes = F.when(
+        ng >= 1, F.transform(F.sequence(F.lit(1), ng), gram_hash)
+    ).otherwise(F.array().cast("array<bigint>"))
+    out = out.withColumn("_wh", hashes)
+    wh = F.col("_wh")
+    nw = F.size(wh) - F.lit(w) + 1  # number of windows
+    shifted = [F.slice(wh, i + 1, nw) for i in range(w)]
+    mins = functools.reduce(
+        lambda a, b: F.zip_with(a, b, lambda x, y: F.least(x, y)), shifted
+    )
+    res = (
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("array<bigint>"))
+        .when(F.size(wh) < 1, F.array().cast("array<bigint>"))
+        .when(nw < 1, F.array(F.array_min(wh)))
+        .otherwise(F.array_sort(F.array_distinct(mins)))
+    )
+    return out.withColumn(out_col, res).drop("_wt", "_wh")
 
 
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

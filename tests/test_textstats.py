@@ -135,3 +135,34 @@ def test_chunk_spans_windows(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_spans(df, "doc_id", "text", window=0)
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    """Winnowing guarantee: two docs sharing a substring of length
+    >= w+k-1 (here 11) share at least one fingerprint, wherever the
+    substring sits; plus the short-doc degradations."""
+    from slurm2sql_spark.operators.textstats import winnow_fingerprints
+
+    shared = "zqxjkvbwpmy"  # 11 chars = w+k-1 for k=8, w=4
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa " + shared + " bbbb cccc dddd"),
+            (2, "eeee ffff gggg " + shared + " hhhh"),
+            (3, "totally unrelated content here okay"),
+            (4, "tiny"),          # shorter than one gram -> []
+            (5, "ninechars"),     # 9 chars: grams but < one window
+            (6, None),            # NULL text -> NULL fingerprints
+        ],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: r["fps"]
+        for r in winnow_fingerprints(df, "text", out_col="fps").collect()
+    }
+    assert set(out[1]) & set(out[2]), "shared 11-char substring must collide"
+    assert not set(out[1]) & set(out[3])
+    assert out[4] == []
+    assert len(out[5]) == 1  # global-min degradation
+    assert out[6] is None
+    for fps in (out[1], out[2]):
+        assert fps == sorted(set(fps))  # sorted distinct contract
