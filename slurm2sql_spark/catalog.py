@@ -2337,3 +2337,58 @@ def doc_winnow(spark, sf_dir):
             F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))
         ).alias("fp_digest"),
     )
+
+
+@register(
+    "dedup_winnow",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+      FROM documents WHERE doc_id < 300
+    ), h AS (
+      SELECT doc_id, length(s) - 8 + 1 AS ng,
+             list_transform(range(1, length(s) - 8 + 2),
+               i -> ('0x' || substr(md5(substr(s, i::INT, 8)), 1, 8))::BIGINT
+             ) AS hashes
+      FROM t
+    ), fp AS (
+      SELECT doc_id,
+             CASE WHEN ng < 1 THEN []::BIGINT[]
+                  WHEN ng < 4 THEN [list_aggregate(hashes, 'min')]
+                  ELSE list_sort(list_distinct(list_transform(
+                         range(1, ng - 4 + 2),
+                         j -> list_aggregate(
+                                list_slice(hashes, j::INT, (j + 3)::INT),
+                                'min')
+                       ))) END AS fps
+      FROM h
+    ), post AS (
+      SELECT DISTINCT doc_id AS id, unnest(fps) AS fpr FROM fp
+    ), sz AS (
+      SELECT id, count(*) AS sz FROM post GROUP BY id
+    ), shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+      FROM post a JOIN post b ON a.fpr = b.fpr AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b, s.shared, sa.sz AS sz_a, sb.sz AS sz_b,
+           s.shared / (sa.sz + sb.sz - s.shared) AS jaccard
+    FROM shared s
+    JOIN sz sa ON sa.id = s.id_a JOIN sz sb ON sb.id = s.id_b
+    WHERE s.shared / (sa.sz + sb.sz - s.shared) >= 0.35
+    """,
+    doc="Winnow-fingerprint near-dup pairs (L32, "
+    "operators/dedup.py:winnow_overlap_pairs): the corpus-level "
+    "consumer of L31 — exploded fingerprints through the shared "
+    "inverted-index pair machinery (hot-posting cap, pre-partitioned "
+    "self-join). Oracle recomputes fingerprints and the exhaustive "
+    "pair join in SQL.",
+)
+def dedup_winnow(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnow_overlap_pairs(
+        docs, "doc_id", "text", k=8, w=4, threshold=0.35
+    )

@@ -48,6 +48,7 @@ __all__ = [
     "exact_dedup",
     "shingles",
     "ngram_jaccard_pairs",
+    "winnow_overlap_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_band_rows",
@@ -207,11 +208,28 @@ def ngram_jaccard_pairs(
     join strategy — the cap filter itself is unchanged.)
     """
     sh = shingles(df, id_col, text_col, n)
+    return _jaccard_pairs_from_postings(
+        sh, max_shingle_freq, threshold, persist_shingles
+    )
+
+
+def _jaccard_pairs_from_postings(
+    sh: DataFrame,
+    max_shingle_freq: int | None,
+    threshold: float,
+    persist_shingles: bool,
+) -> DataFrame:
+    """Inverted-index pair machinery shared by ``ngram_jaccard_pairs``
+    (word shingles) and ``winnow_overlap_pairs`` (winnowing
+    fingerprints): hot-posting broadcast-anti filter, shingle-
+    pre-partitioned self-join, Jaccard from shared/size counts. ``sh``
+    is an (id, shingle) frame; the caps/persist/skew rationale lives on
+    ``ngram_jaccard_pairs``'s docstring."""
     if persist_shingles:
         sh = _persist(sh)
     if max_shingle_freq is not None:
         logger.info(
-            "ngram_jaccard_pairs: dropping shingles shared by more than "
+            "jaccard pairs: dropping postings shared by more than "
             "%d docs before the pair join (recall trade documented)",
             max_shingle_freq,
         )
@@ -678,3 +696,36 @@ def connected_components(
         max_iter,
     )
     return labels
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_fingerprint_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    persist_postings: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint Jaccard (id_a <
+    id_b) — the corpus-level consumer of
+    ``textstats.winnow_fingerprints``.
+
+    Same machinery as ``ngram_jaccard_pairs`` (shared
+    ``_jaccard_pairs_from_postings``: hot-posting cap, pre-partitioned
+    self-join), but postings are winnowing fingerprints instead of word
+    shingles: ~1/((w+1)/2) the posting volume of full shingling (only
+    window minima survive), and fingerprints are position-robust, so
+    cut-and-paste plagiarism-style overlap is caught even when word
+    n-grams are diluted by edits between the copied spans.
+    """
+    from slurm2sql_spark.operators.textstats import winnow_fingerprints
+
+    fped = winnow_fingerprints(df, text_col, out_col="_wfp", k=k, w=w)
+    postings = fped.select(
+        F.col(id_col).alias("id"), F.explode("_wfp").alias("shingle")
+    ).distinct()
+    return _jaccard_pairs_from_postings(
+        postings, max_fingerprint_freq, threshold, persist_postings
+    )
