@@ -2392,3 +2392,36 @@ def dedup_winnow(spark, sf_dir):
     return winnow_overlap_pairs(
         docs, "doc_id", "text", k=8, w=4, threshold=0.35
     )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id % 10 AS decile,
+           CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+    doc="Pivot (long->wide reshape): per-user-decile event counts, one "
+    "column per type. Values list pinned explicitly — with it, "
+    "df.pivot compiles to ONE pass of conditional aggregates (same "
+    "plan as the oracle's FILTER clauses); without it Spark runs an "
+    "extra distinct-values job first. Empty cells coalesced to 0 on "
+    "both sides.",
+)
+def pivot_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.withColumn("decile", F.col("user_id") % 10)
+        .groupBy("decile")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "decile",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )
