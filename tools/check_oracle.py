@@ -51,7 +51,10 @@ def main():
     from slurm2sql_spark.catalog import QUERIES
     from slurm2sql_spark.session import get_spark
 
-    spark = get_spark(app_name="check_oracle")
+    spark = get_spark(
+        app_name="check_oracle",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
