@@ -2345,7 +2345,7 @@ def doc_winnow(spark, sf_dir):
     WITH t AS (
       SELECT doc_id,
              regexp_replace(lower(text), '\s+', ' ', 'g') AS s
-      FROM documents WHERE doc_id < 300
+      FROM documents
     ), h AS (
       SELECT doc_id, length(s) - 8 + 1 AS ng,
              list_transform(range(1, length(s) - 8 + 2),
@@ -2363,8 +2363,12 @@ def doc_winnow(spark, sf_dir):
                                 'min')
                        ))) END AS fps
       FROM h
-    ), post AS (
+    ), post0 AS (
       SELECT DISTINCT doc_id AS id, unnest(fps) AS fpr FROM fp
+    ), post AS (  -- hot-fingerprint cap, mirrored from the Spark side
+      SELECT * FROM post0 WHERE fpr NOT IN (
+        SELECT fpr FROM post0 GROUP BY fpr HAVING count(*) > 64
+      )
     ), sz AS (
       SELECT id, count(*) AS sz FROM post GROUP BY id
     ), shared AS (
@@ -2388,7 +2392,9 @@ def doc_winnow(spark, sf_dir):
 def dedup_winnow(spark, sf_dir):
     from slurm2sql_spark.operators.dedup import winnow_overlap_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # full corpus on purpose (matches dedup_ngram_jaccard): this entry
+    # is the scaling evidence for the winnow family, not a sample
+    docs = _t(spark, sf_dir, "documents")
     return winnow_overlap_pairs(
         docs, "doc_id", "text", k=8, w=4, threshold=0.35
     )

@@ -705,7 +705,7 @@ def winnow_overlap_pairs(
     k: int = 8,
     w: int = 4,
     threshold: float = 0.5,
-    max_fingerprint_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    max_fingerprint_freq: int | None = 64,
     persist_postings: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by winnowing-fingerprint Jaccard (id_a <
@@ -719,6 +719,13 @@ def winnow_overlap_pairs(
     window minima survive), and fingerprints are position-robust, so
     cut-and-paste plagiarism-style overlap is caught even when word
     n-grams are diluted by edits between the copied spans.
+
+    ``max_fingerprint_freq`` defaults far LOWER than the word-shingle
+    cap (64 vs 1000): character grams repeat across unrelated docs much
+    more than 3-word shingles, so hot fingerprints both blow up the
+    pair join (f² rows each) and carry no near-dup signal. Jaccard is
+    computed over post-cap postings on both engine and oracle — the
+    recall trade is the same one ``ngram_jaccard_pairs`` documents.
     """
     from slurm2sql_spark.operators.textstats import winnow_fingerprints
 

@@ -67,6 +67,7 @@ SPARK_ONLY = [
     "dedup_incremental",
     "sim_quantized_recall",
     "pack_sequences",
+    "dedup_winnow",
 ]
 
 ALPHA = "abcdefghij"
