@@ -730,9 +730,12 @@ def winnow_overlap_pairs(
     from slurm2sql_spark.operators.textstats import winnow_fingerprints
 
     fped = winnow_fingerprints(df, text_col, out_col="_wfp", k=k, w=w)
+    # no distinct: the kernel emits a sorted SET per doc, so
+    # (id, fingerprint) is already unique — a distinct here would be a
+    # redundant full shuffle of the posting list
     postings = fped.select(
         F.col(id_col).alias("id"), F.explode("_wfp").alias("shingle")
-    ).distinct()
+    )
     return _jaccard_pairs_from_postings(
         postings, max_fingerprint_freq, threshold, persist_postings
     )
