@@ -583,3 +583,27 @@ def test_fake_delta_batch_with_duplicate_keys_is_deduped(
     upsert(spark, dup, p, format="delta")
     rows = read_table(spark, p, format="delta").collect()
     assert len(rows) == 1 and rows[0].State in ("COMPLETED", "FAILED")
+
+
+def test_orc_format_round_trip(spark, tmp_path):
+    """write_overwrite/read_table are format-generic: ORC (Spark
+    built-in, columnar, pushdown-capable) round-trips the typed schema
+    and values identically to the parquet default — the 'another
+    columnar format' escape hatch needs no code path of its own."""
+    rows = [("1", "RUNNING", 100), ("2_3.batch", "COMPLETED", None)]
+    pq = str(tmp_path / "t_parquet")
+    oc = str(tmp_path / "t_orc")
+    write_overwrite(_jobs(spark, rows), pq)
+    write_overwrite(_jobs(spark, rows), oc, format="orc")
+    a = read_table(spark, pq)
+    b = read_table(spark, oc, format="orc")
+    assert a.schema == b.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # predicate pushdown reaches the ORC scan too
+    plan = (
+        b.filter(F.col("Time") > 50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "orc" in plan.lower() and "PushedFilters: [" in plan, plan
