@@ -2330,11 +2330,16 @@ def doc_winnow(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     fped = winnow_fingerprints(docs, "text", out_col="_fps", k=8, w=4)
     fps = F.col("_fps")
+    # NULL-text guard: size(NULL)=-1 and concat_ws(NULL)='' would fake
+    # values where the oracle yields NULLs
     return fped.select(
         "doc_id",
-        F.size(fps).alias("n_fp"),
-        F.md5(
-            F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))
+        F.when(fps.isNotNull(), F.size(fps)).alias("n_fp"),
+        F.when(
+            fps.isNotNull(),
+            F.md5(
+                F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))
+            ),
         ).alias("fp_digest"),
     )
 

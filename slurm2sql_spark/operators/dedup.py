@@ -729,13 +729,18 @@ def winnow_overlap_pairs(
     """
     from slurm2sql_spark.operators.textstats import winnow_fingerprints
 
-    fped = winnow_fingerprints(df, text_col, out_col="_wfp", k=k, w=w)
+    # fan the narrow (id, text) projection out first — same seam as
+    # shingles(): the Arrow md5 kernel dominates, and a single-row-group
+    # scan would run it nearly serial
+    narrow = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+        min_bytes=4 << 20,
+    )
+    fped = winnow_fingerprints(narrow, "_t", out_col="_wfp", k=k, w=w)
     # no distinct: the kernel emits a sorted SET per doc, so
     # (id, fingerprint) is already unique — a distinct here would be a
     # redundant full shuffle of the posting list
-    postings = fped.select(
-        F.col(id_col).alias("id"), F.explode("_wfp").alias("shingle")
-    )
+    postings = fped.select("id", F.explode("_wfp").alias("shingle"))
     return _jaccard_pairs_from_postings(
         postings, max_fingerprint_freq, threshold, persist_postings
     )

@@ -153,7 +153,11 @@ def sample_exact_k(
 
     b = hash_bucket(id_col, salt)
     part = [strata_col] if strata_col else []
-    w = Window.partitionBy(*part).orderBy(b.asc(), F.col(id_col).asc())
+    # nulls LAST, matching SQL ORDER BY defaults (a NULL id hashes to a
+    # NULL bucket; Spark's default nulls-first would let it always win)
+    w = Window.partitionBy(*part).orderBy(
+        b.asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)

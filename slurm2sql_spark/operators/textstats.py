@@ -166,7 +166,9 @@ def winnow_fingerprints(
 
     @F.pandas_udf("array<bigint>")
     def _kernel(texts: pd.Series) -> pd.Series:
-        ws = _re.compile(r"\s+")
+        # re.ASCII: RE2's \s (the DuckDB oracle) is ASCII-only; Python's
+        # default Unicode \s would also collapse U+00A0 etc. and diverge
+        ws = _re.compile(r"\s+", _re.ASCII)
 
         def one(text):
             if text is None:

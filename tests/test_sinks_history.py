@@ -606,4 +606,4 @@ def test_orc_format_round_trip(spark, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert "orc" in plan.lower() and "PushedFilters: [" in plan, plan
+    assert "orc" in plan.lower() and "GreaterThan(Time,50)" in plan, plan
