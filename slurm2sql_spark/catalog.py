@@ -2406,6 +2406,29 @@ def dedup_winnow(spark, sf_dir):
 
 
 @register(
+    "dedup_winnow_fast",
+    None,  # the numpy multilinear gram hash isn't reproducible in ANSI
+    # SQL; dedup_winnow above is the hash-checked md5 twin, and
+    # test_textstats.py pins that both kernels recover the identical
+    # planted near-dup pairs on a fixture.
+    doc="Production winnow path (L31/L32 fast variant, "
+    "operators/textstats.py:winnow_fingerprints_fast): identical "
+    "winnowing + inverted-index pair machinery to dedup_winnow but the "
+    "per-gram hash is a numpy-vectorized multilinear hash (three array "
+    "ops per doc) instead of per-position Python md5. Rows-only by "
+    "design — this entry exists so the bench measures the production "
+    "kernel, not the oracle-portable one.",
+)
+def dedup_winnow_fast(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs, "doc_id", "text", k=8, w=4, threshold=0.35, kernel="fast"
+    )
+
+
+@register(
     "pivot_event_counts",
     """
     SELECT user_id % 10 AS decile,

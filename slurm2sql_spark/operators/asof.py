@@ -62,6 +62,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     suffix: str = "_r",
     tiebreak: str | None = None,
+    allow_global_window: bool = False,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, plus the matched ``right``
     row's ``right_cols`` (suffixed on name collision) and
@@ -70,10 +71,21 @@ def asof_join(
 
     ``on`` must be numeric-orderable and present on both sides (cast
     timestamps to epoch first). ``tolerance`` is in ``on`` units.
+
+    ``by=None`` plans a GLOBAL window: one partition sorts the entire
+    union — a single-reducer bottleneck this engine otherwise never
+    plans. It raises unless ``allow_global_window=True`` is passed
+    explicitly (legitimate only for driver-small frames).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by or [])
+    if not by_cols and not allow_global_window:
+        raise ValueError(
+            "asof_join with by=None sorts the whole union in ONE "
+            "partition (global window). Pass allow_global_window=True "
+            "only if both frames are small enough for a single task."
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by_cols]
     payload = list(right_cols)

@@ -707,6 +707,7 @@ def winnow_overlap_pairs(
     threshold: float = 0.5,
     max_fingerprint_freq: int | None = 64,
     persist_postings: bool = True,
+    kernel: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs by winnowing-fingerprint Jaccard (id_a <
     id_b) — the corpus-level consumer of
@@ -726,8 +727,21 @@ def winnow_overlap_pairs(
     pair join (f² rows each) and carry no near-dup signal. Jaccard is
     computed over post-cap postings on both engine and oracle — the
     recall trade is the same one ``ngram_jaccard_pairs`` documents.
+
+    ``kernel`` selects the fingerprint hash: ``"md5"`` (oracle-portable,
+    DuckDB recomputes it exactly) or ``"fast"`` (numpy-vectorized
+    multilinear hash, ``textstats.winnow_fingerprints_fast`` — the
+    production path; rows-only at the gate, pair-equality pinned in
+    pytest).
     """
-    from slurm2sql_spark.operators.textstats import winnow_fingerprints
+    from slurm2sql_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_fingerprints_fast,
+    )
+
+    if kernel not in ("md5", "fast"):
+        raise ValueError(f"kernel must be 'md5' or 'fast', got {kernel!r}")
+    fp_fn = winnow_fingerprints if kernel == "md5" else winnow_fingerprints_fast
 
     # fan the narrow (id, text) projection out first — same seam as
     # shingles(): the Arrow md5 kernel dominates, and a single-row-group
@@ -736,7 +750,7 @@ def winnow_overlap_pairs(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
         min_bytes=4 << 20,
     )
-    fped = winnow_fingerprints(narrow, "_t", out_col="_wfp", k=k, w=w)
+    fped = fp_fn(narrow, "_t", out_col="_wfp", k=k, w=w)
     # no distinct: the kernel emits a sorted SET per doc, so
     # (id, fingerprint) is already unique — a distinct here would be a
     # redundant full shuffle of the posting list

@@ -604,7 +604,14 @@ def ivf_assign(
         # duplicated broadcast, same posture as the other module caches.
         import hashlib
 
-        key = (id(sc), hashlib.sha1(cn.tobytes()).hexdigest())
+        # applicationId+startTime, not id(sc): CPython reuses object
+        # ids after GC, so an id-keyed hit could return a broadcast
+        # of a destroyed context (ADVICE r6)
+        key = (
+            sc.applicationId,
+            sc.startTime,
+            hashlib.sha1(cn.tobytes()).hexdigest(),
+        )
         ref = _BROADCASTS.get(key)
         if ref is None:
             while len(_BROADCASTS) >= 8:

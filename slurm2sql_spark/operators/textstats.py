@@ -19,6 +19,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",
+    "winnow_fingerprints_fast",
     "text_profile",
     "scrub_pii",
     "pii_counts",
@@ -166,9 +167,11 @@ def winnow_fingerprints(
 
     @F.pandas_udf("array<bigint>")
     def _kernel(texts: pd.Series) -> pd.Series:
-        # re.ASCII: RE2's \s (the DuckDB oracle) is ASCII-only; Python's
-        # default Unicode \s would also collapse U+00A0 etc. and diverge
-        ws = _re.compile(r"\s+", _re.ASCII)
+        # Explicit class, not \s: RE2's \s (the DuckDB oracle) is
+        # exactly [\t\n\f\r ], while Python's ASCII \s also matches
+        # \x0b (vertical tab) and its Unicode \s adds U+00A0 etc. —
+        # either would collapse characters the oracle keeps
+        ws = _re.compile(r"[ \t\n\r\f]+")
 
         def one(text):
             if text is None:
@@ -187,6 +190,75 @@ def winnow_fingerprints(
             return sorted(
                 {min(hashes[j : j + w]) for j in range(ng - w + 1)}
             )
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, _kernel(F.col(text_col)))
+
+
+#: Fixed multilinear-hash coefficients for the fast winnow kernel: one
+#: odd 64-bit multiplier per gram byte position, drawn once from a
+#: seeded PCG64 so every batch on every executor hashes identically.
+#: (Carter-Wegman multilinear over uint64 is pairwise-independent —
+#: collision odds ~2^-64 per gram pair, ample for min-selection.)
+_WINNOW_FAST_SEED = 0x51A9_57AC  # arbitrary fixed constant
+
+
+def winnow_fingerprints_fast(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "fingerprints",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Production fast path for ``winnow_fingerprints``: identical
+    winnowing scheme (k-gram hashes, per-w-window minima, sorted
+    distinct set) but the per-gram hash is a numpy-vectorized
+    multilinear hash over the UTF-8 bytes instead of a per-position
+    Python ``hashlib.md5`` call — the whole document hashes in three
+    array ops (sliding-window view, weighted sum, windowed min), no
+    interpreter-level loop over positions.
+
+    Fingerprint VALUES differ from the md5 kernel (different hash →
+    different window minima get selected), so this variant is
+    rows-only at the oracle gate; ``tests/test_textstats.py`` pins
+    that both kernels recover the identical planted near-dup PAIRS
+    through ``dedup.winnow_overlap_pairs`` (the winnowing guarantee —
+    any match of length >= w+k-1 shares a fingerprint — holds for any
+    gram hash). Same NULL/short-doc degradation contract as the md5
+    kernel. Grams are byte-grams of the NFC-as-stored UTF-8 encoding;
+    for ASCII corpora this selects the same windows a char-gram
+    variant would.
+    """
+    import re as _re
+
+    @F.pandas_udf("array<bigint>")
+    def _kernel(texts: pd.Series) -> pd.Series:
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ws = _re.compile(r"[ \t\n\r\f]+")
+        rng = np.random.default_rng(_WINNOW_FAST_SEED)
+        weights = rng.integers(0, 2**63, size=k, dtype=np.uint64) * 2 + 1
+
+        def one(text):
+            if text is None:
+                return None
+            b = np.frombuffer(
+                ws.sub(" ", text.lower()).encode("utf-8"), dtype=np.uint8
+            )
+            ng = len(b) - k + 1
+            if ng < 1:
+                return []
+            grams = sliding_window_view(b, k).astype(np.uint64)
+            h = (grams * weights).sum(axis=1)  # uint64 wraparound hash
+            if ng < w:
+                mins = h.min(keepdims=True)
+            else:
+                mins = sliding_window_view(h, w).min(axis=1)
+            # view BEFORE unique: the sorted-distinct contract is in
+            # int64 order (bigint), not uint64 order
+            return np.unique(mins.view(np.int64)).tolist()
 
         return texts.map(one)
 

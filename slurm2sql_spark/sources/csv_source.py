@@ -233,6 +233,16 @@ def sacct_dump_scan_stitched(
             f"{path} (stitch each file separately)"
         )
     lines = spark.read.text(path)
+    # The isdir guard doesn't catch glob patterns (or comma-free
+    # multi-file paths Spark resolves): assert the resolved scan is
+    # exactly ONE file, or the repair kernel would chain file-adjacent
+    # runs across unrelated files in arbitrary order (ADVICE r6).
+    resolved = lines.inputFiles()
+    if len(resolved) != 1:
+        raise ValueError(
+            f"--stitch-lines needs a single dump file; {path!r} resolved "
+            f"to {len(resolved)} files (stitch each file separately)"
+        )
     header_row = lines.first()
     if header_row is None:
         raise ValueError(f"empty sacct dump: {path}")

@@ -134,6 +134,20 @@ def test_name_collision_suffix_and_error(spark):
         asof_join(left, dup, on="t", by="k")
 
 
+def test_keyless_requires_explicit_opt_in(spark):
+    """by=None plans a single-partition global window — refused unless
+    the caller opts in (VERDICT r6 #6: the engine's no-single-reducer
+    posture)."""
+    left = spark.createDataFrame([(100, 5.0)], "t bigint, v double")
+    right = spark.createDataFrame([(90, 7.0)], "t bigint, v double")
+    with pytest.raises(ValueError, match="global window"):
+        asof_join(left, right, on="t")
+    row = asof_join(
+        left, right, on="t", allow_global_window=True
+    ).collect()[0]
+    assert row["v_r"] == 7.0 and row["t_r"] == 90
+
+
 def test_single_shuffle_plan(spark):
     """The union-tag design's contract: ONE Exchange (hash by key), no
     join operator at all — the physical plan must not contain a range

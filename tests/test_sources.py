@@ -254,3 +254,17 @@ def test_dump_scan_stitched_rejects_directory(spark, tmp_path):
     (d / "a.txt").write_text("JobID;|;User\n1;|;alice\n")
     with pytest.raises(ValueError, match="directory"):
         sacct_dump_scan_stitched(spark, str(d))
+
+
+def test_dump_scan_stitched_rejects_glob(spark, tmp_path):
+    """A glob pattern bypasses the isdir guard but still resolves to
+    multiple files — the post-read inputFiles() assertion must catch
+    it (ADVICE r6: the same silent-merge hazard as a directory)."""
+    from slurm2sql_spark.sources.csv_source import sacct_dump_scan_stitched
+
+    d = tmp_path / "dumps"
+    d.mkdir()
+    (d / "a.txt").write_text("JobID;|;User\n1;|;alice\n")
+    (d / "b.txt").write_text("JobID;|;User\n2;|;bob\n")
+    with pytest.raises(ValueError, match="resolved"):
+        sacct_dump_scan_stitched(spark, str(d / "*.txt"))

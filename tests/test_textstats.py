@@ -137,12 +137,19 @@ def test_chunk_spans_windows(spark):
         chunk_spans(df, "doc_id", "text", window=0)
 
 
-def test_winnow_fingerprints_guarantee_and_edges(spark):
+@pytest.mark.parametrize("kernel", ["md5", "fast"])
+def test_winnow_fingerprints_guarantee_and_edges(spark, kernel):
     """Winnowing guarantee: two docs sharing a substring of length
     >= w+k-1 (here 11) share at least one fingerprint, wherever the
-    substring sits; plus the short-doc degradations."""
-    from slurm2sql_spark.operators.textstats import winnow_fingerprints
+    substring sits; plus the short-doc degradations. Both the
+    oracle-portable md5 kernel and the vectorized fast kernel must
+    honor the identical contract."""
+    from slurm2sql_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_fingerprints_fast,
+    )
 
+    fn = winnow_fingerprints if kernel == "md5" else winnow_fingerprints_fast
     shared = "zqxjkvbwpmy"  # 11 chars = w+k-1 for k=8, w=4
     df = spark.createDataFrame(
         [
@@ -157,7 +164,7 @@ def test_winnow_fingerprints_guarantee_and_edges(spark):
     )
     out = {
         r["id"]: r["fps"]
-        for r in winnow_fingerprints(df, "text", out_col="fps").collect()
+        for r in fn(df, "text", out_col="fps").collect()
     }
     assert set(out[1]) & set(out[2]), "shared 11-char substring must collide"
     assert not set(out[1]) & set(out[3])
@@ -166,3 +173,76 @@ def test_winnow_fingerprints_guarantee_and_edges(spark):
     assert out[6] is None
     for fps in (out[1], out[2]):
         assert fps == sorted(set(fps))  # sorted distinct contract
+
+
+def test_winnow_kernels_pair_equality(spark):
+    """The fast multilinear kernel and the md5 kernel select different
+    gram positions as fingerprints (different hash -> different window
+    minima), but both must recover the identical PAIR set from a
+    planted-near-dup corpus through winnow_overlap_pairs — the
+    simhash_fast acceptance pattern."""
+    from slurm2sql_spark.operators.dedup import winnow_overlap_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "played on and the crowd cheered loudly into the night air"
+    )
+    other = (
+        "completely different subject matter entirely: glaciers carve "
+        "valleys over millennia depositing moraines along their flanks"
+    )
+    rows = [
+        (1, base),
+        (2, base + " with a small appended edit"),      # near-dup of 1
+        (3, other),
+        (4, other.replace("glaciers", "rivers")),        # near-dup of 3
+        (5, "short unrelated filler text about cooking pasta at home"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {}
+    for kernel in ("md5", "fast"):
+        got = winnow_overlap_pairs(
+            df, "doc_id", "text", k=8, w=4, threshold=0.35, kernel=kernel
+        ).collect()
+        pairs[kernel] = {(r["id_a"], r["id_b"]) for r in got}
+    assert {(1, 2), (3, 4)} <= pairs["md5"]
+    assert pairs["md5"] == pairs["fast"]
+
+
+def test_winnow_md5_kernel_matches_duckdb_on_vertical_tab(spark):
+    r"""RE2's \s is [\t\n\f\r ] — it does NOT match \x0b (vertical
+    tab), while Python's re.ASCII \s does. The md5 kernel must use the
+    explicit RE2 class so texts containing \x0b fingerprint identically
+    to the DuckDB oracle (ADVICE r6)."""
+    import duckdb
+
+    text = "alpha\x0bbeta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    from slurm2sql_spark.operators.textstats import winnow_fingerprints
+
+    got = winnow_fingerprints(df, "text", out_col="fps").collect()[0]["fps"]
+
+    want = duckdb.sql(
+        r"""
+        WITH t AS (
+          SELECT regexp_replace(lower(?), '\s+', ' ', 'g') AS s
+        ), h AS (
+          SELECT length(s) - 8 + 1 AS ng,
+                 list_transform(range(1, length(s) - 8 + 2),
+                   i -> ('0x' || substr(md5(substr(s, i::INT, 8)), 1, 8))::BIGINT
+                 ) AS hashes
+          FROM t
+        )
+        SELECT CASE WHEN ng < 1 THEN []::BIGINT[]
+                    WHEN ng < 4 THEN [list_aggregate(hashes, 'min')]
+                    ELSE list_sort(list_distinct(list_transform(
+                           range(1, ng - 4 + 2),
+                           j -> list_aggregate(
+                                  list_slice(hashes, j::INT, (j + 3)::INT),
+                                  'min')
+                         ))) END AS fps
+        FROM h
+        """,
+        params=[text],
+    ).fetchone()[0]
+    assert got == want
