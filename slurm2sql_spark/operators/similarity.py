@@ -547,27 +547,85 @@ def _train_centroids(
     dim = len(cents[0])
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
-        # per-cell mean vector aggregated EXECUTOR-side: one avg
-        # aggregate per position, map-side combined, assembled into a
-        # single array column — the driver collects nlist rows, not
-        # nlist*dim (cell, pos, mean) triples.  At production nlist
-        # (~10^4-5) the exploded form was a driver bottleneck.
-        v = F.col(vec_col).cast("array<double>")
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                F.array(
-                    *[F.avg(F.element_at(v, p + 1)) for p in range(dim)]
-                ).alias("m")
+        if dim <= _EXPR_MEANS_MAX_DIM:
+            # per-cell mean vector aggregated EXECUTOR-side: one avg
+            # aggregate per position, map-side combined, assembled into
+            # a single array column — the driver collects nlist rows,
+            # not nlist*dim (cell, pos, mean) triples.  At production
+            # nlist (~10^4-5) the exploded form was a driver bottleneck.
+            v = F.col(vec_col).cast("array<double>")
+            means = (
+                assigned.groupBy("cell")
+                .agg(
+                    F.array(
+                        *[F.avg(F.element_at(v, p + 1)) for p in range(dim)]
+                    ).alias("m")
+                )
+                .collect()
             )
-            .collect()
-        )
+        else:
+            means = _cell_means_arrow(assigned, vec_col, dim).collect()
         by_cell = {r.cell: list(r.m) for r in means}
         cents = [
             by_cell.get(c, cents[c])  # empty cell keeps its seed
             for c in range(len(cents))
         ]
     return cents
+
+
+#: Above this dimensionality the per-position F.avg expression array is
+#: replaced by the Arrow partial-aggregation path: the expression form's
+#: PLAN is O(dim) per Lloyd iteration and analysis+codegen dominate —
+#: measured 27.5 s vs 1.9 s for one iteration over a 256-vector corpus
+#: at dim=4096 (identical centroids, local[32]). Fine at the 64-1024
+#: dims the catalog uses; a compile-time cliff at 4k+.
+_EXPR_MEANS_MAX_DIM = 1024
+
+
+def _cell_means_arrow(assigned: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Per-cell mean vectors with a dim-independent plan: numpy partial
+    sums per input partition (``mapInPandas`` — narrow, no shuffle),
+    then a per-cell reduce over the tiny partial frame
+    (``applyInPandas`` — one shuffle of at most n_partitions*nlist
+    rows, every group at most n_partitions rows, so a hot Voronoi cell
+    cannot skew the reduce the way a direct per-cell applyInPandas
+    over raw vectors would)."""
+    import numpy as np
+    import pandas as pd
+
+    part_schema = "cell int, s array<double>, n long"
+
+    def _partials(batches):
+        acc: dict = {}
+        for pdf in batches:
+            cells = pdf["cell"].to_numpy()
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            for cell in np.unique(cells):
+                sel = mat[cells == cell]
+                got = acc.get(int(cell))
+                if got is None:
+                    acc[int(cell)] = [sel.sum(axis=0), len(sel)]
+                else:
+                    got[0] += sel.sum(axis=0)
+                    got[1] += len(sel)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "cell": list(acc),
+                    "s": [v[0] for v in acc.values()],
+                    "n": [v[1] for v in acc.values()],
+                }
+            )
+
+    def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = np.stack(pdf["s"].to_numpy()).sum(axis=0)
+        n = int(pdf["n"].sum())
+        return pd.DataFrame({"cell": [int(pdf["cell"].iloc[0])], "m": [total / n]})
+
+    partials = assigned.select(
+        "cell", F.col(vec_col).cast("array<double>").alias("_v")
+    ).mapInPandas(_partials, part_schema)
+    return partials.groupBy("cell").applyInPandas(_reduce, "cell int, m array<double>")
 
 
 def ivf_assign(

@@ -12,10 +12,14 @@ on ``regexp_extract`` would run the regex 9x per row, and Spark's
 subexpression elimination does not reach inside CASE WHEN branches.
 Instead:
 
-1. stage 1 parses each TRES ``k=v,k=v`` string ONCE into a MapType
-   column (``str_to_map``) — replacing ~12 per-field regex passes with
-   4 single passes (the reference compiles one regex per field,
-   slurm2sql.py:178-197);
+1. stage 1 extracts each NEEDED TRES field with one anchored
+   ``regexp_extract`` per key (the reference compiles one regex per
+   field too, slurm2sql.py:178-197). This replaced a ``str_to_map``
+   whole-map build per TRES string in r7: a map build costs ~1.3 s per
+   6M rows and is paid in full even when Catalyst pruned the consumers
+   to a single key, while per-key regexps cost ~0.35 s each AND prune
+   away individually with their consumers (measured on the flagship:
+   map stage 3.5 s -> ~1.8 s at 10x sf0.1, sf0.1 entry 4.8 -> ~3.0 s);
 2. stage 2 materializes every shared/expensive parse (durations, the
    ExitCode split, slurmmem) as an intermediate column;
 3. stage 3 derives the computed columns from those cheap references.
@@ -25,11 +29,12 @@ referenced more than once in separate projections, so each parse runs
 once per row; column pruning still flows through all stages, so a query
 touching 10 output columns pays for 10 parses only.
 
-Semantics note: map-based TRES lookup matches the reference's
-``\\bfield=([^,]*)\\b`` regex for every real TRES key; they differ only
-for hypothetical keys where one key is a ``/``-suffix of another (the
-regex would match ``fs/gpu=`` for field ``gpu``; the map does not).
-The public ``functions.tres.tres_field`` keeps exact regex semantics.
+Semantics note: the anchored ``(?:^|,)key=([^,]*)`` extraction matches
+the reference's ``\\bfield=([^,]*)\\b`` regex for every real TRES key
+(the anchor is stricter for hypothetical keys where one key is a
+``/``-suffix of another: the reference regex would match ``fs/gpu=``
+for field ``gpu``; the anchored form does not). The public
+``functions.tres.tres_field`` keeps exact regex semantics.
 
 Missing input columns (schema evolution, e.g. post-20.11 sacct without
 ``ReqGRES``, reference slurm2sql.py:311-324 and test.py:373-380) become
@@ -184,13 +189,41 @@ def _transform_columns_path(
     return out
 
 
+def _tres_get(src: str, key: str) -> Column:
+    """One TRES field as a string (NULL when absent/empty) — the C14
+    extraction (slurm2sql.py:643-686) per NEEDED key, not a whole-map
+    build.
+
+    Why not ``str_to_map``: a map build costs ~1.3 s per 6M rows and
+    is paid in full even when Catalyst pruned the consumers down to
+    one key, because the map is a single expression. One anchored
+    ``regexp_extract`` per key costs ~0.35 s AND prunes per-key —
+    measured 3.5 s -> ~1.8 s on the flagship's map stage at 10x sf0.1.
+    Anchoring: ``(?:^|,)key=`` so 'mem' never matches 'gpumem' and
+    'gres/gpu' never matches the typed 'gres/gpu:<type>' key. Value is
+    everything to the next comma (so embedded '=' stays in the value,
+    same as str_to_map's split-on-first-'=').
+    """
+    import re as _re
+
+    pat = r"(?:^|,)" + _re.escape(key) + r"=([^,]*)"
+    return F.nullif(F.regexp_extract(F.col(src), pat, 1), F.lit(""))
+
+
 def _stage1_exprs() -> dict[str, Column]:
-    # --- stage 1: one-pass TRES map parses (C14 x9, slurm2sql.py:643-686)
+    # --- stage 1: per-key TRES extractions (C14 x9, slurm2sql.py:643-686)
     return {
-        "_tin": F.str_to_map(F.col("TRESUsageInTot"), F.lit(","), F.lit("=")),
-        "_tal": F.str_to_map(F.col("AllocTRES"), F.lit(","), F.lit("=")),
-        "_tout": F.str_to_map(F.col("TRESUsageOutTot"), F.lit(","), F.lit("=")),
-        "_treq": F.str_to_map(F.col("ReqTRES"), F.lit(","), F.lit("=")),
+        "_tin_cpu": _tres_get("TRESUsageInTot", "cpu"),
+        "_tin_mem": _tres_get("TRESUsageInTot", "mem"),
+        "_tin_gpuutil": _tres_get("TRESUsageInTot", "gres/gpuutil"),
+        "_tin_gpumem": _tres_get("TRESUsageInTot", "gres/gpumem"),
+        "_tin_fsdisk": _tres_get("TRESUsageInTot", "fs/disk"),
+        "_tal_cpu": _tres_get("AllocTRES", "cpu"),
+        "_tal_mem": _tres_get("AllocTRES", "mem"),
+        "_tal_gpu": _tres_get("AllocTRES", "gres/gpu"),
+        "_tal_billing": _tres_get("AllocTRES", "billing"),
+        "_tout_fsdisk": _tres_get("TRESUsageOutTot", "fs/disk"),
+        "_treq_gpu": _tres_get("ReqTRES", "gres/gpu"),
     }
 
 
@@ -216,17 +249,17 @@ def _stage2_exprs() -> dict[str, Column]:
             "_start_ts": C.unixtime(F.col("Start")),
             "_end_ts": C.unixtime(F.col("End")),
             # TRES-derived base values
-            "TotalCPU": C.slurmtime(F.col("_tin")["cpu"]),
-            "_cpu_alloc": C.int_metric(F.col("_tal")["cpu"]),
-            "TotalMem": C.float_bytes(F.col("_tin")["mem"]),
-            "AllocMem": C.float_bytes(F.col("_tal")["mem"]),
-            "NGpus": C.float_metric(F.col("_tal")["gres/gpu"]),
-            "GpuUtilTot": C.float_metric(F.col("_tin")["gres/gpuutil"]),
-            "GpuMemTot": C.float_metric(F.col("_tin")["gres/gpumem"]),
-            "TotDiskRead": C.float_bytes(F.col("_tin")["fs/disk"]),
-            "TotDiskWrite": C.float_bytes(F.col("_tout")["fs/disk"]),
-            "ReqGPUS": C.float_metric(F.col("_treq")["gres/gpu"]),
-            "Billing": C.int_metric(F.col("_tal")["billing"]),
+            "TotalCPU": C.slurmtime(F.col("_tin_cpu")),
+            "_cpu_alloc": C.int_metric(F.col("_tal_cpu")),
+            "TotalMem": C.float_bytes(F.col("_tin_mem")),
+            "AllocMem": C.float_bytes(F.col("_tal_mem")),
+            "NGpus": C.float_metric(F.col("_tal_gpu")),
+            "GpuUtilTot": C.float_metric(F.col("_tin_gpuutil")),
+            "GpuMemTot": C.float_metric(F.col("_tin_gpumem")),
+            "TotDiskRead": C.float_bytes(F.col("_tin_fsdisk")),
+            "TotDiskWrite": C.float_bytes(F.col("_tout_fsdisk")),
+            "ReqGPUS": C.float_metric(F.col("_treq_gpu")),
+            "Billing": C.int_metric(F.col("_tal_billing")),
             # memory (C10/C12)
             "ReqMem": C.float_bytes(F.col("ReqMem")),
             "_reqmem_nc": C.slurmmem(F.col("ReqMem")),

@@ -379,3 +379,25 @@ def test_train_centroids_match_numpy_lloyd(spark):
             if (cells == c).any():
                 cents[c] = vecs[cells == c].mean(axis=0)
     assert np.allclose(got, cents, atol=1e-9)
+
+
+def test_train_centroids_arrow_path_matches_expression_path(spark, monkeypatch):
+    """At production dims (4k+) the per-position F.avg expression array
+    is swapped for the Arrow partial-sum path (plan O(1) in dim,
+    VERDICT r6 #8). Forcing the swap at a small dim must reproduce the
+    expression path's centroids exactly — same Lloyd step, different
+    aggregation machinery."""
+    import numpy as np
+
+    from slurm2sql_spark.operators import similarity as S
+
+    rng = np.random.default_rng(12)
+    vecs = rng.normal(0, 1, (60, 6))
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(60)],
+        "c_id long, c_vec array<double>",
+    ).repartition(5)  # multiple partitions: exercises the partial merge
+    expr = np.array(S.ivf_centroids(emb, nlist=4, iters=2))
+    monkeypatch.setattr(S, "_EXPR_MEANS_MAX_DIM", 0)
+    arrow = np.array(S.ivf_centroids(emb, nlist=4, iters=2))
+    assert np.allclose(expr, arrow, atol=1e-12)
