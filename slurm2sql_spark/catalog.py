@@ -2231,6 +2231,55 @@ def range_join_events(spark, sf_dir):
 
 
 @register(
+    "range_count_events",
+    """
+    WITH err AS (
+      SELECT user_id, epoch_us(ts) AS err_ts
+      FROM events WHERE event_type = 'error'
+    ), win AS (
+      SELECT user_id, event_id AS window_id, epoch_us(ts) AS w_start,
+             epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS w_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT w.window_id, w.user_id, count(*) AS n_errors
+    FROM win w JOIN err e
+      ON e.user_id = w.user_id AND e.err_ts BETWEEN w.w_start AND w.w_end
+    GROUP BY 1, 2
+    """,
+    doc="Sort-sweep range COUNT (operators/rangejoin.py:range_count): "
+    "the same errors-per-purchase-window result as range_join_events, "
+    "but computed as a running-count difference at window boundaries — "
+    "one union + one keyed window pass, no interval fan-out, no "
+    "candidate pairs. The aggregation-only specialization of the range "
+    "join; both entries share one oracle so the bench compares the two "
+    "plans on identical semantics.",
+)
+def range_count_events(spark, sf_dir):
+    from slurm2sql_spark.operators.rangejoin import range_count
+
+    ev = _t(spark, sf_dir, "events")
+    ts = _ts_us(ev)
+    win = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        ts.alias("w_start"),
+        (ts + F.floor(F.col("value") * F.lit(60000000.0)).cast("long")).alias(
+            "w_end"
+        ),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", ts.alias("err_ts")
+    )
+    c = range_count(
+        err, win, point="err_ts", start="w_start", end="w_end", by="user_id",
+        count_col="n_errors",
+    )
+    return c.filter(F.col("n_errors") > 0).select(
+        "window_id", "user_id", "n_errors"
+    )
+
+
+@register(
     "sample_exact_k",
     """
     SELECT doc_id, source FROM (
@@ -2426,6 +2475,68 @@ def dedup_winnow_fast(spark, sf_dir):
     return winnow_overlap_pairs(
         docs, "doc_id", "text", k=8, w=4, threshold=0.35, kernel="fast"
     )
+
+
+@register(
+    "decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle FROM idx
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+    corpus AS (SELECT * FROM sh WHERE doc_id >= 20)
+    SELECT c.doc_id, count(*) AS n_hits
+    FROM corpus c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY 1
+    """,
+    doc="Benchmark-contamination detection (L33, "
+    "operators/dedup.py:decontaminate): corpus docs sharing any word "
+    "5-gram with the benchmark set (here doc_id<20), with the count of "
+    "distinct contaminated shingles. Benchmark side reduces to a "
+    "DISTINCT shingle set and broadcasts; the corpus posting stream "
+    "never shuffles — only the final per-doc count does.",
+)
+def decontaminate_docs(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    flagged = decontaminate(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        "doc_id",
+        "text",
+        n=5,
+        hint="broadcast",
+    )
+    return flagged.select(F.col("id").alias("doc_id"), "n_hits")
+
+
+@register(
+    "vocab_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+      FROM documents
+    )
+    SELECT term, count(*) AS n_docs FROM toks GROUP BY term
+    ORDER BY n_docs DESC, term LIMIT 100
+    """,
+    doc="Top-100 vocabulary terms by document frequency (L34, "
+    "operators/textstats.py:doc_frequency_topk): per-doc distinct "
+    "tokens, map-side-combined count shuffle, TakeOrdered top-k (no "
+    "global sort), deterministic term tie-break.",
+)
+def vocab_top_terms(spark, sf_dir):
+    from slurm2sql_spark.operators.textstats import doc_frequency_topk
+
+    return doc_frequency_topk(_t(spark, sf_dir, "documents"), "text", k=100)
 
 
 @register(

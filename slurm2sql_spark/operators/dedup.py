@@ -59,6 +59,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "release_caches",
     "connected_components",
+    "decontaminate",
 ]
 
 #: frames persisted by operators in this module (see
@@ -758,3 +759,39 @@ def winnow_overlap_pairs(
     return _jaccard_pairs_from_postings(
         postings, max_fingerprint_freq, threshold, persist_postings
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    hint: str = "auto",
+) -> DataFrame:
+    """Benchmark-contamination detection: for every ``corpus`` document
+    sharing at least one word-``n``-gram with any ``benchmark``
+    document, return ``(id, n_hits)`` — ``n_hits`` = number of DISTINCT
+    contaminated n-grams (``shingles`` emits per-doc shingle SETS, so
+    no double counting). The standard train-set decontamination pass:
+    drop or audit every flagged row before training.
+
+    Scale design: the benchmark side reduces to a DISTINCT shingle set
+    — benchmarks are eval-sized (thousands of docs), so with
+    ``hint="broadcast"`` (or "auto", where Spark's own threshold
+    decides) the join is map-side against a broadcast set and the ONLY
+    shuffle is the final per-doc count; the 100 TB corpus side streams
+    through without a shuffle of its postings. ``hint="shuffle"``
+    forces a repartition join for benchmark sets too big to broadcast.
+    Both sides share the ``shingles`` Arrow kernel + ``fan_out`` seam.
+    """
+    if hint not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"hint must be auto|broadcast|shuffle, got {hint!r}")
+    c_sh = shingles(corpus, id_col, text_col, n)
+    b_sh = shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    if hint == "broadcast":
+        b_sh = F.broadcast(b_sh)
+    elif hint == "shuffle":
+        b_sh = b_sh.hint("shuffle_hash")
+    hits = c_sh.join(b_sh, "shingle")
+    return hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))

@@ -37,7 +37,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["range_join"]
+__all__ = ["range_join", "range_count"]
 
 
 def range_join(
@@ -98,3 +98,87 @@ def range_join(
         (p >= s) & (p <= e)
     )
     return joined.drop("__rj_bin")
+
+
+def range_count(
+    points: DataFrame,
+    intervals: DataFrame,
+    point: str,
+    start: str,
+    end: str,
+    by: str | Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Points-per-interval COUNT without materializing the pairs: the
+    sort-sweep specialization of ``range_join`` for the aggregation
+    case (how many probe events fall inside each window).
+
+    ``count(p in [s, e]) = running_count(p <= e) - running_count(p < s)``
+    per ``by`` key — so instead of exploding intervals onto bins and
+    equi-joining (``range_join``'s pair machinery), union the points
+    with both interval BOUNDARIES on one spine and take ONE running-sum
+    window pass (the ``asof_join`` union-tag shape): points carry +1,
+    boundary rows read the running count at their position. Tie order
+    within a timestamp makes both ends inclusive: start boundaries
+    sort BEFORE points (strictly-before count), end boundaries AFTER
+    (less-or-equal count).
+
+    One hash-partition+sort shuffle of |points| + 2|intervals| rows and
+    one map-side-combined groupBy on the interval identity — no
+    interval fan-out, no candidate pairs, no exact-containment
+    re-filter. Same per-key skew caveat as any keyed window.
+
+    Returns the interval identity (``by`` + all other interval columns)
+    + ``count_col``. Intervals with zero matching points ARE returned
+    (count 0) — filter afterwards for inner-join parity. NULL points /
+    NULL or inverted bounds never match (inverted-bound intervals are
+    dropped, matching ``range_join``).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError(
+            "range_count needs a `by` key (a keyless sweep would sort "
+            "everything in one partition — use range_join or add a key)"
+        )
+    overlap = (set(points.columns) - set(by_cols)) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    from pyspark.sql import Window
+
+    p = F.col(point)
+    s, e = F.col(start), F.col(end)
+    iv_payload = [c for c in intervals.columns if c not in by_cols]
+    iv = intervals.filter(s.isNotNull() & e.isNotNull() & (s <= e))
+
+    def bound(ts_col, okey):
+        return iv.select(
+            *by_cols,
+            ts_col.alias("__ts"),
+            F.lit(okey).alias("__ok"),
+            F.lit(0).alias("__p"),
+            *[F.col(c) for c in iv_payload],
+        )
+
+    pts = points.filter(p.isNotNull()).select(
+        *by_cols,
+        p.alias("__ts"),
+        F.lit(1).alias("__ok"),  # start(0) < point(1) < end(2) at ties
+        F.lit(1).alias("__p"),
+        *[F.lit(None).cast(dict(iv.dtypes)[c]).alias(c) for c in iv_payload],
+    )
+    u = pts.unionByName(bound(s, 0)).unionByName(bound(e, 2))
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col("__ts").asc(), F.col("__ok").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = u.withColumn("__cnt", F.sum("__p").over(w)).filter(F.col("__ok") != 1)
+    return (
+        run.groupBy(*by_cols, *iv_payload)
+        .agg(
+            (
+                F.max(F.when(F.col("__ok") == 2, F.col("__cnt")))
+                - F.max(F.when(F.col("__ok") == 0, F.col("__cnt")))
+            ).alias(count_col)
+        )
+    )

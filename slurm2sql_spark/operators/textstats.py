@@ -20,6 +20,7 @@ __all__ = [
     "fingerprint",
     "winnow_fingerprints",
     "winnow_fingerprints_fast",
+    "doc_frequency_topk",
     "text_profile",
     "scrub_pii",
     "pii_counts",
@@ -263,6 +264,29 @@ def winnow_fingerprints_fast(
         return texts.map(one)
 
     return df.withColumn(out_col, _kernel(F.col(text_col)))
+
+
+def doc_frequency_topk(
+    df: DataFrame, text_col: str, k: int = 100
+) -> DataFrame:
+    """Top-``k`` vocabulary terms by DOCUMENT frequency (``term``,
+    ``n_docs``) — the vocabulary-building / stopword-discovery pass of
+    a training-data pipeline.
+
+    Per-doc distinct tokens (so a term counts once per document), one
+    map-side-combined count shuffle on the term key, and the top-k is
+    a ``TakeOrdered`` (per-partition heaps + driver merge of k rows),
+    not a global sort. Ties break by term so the cut is deterministic.
+    """
+    terms = df.select(
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "term")
+        .limit(k)
+    )
 
 
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

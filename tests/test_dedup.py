@@ -288,3 +288,56 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in connected_components(edf, nodes=nodes).collect()
         }
         assert got == want, f"trial {trial}: mismatch"
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc embedding a benchmark 5-gram is flagged with the
+    distinct-shingle hit count; clean docs are absent; bad hint raises."""
+    import pytest
+
+    from slurm2sql_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains 2 distinct benchmark 5-grams
+            (10, "x alpha beta gamma delta epsilon zeta y"),
+            (11, "totally clean document with different words entirely"),
+        ],
+        "doc_id int, text string",
+    )
+    for hint in ("auto", "broadcast", "shuffle"):
+        got = {r["id"]: r["n_hits"] for r in decontaminate(
+            corpus, bench, "doc_id", "text", n=5, hint=hint
+        ).collect()}
+        assert got == {10: 2}
+    with pytest.raises(ValueError, match="hint"):
+        decontaminate(corpus, bench, "doc_id", "text", hint="bogus")
+
+
+def test_decontaminate_broadcast_plan_has_no_corpus_shuffle(spark):
+    """With hint='broadcast' the corpus posting stream must reach the
+    join without an Exchange — the only shuffle is the final per-doc
+    count (the 100 TB-side contract)."""
+    from slurm2sql_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(10, "x alpha beta gamma delta epsilon zeta y")],
+        "doc_id int, text string",
+    )
+    out = decontaminate(corpus, bench, "doc_id", "text", n=5, hint="broadcast")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges: broadcast exchange (bench), bench's distinct, and the
+    # final count agg — none hash-partitioning the corpus postings
+    import re
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all("shingle" in g or "id" in g for g in hash_exchanges), plan
+    assert sum("shingle" in g for g in hash_exchanges) <= 1, plan

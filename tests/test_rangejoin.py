@@ -108,3 +108,67 @@ def test_partitioning_independence(spark):
         point="p", start="s", end="e", by="k", bin_size=32,
     )
     assert {(r["pid"], r["iid"]) for r in out.collect()} == want
+
+
+def test_range_count_matches_bruteforce_counts(spark):
+    """The sort-sweep count (running-count difference at boundaries)
+    equals the brute-force per-interval count, including zero-count
+    intervals, boundary inclusivity on both ends, and zero-length
+    intervals."""
+    from collections import Counter
+
+    from slurm2sql_spark.operators.rangejoin import range_count
+
+    points, intervals, want_pairs = _random_case(spark, seed=99)
+    want = Counter(iid for _, iid in want_pairs)
+    out = range_count(
+        points.drop("pid"), intervals, point="p", start="s", end="e", by="k"
+    )
+    got = {r["iid"]: r["n"] for r in out.collect()}
+    assert len(got) == intervals.count()  # zero-count intervals kept
+    for iid, n in got.items():
+        assert n == want.get(iid, 0), iid
+
+    # pinpoint inclusivity: point exactly at start, at end, and a
+    # zero-length interval at the point
+    pts = spark.createDataFrame([(1, 10), (1, 20)], "k int, p bigint")
+    ivs = spark.createDataFrame(
+        [(1, 10, 20, 1), (1, 10, 10, 2), (1, 11, 19, 3)],
+        "k int, s bigint, e bigint, iid int",
+    )
+    got = {
+        r["iid"]: r["n"]
+        for r in range_count(pts, ivs, point="p", start="s", end="e", by="k").collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 0}
+
+
+def test_range_count_requires_key_and_rejects_collisions(spark):
+    import pytest as _pytest
+
+    from slurm2sql_spark.operators.rangejoin import range_count
+
+    pts = spark.createDataFrame([(1, 10)], "k int, p bigint")
+    ivs = spark.createDataFrame([(1, 0, 20, 1)], "k int, s bigint, e bigint, iid int")
+    with _pytest.raises(ValueError, match="by"):
+        range_count(pts, ivs, point="p", start="s", end="e", by=[])
+    bad = pts.withColumnRenamed("p", "iid")
+    with _pytest.raises(ValueError, match="collision"):
+        range_count(bad, ivs, point="iid", start="s", end="e", by="k")
+
+
+def test_range_count_single_shuffle_no_join(spark):
+    """Plan contract: no join operator at all — one hash Exchange for
+    the window sort plus the final aggregation's."""
+    from slurm2sql_spark.operators.rangejoin import range_count
+
+    pts = spark.createDataFrame([(1, 10)], "k int, p bigint")
+    ivs = spark.createDataFrame([(1, 0, 20, 1)], "k int, s bigint, e bigint, iid int")
+    plan = (
+        range_count(pts, ivs, point="p", start="s", end="e", by="k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                "CartesianProduct"):
+        assert bad not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

@@ -246,3 +246,22 @@ def test_winnow_md5_kernel_matches_duckdb_on_vertical_tab(spark):
         params=[text],
     ).fetchone()[0]
     assert got == want
+
+
+def test_doc_frequency_topk_tiebreak_and_distinct_per_doc(spark):
+    """A term repeated inside one doc counts once (document frequency,
+    not term frequency); ties cut deterministically by term."""
+    from slurm2sql_spark.operators.textstats import doc_frequency_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry cherry"),
+            (3, "banana cherry"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    got = [(r["term"], r["n_docs"]) for r in doc_frequency_topk(df, "text", k=2).collect()]
+    # apple/banana/cherry all df=2 -> ties break alphabetically
+    assert got == [("apple", 2), ("banana", 2)]

@@ -56,6 +56,7 @@ DUCK_QUERIES = [
     "asof_join_events",
     "value_percentiles",
     "range_join_events",
+    "range_count_events",
     "dedup_winnow",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
@@ -78,7 +79,12 @@ SPARK_ONLY = [
 # floor dwarfs DuckDB's ms-scale kernels at toy data. The 100x corpus
 # (replica-shifted keys, constant per-key work) shows where the curves
 # cross. q1 rides along as the control that already crossed.
-X100_QUERIES = ["q1_pricing_summary", "value_percentiles", "range_join_events"]
+X100_QUERIES = [
+    "q1_pricing_summary",
+    "value_percentiles",
+    "range_join_events",
+    "range_count_events",
+]
 DST100 = os.environ.get("SPARK_GRAFT_SCALE_DST100", "/tmp/spark_graft_x100")
 K100 = int(os.environ.get("SPARK_GRAFT_SCALE_K100", "100"))
 
