@@ -1899,6 +1899,94 @@ def dedup_components(spark, sf_dir):
 
 
 @register(
+    "dedup_keep_best",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id_a, id_b FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8
+    ),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.lbl FROM e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node AS id, min(lbl) AS component FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id,
+             floor(least(len(string_split_regex(trim(text), '\s+')) / 64.0, 1.0)
+               * (CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                  / len(string_split_regex(trim(text), '\s+')))
+               * (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                  / length(text)) * 1000000 + 0.001) / 1000000 AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT c.component, c.id, q.quality,
+             row_number() OVER (
+               PARTITION BY c.component ORDER BY q.quality DESC, c.id
+             ) AS rk,
+             count(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN q ON q.doc_id = c.id
+    )
+    SELECT component, id AS keep_id, quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rk = 1
+    """,
+    doc="Canonical-doc selection after near-dup clustering (L35, "
+    "operators/dedup.py:keep_best): LSH pairs -> connected components "
+    "-> keep the highest-quality member per component (tie: smallest "
+    "id) with the member count — the post-dedup stage that turns "
+    "clusters into a keep-list. Oracle recomputes the exact pair "
+    "graph, walks it with a recursive CTE, and mirrors the quantized "
+    "quality score.",
+)
+def dedup_keep_best(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import (
+        connected_components,
+        keep_best,
+        minhash_near_dup_pairs,
+    )
+    from slurm2sql_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8
+    ).select("id_a", "id_b")
+    labels = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("id"))
+    )
+    scores = docs.select(
+        F.col("doc_id").alias("id"),
+        _q6(quality_score(F.col("text"))).alias("quality"),
+    )
+    return keep_best(labels, scores).withColumn(
+        "n_members", F.col("n_members").cast("long")
+    )
+
+
+@register(
     "dedup_incremental",
     r"""
     WITH toks AS (

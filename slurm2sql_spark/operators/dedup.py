@@ -795,3 +795,42 @@ def decontaminate(
         b_sh = b_sh.hint("shuffle_hash")
     hits = c_sh.join(b_sh, "shingle")
     return hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+def keep_best(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    label_col: str = "component",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonical-document selection after near-dup clustering: for each
+    duplicate component, keep the member with the highest score
+    (deterministic tie-break: smallest id). Returns one row per
+    component — ``(label_col, keep_id, score_col, n_members)`` — the
+    drop-list's complement a dedup pipeline feeds downstream.
+
+    ``labels`` is ``connected_components`` output (id -> component);
+    ``scores`` any per-id score frame (e.g. ``textstats.quality_score``).
+    One equi-join on id + one window pass per component (rank and
+    member count share the single hash-partition sort). Skew note: a
+    mega-component (boilerplate cluster) serializes its window — at
+    that scale pre-trim components with a per-component exact-k sample
+    (``sampling.sample_exact_k``) before ranking.
+    """
+    from pyspark.sql import Window
+
+    j = labels.join(scores, id_col)
+    w = Window.partitionBy(label_col)
+    wo = w.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return (
+        j.withColumn("_rk", F.row_number().over(wo))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            label_col,
+            F.col(id_col).alias("keep_id"),
+            score_col,
+            "n_members",
+        )
+    )

@@ -341,3 +341,22 @@ def test_decontaminate_broadcast_plan_has_no_corpus_shuffle(spark):
     hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert all("shingle" in g or "id" in g for g in hash_exchanges), plan
     assert sum("shingle" in g for g in hash_exchanges) <= 1, plan
+
+
+def test_keep_best_selects_highest_score_with_id_tiebreak(spark):
+    from slurm2sql_spark.operators.dedup import keep_best
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)], "id int, component int"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, None)],
+        "id int, quality double",
+    )
+    got = {
+        r["component"]: (r["keep_id"], r["quality"], r["n_members"])
+        for r in keep_best(labels, scores).collect()
+    }
+    # component 1: 2 and 3 tie at 0.9 -> smaller id wins; singleton
+    # components keep themselves (NULL score still selected when alone)
+    assert got == {1: (2, 0.9, 3), 4: (4, 0.1, 1), 5: (5, None, 1)}
