@@ -681,7 +681,15 @@ _RESULT_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def _memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    # applicationId+startTime, not id(spark): CPython reuses object ids
+    # after GC, and a stale-id hit would return a dead session's frame
+    # (same fix as similarity._BROADCASTS, ADVICE r6)
+    try:
+        sc = spark.sparkContext
+        skey = (sc.applicationId, sc.startTime)
+    except Exception:  # Spark Connect has no sparkContext
+        skey = id(spark)
+    key = (skey, sf_dir, name)
     df = _RESULT_CACHE.get(key)
     if df is None:
         if len(_RESULT_CACHE) > 24:  # bound stale-session entries
@@ -1884,18 +1892,30 @@ def pack_sequences_q(spark, sf_dir):
     "walks it with a recursive CTE.",
 )
 def dedup_components(spark, sf_dir):
-    from slurm2sql_spark.operators.dedup import (
-        connected_components,
-        minhash_near_dup_pairs,
-    )
+    return _dup_labels_08(spark, sf_dir)
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8
-    ).select("id_a", "id_b")
-    return connected_components(
-        pairs, nodes=docs.select(F.col("doc_id").alias("id"))
-    )
+
+def _dup_labels_08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-component labels (id -> component) from verified
+    MinHash pairs at threshold 0.8, persisted once per (session,
+    sf_dir): ``dedup_components`` and ``dedup_keep_best`` both consume
+    the identical labeling, so a session running both pays the
+    shingle -> signature -> band -> verify -> propagate pipeline once."""
+    def build() -> DataFrame:
+        from slurm2sql_spark.operators.dedup import (
+            connected_components,
+            minhash_near_dup_pairs,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        pairs = minhash_near_dup_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8
+        ).select("id_a", "id_b")
+        return connected_components(
+            pairs, nodes=docs.select(F.col("doc_id").alias("id"))
+        )
+
+    return _memo(spark, sf_dir, "dup_labels_08", build)
 
 
 @register(
@@ -1963,20 +1983,11 @@ def dedup_components(spark, sf_dir):
     "quality score.",
 )
 def dedup_keep_best(spark, sf_dir):
-    from slurm2sql_spark.operators.dedup import (
-        connected_components,
-        keep_best,
-        minhash_near_dup_pairs,
-    )
+    from slurm2sql_spark.operators.dedup import keep_best
     from slurm2sql_spark.operators.textstats import quality_score
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8
-    ).select("id_a", "id_b")
-    labels = connected_components(
-        pairs, nodes=docs.select(F.col("doc_id").alias("id"))
-    )
+    labels = _dup_labels_08(spark, sf_dir)
     scores = docs.select(
         F.col("doc_id").alias("id"),
         _q6(quality_score(F.col("text"))).alias("quality"),

@@ -132,7 +132,9 @@ def range_count(
     + ``count_col``. Intervals with zero matching points ARE returned
     (count 0) — filter afterwards for inner-join parity. NULL points /
     NULL or inverted bounds never match (inverted-bound intervals are
-    dropped, matching ``range_join``).
+    dropped, matching ``range_join``). Fully-identical interval ROWS
+    collapse to one output row (the group key is the row's columns);
+    give intervals a distinct id column if duplicates must survive.
     """
     by_cols = [by] if isinstance(by, str) else list(by)
     if not by_cols:

@@ -598,6 +598,8 @@ def _cell_means_arrow(assigned: DataFrame, vec_col: str, dim: int) -> DataFrame:
     def _partials(batches):
         acc: dict = {}
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: np.stack would throw
+                continue
             cells = pdf["cell"].to_numpy()
             mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
             for cell in np.unique(cells):
