@@ -2617,6 +2617,48 @@ def decontaminate_docs(spark, sf_dir):
 
 
 @register(
+    "doc_tfidf_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term, count(*) AS dft
+      FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             floor(tf.tf * (ln((nd + 1.0) / (dft + 1.0)) + 1.0) * 1000000
+                   + 0.001) / 1000000 AS tfidf
+      FROM tf JOIN dfreq USING (term), n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS rk FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+    doc="Per-document top-5 TF-IDF terms (L37, "
+    "operators/textstats.py:tfidf_top_terms): smoothed sklearn formula, "
+    "document-frequency table broadcast (vocabulary-sized), score "
+    "quantized to 1e-6 BEFORE ranking so cross-engine libm ULP noise "
+    "in ln can never flip a rank (term tie-break).",
+)
+def doc_tfidf_terms(spark, sf_dir):
+    from slurm2sql_spark.operators.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=5).select(
+        F.col("id").alias("doc_id"), "term", "tfidf", "rk"
+    )
+
+
+@register(
     "vocab_top_terms",
     r"""
     WITH toks AS (

@@ -21,6 +21,7 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_fingerprints_fast",
     "doc_frequency_topk",
+    "tfidf_top_terms",
     "text_profile",
     "scrub_pii",
     "pii_counts",
@@ -286,6 +287,55 @@ def doc_frequency_topk(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.col("n_docs").desc(), "term")
         .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)`` — the sklearn ``smooth_idf``
+    formula): the per-document keyword/relevance profile a filtering or
+    retrieval pipeline reads. Returns ``(id, term, tfidf, rk)``.
+
+    Scale shape: term frequencies are one map-side-combined groupBy on
+    (doc, term); the document-frequency table derives from it (tiny —
+    vocabulary-sized) and comes back as a BROADCAST join, as does the
+    1-row corpus count, so the only per-corpus shuffles are the tf
+    aggregation and the per-doc top-k window (bounded by document
+    length, no skew beyond the longest doc). ``quantize`` floors the
+    score to 1/q steps BEFORE ranking so cross-engine libm ULP noise
+    in ``ln`` can never flip a rank (ties break by term) — the ANN
+    ``rank_quantize`` idiom.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    n_docs = df.select(F.count(F.lit(1)).alias("nd"))
+    q = F.lit(float(quantize))
+    score = F.floor(
+        F.col("tf")
+        * (F.log((F.col("nd") + 1.0) / (F.col("dft") + 1.0)) + 1.0)
+        * q
+        + F.lit(1e-3)
+    ) / q
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id", "term", "tfidf", "rk")
     )
 
 

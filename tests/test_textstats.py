@@ -265,3 +265,38 @@ def test_doc_frequency_topk_tiebreak_and_distinct_per_doc(spark):
     got = [(r["term"], r["n_docs"]) for r in doc_frequency_topk(df, "text", k=2).collect()]
     # apple/banana/cherry all df=2 -> ties break alphabetically
     assert got == [("apple", 2), ("banana", 2)]
+
+
+def test_tfidf_top_terms_formula_and_plan(spark):
+    """Pinned smoothed-TF-IDF semantics on a tiny corpus plus the plan
+    contract: the document-frequency and corpus-count joins must be
+    broadcasts (no shuffle join on the corpus side)."""
+    import math
+
+    from slurm2sql_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=2)
+    rows = {(r["id"], r["term"]): (r["tfidf"], r["rk"]) for r in out.collect()}
+
+    def want(tf, dft, n=3, q=1e6):
+        return math.floor(tf * (math.log((n + 1) / (dft + 1)) + 1) * q + 1e-3) / q
+
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert rows[(1, "apple")] == (want(2, 1), 1)
+    assert rows[(1, "banana")] == (want(1, 2), 2)
+    # doc 3: cherry tf=3 df=2 beats durian tf=1 df=1
+    assert rows[(3, "cherry")] == (want(3, 2), 1)
+    assert rows[(3, "durian")] == (want(1, 1), 2)
+    assert all(rk <= 2 for _, rk in rows.values())
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
