@@ -1681,8 +1681,8 @@ def sim_ivf_recall(spark, sf_dir):
            CAST(len(list_distinct(w)) AS INT) AS n_distinct_tokens,
            CAST(len(list_filter(
                   regexp_extract_all(text,
-                    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
-                  x -> NOT regexp_matches(x, '^\s+$'))) AS INT)
+                    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+'),
+                  x -> NOT regexp_matches(x, '^[ \t\n\r\f]+$'))) AS INT)
              AS n_bpe_tokens,
            CAST(length(text) AS INT) AS n_chars,
            floor(least(len(w) / 64.0, 1.0)

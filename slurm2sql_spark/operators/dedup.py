@@ -24,6 +24,7 @@ All shuffle-parallel by construction — no collects, no driver loops:
 from __future__ import annotations
 
 import logging
+import re as _re_mod
 from collections.abc import Callable
 
 import pandas as pd
@@ -60,6 +61,7 @@ __all__ = [
     "release_caches",
     "connected_components",
     "decontaminate",
+    "keep_best",
 ]
 
 #: frames persisted by operators in this module (see
@@ -101,9 +103,25 @@ def release_caches() -> None:
             pass
 
 
+#: RE2-parity whitespace: DuckDB/RE2 ``\s`` is exactly [\t\n\f\r ],
+#: while Java's \s adds \x0b and Python's str.split() all of Unicode
+#: whitespace — texts containing \x0b or U+00A0 would tokenize
+#: differently engine-side vs oracle-side (ADVICE r6, extended to every
+#: tokenizer in r7; same class the winnow kernels pin).
+_WS_RE2 = r"[ \t\n\r\f]+"
+_WS_RE2_C = _re_mod.compile(_WS_RE2)
+
+
+def _re2_tokens(s: str | None) -> list[str]:
+    """Python twin of ``string_split_regex(trim(s), '\\s+')`` under
+    RE2 semantics: trim SPACES only (SQL trim), split on the RE2 class,
+    keep edge empties exactly like DuckDB's and Spark's split do."""
+    return _WS_RE2_C.split(s.strip(" ")) if s else []
+
+
 def normalize_text(c: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace."""
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(c)), _WS_RE2, " ")
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -140,7 +158,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     def _shingle(texts: pd.Series) -> pd.Series:
         out = []
         for s in texts:
-            w = s.split() if s else []
+            w = _re2_tokens(s)
             if len(w) >= n:
                 out.append(list({" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}))
             else:
@@ -422,7 +440,7 @@ def _verify_jaccard(
     @F.pandas_udf("struct<shared:long, sz_a:long, sz_b:long, jaccard:double>")
     def _jac(a: pd.Series, b: pd.Series) -> pd.DataFrame:
         def sh_set(s):
-            w = s.split() if s else []
+            w = _re2_tokens(s)
             return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
 
         rows = []
@@ -533,7 +551,7 @@ def simhash_signatures(
             df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
             min_bytes=4 << 20,
         )
-        .select("id", F.explode(F.split(F.trim(F.col("_t")), r"\s+")).alias("tok"))
+        .select("id", F.explode(F.split(F.trim(F.col("_t")), _WS_RE2)).alias("tok"))
         .withColumn("h", token_hash(F.col("tok")))
     )
     # Per-bit majority vote, branch-free: the classic sum of +-1 per

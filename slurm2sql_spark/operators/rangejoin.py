@@ -130,9 +130,10 @@ def range_count(
 
     Returns the interval identity (``by`` + all other interval columns)
     + ``count_col``. Intervals with zero matching points ARE returned
-    (count 0) — filter afterwards for inner-join parity. NULL points /
-    NULL or inverted bounds never match (inverted-bound intervals are
-    dropped, matching ``range_join``). Fully-identical interval ROWS
+    (count 0) — filter afterwards for inner-join parity. NULL points,
+    NULL ``by`` keys, and NULL or inverted bounds never match (all
+    dropped, matching ``range_join``'s equi-join semantics — a window
+    PARTITION BY would otherwise group NULL keys together). Fully-identical interval ROWS
     collapse to one output row (the group key is the row's columns);
     give intervals a distinct id column if duplicates must survive.
     """
@@ -150,7 +151,13 @@ def range_count(
     p = F.col(point)
     s, e = F.col(start), F.col(end)
     iv_payload = [c for c in intervals.columns if c not in by_cols]
-    iv = intervals.filter(s.isNotNull() & e.isNotNull() & (s <= e))
+    # NULL by-keys never match — range_join's equi-join (and the SQL
+    # oracle's) drops them, while a window PARTITION BY would group
+    # NULLs together; filter both sides for join parity
+    key_ok = F.lit(True)
+    for c in by_cols:
+        key_ok = key_ok & F.col(c).isNotNull()
+    iv = intervals.filter(s.isNotNull() & e.isNotNull() & (s <= e) & key_ok)
 
     def bound(ts_col, okey):
         return iv.select(
@@ -161,7 +168,7 @@ def range_count(
             *[F.col(c) for c in iv_payload],
         )
 
-    pts = points.filter(p.isNotNull()).select(
+    pts = points.filter(p.isNotNull() & key_ok).select(
         *by_cols,
         p.alias("__ts"),
         F.lit(1).alias("__ok"),  # start(0) < point(1) < end(2) at ties

@@ -564,7 +564,7 @@ def _train_centroids(
                 .collect()
             )
         else:
-            means = _cell_means_arrow(assigned, vec_col, dim).collect()
+            means = _cell_means_arrow(assigned, vec_col).collect()
         by_cell = {r.cell: list(r.m) for r in means}
         cents = [
             by_cell.get(c, cents[c])  # empty cell keeps its seed
@@ -582,7 +582,7 @@ def _train_centroids(
 _EXPR_MEANS_MAX_DIM = 1024
 
 
-def _cell_means_arrow(assigned: DataFrame, vec_col: str, dim: int) -> DataFrame:
+def _cell_means_arrow(assigned: DataFrame, vec_col: str) -> DataFrame:
     """Per-cell mean vectors with a dim-independent plan: numpy partial
     sums per input partition (``mapInPandas`` — narrow, no shuffle),
     then a per-cell reduce over the tiny partial frame

@@ -40,8 +40,8 @@ BPE_SPLIT_PATTERN = (
     r"'(?:s|t|re|ve|m|ll|d)"
     r"| ?\p{L}+"
     r"| ?\p{N}+"
-    r"| ?[^\s\p{L}\p{N}]+"
-    r"|\s+"
+    r"| ?[^ \t\n\r\f\p{L}\p{N}]+"
+    r"|[ \t\n\r\f]+"
 )
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -56,9 +56,17 @@ STOPWORDS = {
 }
 
 
+#: RE2-parity whitespace class: DuckDB/RE2 ``\s`` is exactly
+#: [\t\n\f\r ], Java's \s adds \x0b — every tokenizer that faces a
+#: DuckDB oracle uses the explicit class so texts containing \x0b
+#: cannot tokenize differently across engines (same class the winnow
+#: kernels and dedup._re2_tokens pin).
+WS_RE2 = r"[ \t\n\r\f]+"
+
+
 def tokens(c: Column) -> Column:
     """Whitespace tokenization (matching the oracle's string_split)."""
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.trim(c), WS_RE2)
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -82,7 +90,7 @@ def bpe_token_count(c: Column, count_whitespace: bool = False) -> Column:
     """
     segs = F.regexp_extract_all(c, F.lit(f"({BPE_SPLIT_PATTERN})"), 1)
     if not count_whitespace:
-        segs = F.filter(segs, lambda s: ~s.rlike(r"^\s+$"))
+        segs = F.filter(segs, lambda s: ~s.rlike(r"^[ \t\n\r\f]+$"))
     return F.size(segs)
 
 

@@ -360,3 +360,21 @@ def test_keep_best_selects_highest_score_with_id_tiebreak(spark):
     # component 1: 2 and 3 tie at 0.9 -> smaller id wins; singleton
     # components keep themselves (NULL score still selected when alone)
     assert got == {1: (2, 0.9, 3), 4: (4, 0.1, 1), 5: (5, None, 1)}
+
+
+def test_shingles_re2_whitespace_parity(spark):
+    r"""RE2's \s is [\t\n\f\r ] — \x0b and U+00A0 are NOT separators
+    for the DuckDB oracles, so the shingle kernel must not split on
+    them either (Python str.split() would)."""
+    from slurm2sql_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "aa\x0bbb cc dd ee"), (2, "aa\u00a0bb cc dd ee")],
+        "doc_id int, text string",
+    )
+    got = {}
+    for r in shingles(df, "doc_id", "text", n=3).collect():
+        got.setdefault(r["id"], set()).add(r["shingle"])
+    # \x0b and U+00A0 stay INSIDE the first token
+    assert "aa\x0bbb cc dd" in got[1] and "bb cc dd" not in got[1]
+    assert "aa\u00a0bb cc dd" in got[2] and "bb cc dd" not in got[2]

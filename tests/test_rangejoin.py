@@ -172,3 +172,20 @@ def test_range_count_single_shuffle_no_join(spark):
                 "CartesianProduct"):
         assert bad not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_range_count_null_keys_never_match(spark):
+    """NULL by-keys must not match (range_join equi-join parity): a
+    window PARTITION BY would group NULLs together without the guard."""
+    from slurm2sql_spark.operators.rangejoin import range_count
+
+    pts = spark.createDataFrame([(None, 15), (1, 15)], "k int, p bigint")
+    ivs = spark.createDataFrame(
+        [(None, 10, 20, 1), (1, 10, 20, 2)], "k int, s bigint, e bigint, iid int"
+    )
+    got = {
+        r["iid"]: r["n"]
+        for r in range_count(pts, ivs, point="p", start="s", end="e", by="k").collect()
+    }
+    # NULL-key interval dropped entirely; NULL-key point matches nothing
+    assert got == {2: 1}

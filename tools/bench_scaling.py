@@ -58,6 +58,9 @@ DUCK_QUERIES = [
     "range_join_events",
     "range_count_events",
     "dedup_winnow",
+    "decontaminate",
+    "vocab_top_terms",
+    "doc_tfidf_terms",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -72,6 +75,7 @@ SPARK_ONLY = [
     "sim_quantized_recall",
     "pack_sequences",
     "dedup_winnow_fast",
+    "dedup_keep_best",
 ]
 
 # floor-bound micro-queries (VERDICT r6 #4): correct minimal plans that
@@ -332,11 +336,16 @@ def main() -> None:
         time_spark(QUERIES, spark, X100_QUERIES, "/root/testdata/sf0.01", passes=1)
         s100, s100_med = time_spark(QUERIES, spark, X100_QUERIES, DST100, passes=3)
         d100, d100_med = time_duck(QUERIES, X100_QUERIES, DST100, passes=3)
-        with open("SCALING.json") as fh:
-            out = json.load(fh)
+        # guarded merge: a missing/renamed row or absent SCALING.json
+        # must not throw away the (expensive) measurements just taken
+        out = {"queries": {}}
+        if os.path.exists("SCALING.json"):
+            with open("SCALING.json") as fh:
+                out = json.load(fh)
+        out.setdefault("queries", {})
         out["k100"] = K100
         for n in X100_QUERIES:
-            out["queries"][n].update(
+            out["queries"].setdefault(n, {}).update(
                 spark_100x=s100[n],
                 spark_100x_med=s100_med[n],
                 duck_100x=d100[n],
@@ -376,7 +385,19 @@ def main() -> None:
     d1, d1_med = time_duck(QUERIES, duck_names, SRC, passes=3)
     d10, d10_med = time_duck(QUERIES, duck_names, DST, passes=3)
 
-    out = {"k": K, "src": SRC, "policy": "min+median of 3", "queries": {}}
+    out = {
+        "k": K,
+        "src": SRC,
+        # memo-sharing entries (sacct_eff/sacct_user_rollup via the eff
+        # memo; dedup_components/dedup_keep_best via dup_labels) are
+        # timed in catalog order with caches dropped per PASS — i.e.
+        # they measure a session running the full catalog, so the
+        # SECOND consumer of a memo reads it warm. An `--only` run of a
+        # single consumer measures the same entry cold (full pipeline);
+        # don't compare the two regimes row-to-row.
+        "policy": "min+median of 3; per-pass cache drop (memo sharing in effect)",
+        "queries": {},
+    }
     # a full sweep re-measures 1x/10x only — carry the slow-to-produce
     # 100x fields (and k100) forward instead of clobbering them
     if merge_into is None and os.path.exists("SCALING.json"):
