@@ -18,6 +18,7 @@ DataFrame/query so callers pick sinks and triggers.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -31,6 +32,7 @@ __all__ = [
     "windowed_job_counts",
     "streaming_dedup",
     "job_state_transitions",
+    "decontaminate_stream",
 ]
 
 
@@ -209,4 +211,57 @@ def job_state_transitions(
             outputMode="append",
             timeoutConf=timeout,
         )
+    )
+
+
+def decontaminate_stream(
+    doc_stream: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Stream-static decontamination: flag streaming documents that
+    share any word-``n``-gram with a STATIC benchmark frame — the
+    continuous-ingest twin of ``dedup.decontaminate`` (L33), for
+    pipelines that must reject contaminated documents as they land
+    rather than in a nightly sweep.
+
+    The benchmark reduces once to a DISTINCT shingle set and rides into
+    every micro-batch as a broadcast (stream-static equi-join — Spark
+    re-resolves the static side per batch, so a benchmark refresh is
+    picked up on the next trigger). The stream side shingles inside the
+    micro-batch with the same Arrow kernel semantics as the batch
+    operator (RE2-parity tokenization, per-doc shingle SETS) but
+    WITHOUT the batch ``fan_out`` seam — micro-batch partitioning is
+    the trigger's concern (``maxFilesPerTrigger``), not a repartition's.
+    Output is a streaming aggregation (``id``, ``n_hits``): run it in
+    ``update``/``complete`` mode, or bound it with a watermark upstream
+    for append sinks.
+    """
+    import pandas as pd
+
+    from slurm2sql_spark.operators.dedup import _re2_tokens, shingles
+
+    b_sh = F.broadcast(
+        shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    )
+
+    @F.pandas_udf("array<string>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            w = _re2_tokens(s)
+            out.append(
+                list({" ".join(w[i:i + n]) for i in range(len(w) - n + 1)})
+                if len(w) >= n
+                else []
+            )
+        return pd.Series(out)
+
+    posts = doc_stream.select(
+        F.col(id_col).alias("id"), F.explode(_sh(F.col(text_col))).alias("shingle")
+    )
+    return posts.join(b_sh, "shingle").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits")
     )

@@ -270,3 +270,46 @@ def test_job_state_transitions_ttl_eviction(spark, tmp_path):
         ("300", None, "RUNNING"),
         ("301", None, "PENDING"),
     ]
+
+
+def test_decontaminate_stream_flags_as_docs_land(spark, tmp_path):
+    """Stream-static decontamination: documents dropped into the watch
+    dir are flagged against the static benchmark shingle set; clean
+    docs never appear; the static side joins as a broadcast."""
+    from pyspark.sql import types as T
+
+    from slurm2sql_spark.streaming.stream import decontaminate_stream
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "doc_id,text\n"
+        '10,"x alpha beta gamma delta epsilon zeta y"\n'
+        '11,"totally clean document with different words entirely okay"\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.IntegerType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .csv(str(d))
+    )
+    flagged = decontaminate_stream(stream, bench, "doc_id", "text", n=5)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("decontam")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["id"]: r["n_hits"] for r in spark.sql("SELECT * FROM decontam").collect()}
+    assert rows == {10: 2}
