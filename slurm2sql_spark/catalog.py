@@ -677,18 +677,22 @@ FROM e
 #: both their own entries and the recall checks). Entries are
 #: persisted; ``drop_caches()`` releases them (bench calls it between
 #: timed passes so every pass pays full compute).
-_RESULT_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_RESULT_CACHE: dict[tuple, DataFrame] = {}  # (session key, sf_dir, name)
 
 
 def _memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    # applicationId+startTime, not id(spark): CPython reuses object ids
-    # after GC, and a stale-id hit would return a dead session's frame
-    # (same fix as similarity._BROADCASTS, ADVICE r6)
+    # A stable session identity, not id(spark): CPython reuses object
+    # ids after GC, and a stale-id hit would return a dead session's
+    # frame (same fix as similarity._BROADCASTS, ADVICE r6). Classic:
+    # applicationId+startTime. Connect: the client's server-assigned
+    # session id (same reuse hazard applies to id() there too).
     try:
         sc = spark.sparkContext
         skey = (sc.applicationId, sc.startTime)
     except Exception:  # Spark Connect has no sparkContext
-        skey = id(spark)
+        skey = getattr(getattr(spark, "client", None), "_session_id", None) or id(
+            spark
+        )
     key = (skey, sf_dir, name)
     df = _RESULT_CACHE.get(key)
     if df is None:
@@ -707,9 +711,10 @@ def drop_caches() -> None:
         except Exception:
             pass  # session may be gone
     _RESULT_CACHE.clear()
-    from slurm2sql_spark.operators import dedup
+    from slurm2sql_spark.operators import dedup, textstats
 
     dedup.release_caches()
+    textstats.release_caches()
 
 
 # Backwards-compatible alias used by the flagship seam below.

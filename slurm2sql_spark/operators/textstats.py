@@ -55,6 +55,20 @@ STOPWORDS = {
     "fr": ["le", "la", "les", "et", "de", "un", "est", "que"],
 }
 
+#: frames persisted by operators in this module (tfidf_top_terms' tf);
+#: released by release_caches() — same contract as dedup._PERSISTED.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every frame an operator in this module persisted."""
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session may be gone
+            pass
+
 
 #: RE2-parity whitespace class: DuckDB/RE2 ``\s`` is exactly
 #: [\t\n\f\r ], Java's \s adds \x0b — every tokenizer that faces a
@@ -324,7 +338,14 @@ def tfidf_top_terms(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist tf: the broadcast dfreq plan EMBEDS the tf plan, and
+    # Spark does not share subplans across join sides — unpersisted,
+    # the corpus-wide tokenize+aggregate would run twice (once to
+    # build the broadcast, once on the probe side). Same registry
+    # contract as dedup's posting persists; released by
+    # catalog.drop_caches() -> release_caches().
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    _PERSISTED.append(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
     n_docs = df.select(F.count(F.lit(1)).alias("nd"))
     q = F.lit(float(quantize))

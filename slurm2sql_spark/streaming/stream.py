@@ -162,7 +162,6 @@ def job_state_transitions(
     arbitrary order; transitions are taken in (End, Start, State)
     sort order inside the batch to make replay deterministic.
     """
-    import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -219,7 +218,7 @@ def decontaminate_stream(
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 5,
+    n: int = 8,  # same default as the batch twin dedup.decontaminate
 ) -> DataFrame:
     """Stream-static decontamination: flag streaming documents that
     share any word-``n``-gram with a STATIC benchmark frame — the
@@ -239,7 +238,6 @@ def decontaminate_stream(
     ``update``/``complete`` mode, or bound it with a watermark upstream
     for append sinks.
     """
-    import pandas as pd
 
     from slurm2sql_spark.operators.dedup import _re2_tokens, shingles
 

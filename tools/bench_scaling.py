@@ -398,15 +398,19 @@ def main() -> None:
         "policy": "min+median of 3; per-pass cache drop (memo sharing in effect)",
         "queries": {},
     }
-    # a full sweep re-measures 1x/10x only — carry the slow-to-produce
-    # 100x fields (and k100) forward instead of clobbering them
-    if merge_into is None and os.path.exists("SCALING.json"):
+    # 100x fields are slow to produce (--x100 runs separately) — carry
+    # them forward on any write. Whole rows carry forward ONLY in
+    # --only mode (partial refresh); a full sweep rebuilds every row so
+    # renamed/removed queries don't survive as ghost rows.
+    prev: dict = {}
+    if os.path.exists("SCALING.json"):
         with open("SCALING.json") as fh:
-            merge_into = json.load(fh)
+            prev = json.load(fh)
     if merge_into is not None:
         out["queries"].update(merge_into.get("queries", {}))
-        if "k100" in merge_into:
-            out["k100"] = merge_into["k100"]
+    if "k100" in prev:
+        out["k100"] = prev["k100"]
+    prev_queries = prev.get("queries", {})
     for n in names:
         q = {
             "spark_1x": s1[n],
@@ -427,7 +431,7 @@ def main() -> None:
                 gap_1x_med=round(s1_med[n] / d1_med[n], 2),
                 gap_10x_med=round(s10_med[n] / d10_med[n], 2),
             )
-        old = out["queries"].get(n, {})
+        old = prev_queries.get(n, {})
         q.update({k: v for k, v in old.items() if "100x" in k})
         out["queries"][n] = q
     with open("SCALING.json", "w") as fh:
