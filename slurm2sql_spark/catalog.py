@@ -240,6 +240,113 @@ def q5_nation_revenue(spark, sf_dir):
 
 
 @register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           floor(sum(volume) * 100 + 0.001) / 100 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+          OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+    )
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc="TPC-H q7 shape (volume shipping): bilateral trade between two "
+    "nations per ship year. Supplier and customer sides resolve "
+    "through two broadcast copies of nation; the nation-pair filter "
+    "pushes into the broadcast dims so the big fact-to-orders join "
+    "only carries surviving rows.",
+)
+def q7_nation_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pair = F.col("n_name").isin("NATION_0", "NATION_1")
+    sdim = (
+        supp.join(
+            F.broadcast(nation.filter(pair)),
+            supp.s_nationkey == nation.n_nationkey,
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cdim = (
+        cust.join(
+            F.broadcast(nation.filter(pair)),
+            cust.c_nationkey == nation.n_nationkey,
+        ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    j = (
+        li.join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg((F.floor(F.sum(vol) * 100 + F.lit(1e-3)) / 100).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.001) / 100
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H q10 shape (returned-item reporting): top-20 customers "
+    "by lost revenue from returned items in one quarter. The returned "
+    "flag pushes into the lineitem scan and the date window into the "
+    "orders scan; customer/nation ride as broadcast dims; top-20 is a "
+    "TakeOrdered, not a global sort.",
+)
+def q10_returned_items(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cdim = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.floor(F.sum(rev) * 100 + F.lit(1e-3)) / 100).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
     "conditional_first",
     """
     SELECT l_orderkey,
