@@ -240,6 +240,44 @@ def q5_nation_revenue(spark, sf_dir):
 
 
 @register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="TPC-H q4 shape (order-priority checking): orders in a window "
+    "with at least one late-shipped lineitem — the EXISTS correlated "
+    "subquery expressed as a LEFT SEMI join (each order matched at "
+    "most once, no fan-out from multi-lineitem orders), date window "
+    "pushed to the orders scan.",
+)
+def q4_order_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "q7_nation_volume",
     """
     SELECT supp_nation, cust_nation, l_year,
