@@ -385,6 +385,97 @@ def q10_returned_items(spark, sf_dir):
 
 
 @register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+    doc="TPC-H q18 shape (large-volume orders): aggregate-then-join — "
+    "the HAVING-filtered per-order quantity rollup joins back to "
+    "orders/customer (the filtered aggregate is tiny, so both "
+    "downstream joins broadcast it), top-20 via TakeOrdered with an "
+    "orderkey tie-break.",
+)
+def q18_large_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "source_lang_mix",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS dl
+      FROM documents
+    ),
+    hits AS (
+      SELECT source,
+        len(list_intersect(dl, ['the','a','of','and','to','in','is','that'])) AS h_en,
+        len(list_intersect(dl, ['el','la','de','y','que','en','los','se'])) AS h_es,
+        len(list_intersect(dl, ['der','die','und','das','ist','von','mit','den'])) AS h_de,
+        len(list_intersect(dl, ['le','la','les','et','de','un','est','que'])) AS h_fr
+      FROM toks
+    ),
+    lab AS (
+      SELECT source,
+             CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                  WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                  WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                  ELSE 'de' END AS lang_pred
+      FROM hits
+    ),
+    tot AS (SELECT source, count(*) AS n_docs FROM lab GROUP BY 1)
+    SELECT l.source, l.lang_pred, count(*) AS n,
+           floor(count(*) * 1.0 / t.n_docs * 1000000 + 0.001) / 1000000 AS share
+    FROM lab l JOIN tot t ON l.source = t.source
+    GROUP BY 1, 2, t.n_docs
+    """,
+    doc="Per-source language-mix report (L38, corpus-curation "
+    "composition of the L11 stopword language ID): document counts and "
+    "shares per (source, predicted language). ONE classify pass + one "
+    "map-side-combined aggregation; the per-source total is a window "
+    "sum over the tiny aggregated frame (no join, no second scan of "
+    "the corpus); shares quantized q6 on both engines.",
+)
+def source_lang_mix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from slurm2sql_spark.operators.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.select("source", lang_id(F.col("text")).alias("lang_pred"))
+    mix = lab.groupBy("source", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source")
+    return mix.select(
+        "source",
+        "lang_pred",
+        "n",
+        _q6(F.col("n") / F.sum("n").over(w)).alias("share"),
+    )
+
+
+@register(
     "conditional_first",
     """
     SELECT l_orderkey,
