@@ -438,7 +438,8 @@ def q18_large_orders(spark, sf_dir):
     ),
     lab AS (
       SELECT source,
-             CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+             CASE WHEN greatest(h_en, h_es, h_de, h_fr) IS NULL
+                    OR greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
                   WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
                   WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
                   WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
@@ -1930,7 +1931,8 @@ def sim_ivf_recall(spark, sf_dir):
                  * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
                  * (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
                     / length(text)) * 1000000 + 0.001) / 1000000 AS quality,
-           CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+           CASE WHEN greatest(h_en, h_es, h_de, h_fr) IS NULL
+                  OR greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
                 WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
                 WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
                 WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'

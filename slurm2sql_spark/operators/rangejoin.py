@@ -146,6 +146,21 @@ def range_count(
     overlap = (set(points.columns) - set(by_cols)) & set(intervals.columns)
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    # Mirror asof_join's hard-error posture: an input column named like
+    # one of the internal spine columns would be silently shadowed by
+    # the union/window machinery, and an interval column equal to
+    # count_col would duplicate a name in the output frame.
+    reserved = {"__ts", "__ok", "__p", "__cnt"}
+    clash = reserved & (set(points.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(
+            f"reserved internal column name(s) on an input side: {sorted(clash)}"
+        )
+    if count_col in intervals.columns:
+        raise ValueError(
+            f"count_col {count_col!r} collides with an intervals column; "
+            "rename one side"
+        )
     from pyspark.sql import Window
 
     p = F.col(point)

@@ -56,8 +56,30 @@ STOPWORDS = {
 }
 
 #: frames persisted by operators in this module (tfidf_top_terms' tf);
-#: released by release_caches() — same contract as dedup._PERSISTED.
+#: released by release_caches() — same contract as dedup._PERSISTED:
+#: grows until the caller releases, so a long-lived library session
+#: calling tfidf_top_terms in a loop without release_caches() pins
+#: storage memory without bound; _persist() warns past _PERSISTED_WARN.
 _PERSISTED: list[DataFrame] = []
+_PERSISTED_WARN = 32
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    if len(_PERSISTED) == _PERSISTED_WARN:
+        import warnings
+
+        warnings.warn(
+            f"{_PERSISTED_WARN} frames pinned by textstats operators "
+            "without a release_caches() call — storage memory grows "
+            "unboundedly in long-lived sessions; call "
+            "slurm2sql_spark.operators.textstats.release_caches() "
+            "between batches",
+            ResourceWarning,
+            stacklevel=3,
+        )
+    return df
 
 
 def release_caches() -> None:
@@ -333,6 +355,16 @@ def tfidf_top_terms(
     score to 1/q steps BEFORE ranking so cross-engine libm ULP noise
     in ``ln`` can never flip a rank (ties break by term) — the ANN
     ``rank_quantize`` idiom.
+
+    Resource contract: each call persists its term-frequency frame (the
+    broadcast doc-frequency plan embeds the tf plan, and Spark does not
+    share subplans across join sides — unpersisted, the corpus-wide
+    tokenize+aggregate runs twice). Library callers outside the
+    catalog/bench lifecycle (which releases via
+    ``catalog.drop_caches()``) must call
+    ``textstats.release_caches()`` between batches, or storage memory
+    grows unboundedly; a ResourceWarning fires past
+    ``_PERSISTED_WARN`` pinned frames.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -344,8 +376,7 @@ def tfidf_top_terms(
     # build the broadcast, once on the probe side). Same registry
     # contract as dedup's posting persists; released by
     # catalog.drop_caches() -> release_caches().
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
-    _PERSISTED.append(tf)
+    tf = _persist(toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
     n_docs = df.select(F.count(F.lit(1)).alias("nd"))
     q = F.lit(float(quantize))

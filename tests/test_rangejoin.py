@@ -155,6 +155,24 @@ def test_range_count_requires_key_and_rejects_collisions(spark):
     bad = pts.withColumnRenamed("p", "iid")
     with _pytest.raises(ValueError, match="collision"):
         range_count(bad, ivs, point="iid", start="s", end="e", by="k")
+    # reserved internal spine names on either side hard-error instead of
+    # silently shadowing (__ts/__ok/__p/__cnt)
+    with _pytest.raises(ValueError, match="reserved"):
+        range_count(
+            pts.withColumn("__ts", pts.p), ivs,
+            point="p", start="s", end="e", by="k",
+        )
+    with _pytest.raises(ValueError, match="reserved"):
+        range_count(
+            pts, ivs.withColumn("__cnt", ivs.iid),
+            point="p", start="s", end="e", by="k",
+        )
+    # count_col colliding with an interval payload column would emit a
+    # duplicate output name
+    with _pytest.raises(ValueError, match="count_col"):
+        range_count(
+            pts, ivs, point="p", start="s", end="e", by="k", count_col="iid"
+        )
 
 
 def test_range_count_single_shuffle_no_join(spark):

@@ -300,3 +300,56 @@ def test_tfidf_top_terms_formula_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_textstats_persisted_frames_warn_past_bound(spark, monkeypatch):
+    """tfidf_top_terms pins its tf frame per call; direct library use
+    without release_caches() must warn once the registry grows past the
+    bound (same contract as dedup._persist)."""
+    import warnings
+
+    from slurm2sql_spark.operators import textstats
+
+    monkeypatch.setattr(textstats, "_PERSISTED", [])
+    monkeypatch.setattr(textstats, "_PERSISTED_WARN", 3)
+    df = spark.createDataFrame([(1, "a b c")], "id int, text string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        for _ in range(3):
+            textstats.tfidf_top_terms(df, "id", "text", k=1)
+    assert any(issubclass(x.category, ResourceWarning) for x in w)
+    assert len(textstats._PERSISTED) == 3
+    textstats.release_caches()
+    assert not textstats._PERSISTED
+
+
+def test_lang_oracle_null_text_parity(spark):
+    """ADVICE r7: with NULL text every stopword hit count is NULL, so the
+    oracle's greatest() CASE must fall to 'und' (matching engine
+    lang_id), not through to the ELSE branch."""
+    import duckdb
+
+    from slurm2sql_spark import catalog
+    from slurm2sql_spark.operators.textstats import lang_id
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, CAST(NULL AS VARCHAR), 'web'), (2, 'the of and to', 'web')"
+        ") t(doc_id, text, source)"
+    )
+    prof = con.execute(catalog.QUERIES["text_profile"].oracle).df()
+    by_id = dict(zip(prof["doc_id"], prof["lang_pred"]))
+    assert by_id[1] == "und" and by_id[2] == "en"
+    mix = con.execute(catalog.QUERIES["source_lang_mix"].oracle).df()
+    assert set(zip(mix["source"], mix["lang_pred"])) == {
+        ("web", "und"),
+        ("web", "en"),
+    }
+    # engine side agrees on NULL
+    eng = (
+        spark.createDataFrame([(None,)], "text string")
+        .select(lang_id(F.col("text")).alias("lang"))
+        .first()["lang"]
+    )
+    assert eng == "und"
