@@ -2956,6 +2956,100 @@ def pivot_event_counts(spark, sf_dir):
     )
 
 
+# Boilerplate paragraphs injected into the synthesized paragraph corpus
+# (the shipped documents table has no newlines, so the entry derives a
+# deterministic multi-paragraph corpus the same way Group B derives
+# sacct strings from lineitem: word-chunks joined by blank lines, plus
+# known repeated header/footer paragraphs on modular doc_id subsets).
+_BOILER_HEAD = "subscribe to our newsletter for updates"
+_BOILER_FOOT = "all rights reserved copyright notice"
+
+
+def _paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
+    nch = F.greatest(F.ceil(F.size(w) / F.lit(4.0)).cast("int"), F.lit(1))
+    paras = F.transform(
+        F.sequence(F.lit(0), nch - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(w, i * F.lit(4) + F.lit(1), F.lit(4)), " "
+        ),
+    )
+    head = F.when(F.col("doc_id") % 5 == 0, F.lit(_BOILER_HEAD))
+    foot = F.when(F.col("doc_id") % 7 == 0, F.lit(_BOILER_FOOT))
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n", head, F.array_join(paras, "\n\n"), foot
+        ).alias("text"),
+    )
+
+
+@register(
+    "dedup_paragraph",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             concat_ws(chr(10)||chr(10),
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'subscribe to our newsletter for updates' END,
+               array_to_string(
+                 list_transform(
+                   range(0, greatest(CAST(ceil(len(w)/4.0) AS BIGINT), 1)),
+                   i -> array_to_string(w[(i*4+1):(i*4+4)], ' ')),
+                 chr(10)||chr(10)),
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'all rights reserved copyright notice' END) AS t2
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents)
+    ),
+    paras AS (
+      SELECT doc_id, md5(p_norm) AS h, length(p_norm) AS chars
+      FROM (
+        SELECT doc_id,
+               regexp_replace(lower(trim(p)), '\s+', ' ', 'g') AS p_norm
+        FROM base,
+             unnest(string_split_regex(t2, '\n[ \t]*\n[ \t\n]*')) AS u(p)
+      )
+      WHERE length(p_norm) > 0
+    ),
+    flags AS (
+      SELECT h FROM paras GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN f.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeated,
+           floor(sum(CASE WHEN f.h IS NOT NULL THEN p.chars ELSE 0 END)
+                 * 1.0 / sum(p.chars) * 1000000 + 0.001) / 1000000
+             AS repeated_char_share
+    FROM paras p LEFT JOIN flags f ON p.h = f.h
+    GROUP BY 1
+    """,
+    doc="Substring/paragraph-level dedup (L40, VERDICT r7 #3 — the "
+    "Lee-et-al boilerplate pass): blank-line paragraph split -> "
+    "normalize -> md5 -> flag hashes in >=2 DISTINCT docs -> per-doc "
+    "repeated-span share. Corpus synthesized deterministically from "
+    "documents (4-word chunk paragraphs + modular header/footer "
+    "boilerplate) identically in both engines; the operator under test "
+    "is dedup.paragraph_stats. Three 16-byte-key shuffles, flag side "
+    "filtered before the join-back, no broadcast of the unbounded "
+    "paragraph vocabulary.",
+)
+def dedup_paragraph(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import paragraph_stats
+
+    out = paragraph_stats(
+        _paragraph_docs(spark, sf_dir), "doc_id", "text", min_docs=2
+    )
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_repeated",
+        _q6(F.col("repeated_char_share")).alias("repeated_char_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2980,6 +3074,8 @@ def pivot_event_counts(spark, sf_dir):
 _GATE_WINDOW = 50
 
 _GATE_PRIORITY = [
+    # new this round:
+    "dedup_paragraph",
     # never driver-gated (registered r6/r7, always past row 50):
     "range_count_events",
     "decontaminate",

@@ -62,6 +62,8 @@ __all__ = [
     "connected_components",
     "decontaminate",
     "keep_best",
+    "paragraph_stats",
+    "repeated_paragraphs",
 ]
 
 #: frames persisted by operators in this module (see
@@ -851,4 +853,116 @@ def keep_best(
             score_col,
             "n_members",
         )
+    )
+
+
+#: Blank-line paragraph boundary under RE2 parity: one or more newlines
+#: separated only by horizontal whitespace. (Java \R / \v would add
+#: \x0b and U+2028/9 that RE2's explicit class does not match.)
+PARAGRAPH_SEP = r"\n[ \t]*\n[ \t\n]*"
+
+
+def paragraph_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = PARAGRAPH_SEP,
+) -> DataFrame:
+    """Per-document repeated-SPAN (boilerplate paragraph) profile — the
+    Lee-et-al-style substring-level dedup pass that whole-document
+    dedup (exact_dedup) and document-pair similarity (minhash/simhash/
+    winnow) cannot express: paragraphs repeated across *distinct*
+    documents (navigation chrome, license headers, newsletter footers)
+    inflate n-gram counts and leak across train/eval splits even when
+    every containing document is unique.
+
+    Shape: split each document on blank lines (``sep``), normalize each
+    paragraph (lowercase, collapse RE2 whitespace — ``normalize_text``),
+    hash to md5 so every corpus-wide shuffle moves 16-byte keys instead
+    of paragraph text, count DISTINCT containing documents per hash
+    (within-doc repetition alone is not boilerplate), flag hashes seen
+    in ``>= min_docs`` documents, and aggregate back per document.
+
+    Returns one row per input document:
+
+    - ``n_paras`` — non-empty paragraphs after normalization
+    - ``n_repeated`` — paragraph occurrences whose hash is corpus-flagged
+    - ``repeated_char_share`` — flagged chars / total paragraph chars
+      (the per-doc span share a curation pipeline thresholds on)
+
+    Scale posture (100 TB): three hash-partitioned shuffles on 16-byte
+    keys — the distinct-doc count (two-phase partial aggregate), the
+    postings<->flags equi-join (both sides already hash on para_hash;
+    the flagged side is filtered BEFORE the join so only boilerplate
+    hashes move), and the per-doc rollup (map-side combined). No
+    broadcast of the hash table (paragraph vocabulary is corpus-sized,
+    unboundable), no collect, no per-row Python — split/explode/md5 are
+    all whole-stage-codegen expressions. Per-key skew is bounded: a
+    paragraph in f docs contributes f rows to its posting (linear, not
+    the f^2 of pair-joins).
+    """
+    paras = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), sep)).alias("_p"),
+        )
+        .select("_id", normalize_text(F.col("_p")).alias("_pn"))
+        .filter(F.length("_pn") > 0)
+        .select(
+            "_id",
+            F.md5(F.col("_pn")).alias("para_hash"),
+            F.length("_pn").alias("_chars"),
+        )
+    )
+    flagged = (
+        paras.groupBy("para_hash")
+        .agg(F.count_distinct("_id").alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("para_hash")
+    )
+    joined = paras.join(flagged.withColumn("_rep", F.lit(1)), "para_hash", "left")
+    rep = F.col("_rep").isNotNull()
+    return joined.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(rep, 1).otherwise(0)).alias("n_repeated"),
+        (
+            F.sum(F.when(rep, F.col("_chars")).otherwise(F.lit(0)))
+            / F.sum("_chars")
+        ).alias("repeated_char_share"),
+    )
+
+
+def repeated_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = PARAGRAPH_SEP,
+) -> DataFrame:
+    """Corpus-level view of the same pass: one row per boilerplate
+    paragraph hash with its distinct-document reach, total occurrence
+    count, and the normalized text (``min`` over identical strings — a
+    free exemplar, every occurrence normalizes identically).
+
+    Same aggregation shuffle as ``paragraph_stats`` minus the join-back;
+    use it to build a removal/blocklist table once and broadcast THAT
+    (filtered, small) against future batches.
+    """
+    paras = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), sep)).alias("_p"),
+        )
+        .select("_id", normalize_text(F.col("_p")).alias("_pn"))
+        .filter(F.length("_pn") > 0)
+    )
+    return (
+        paras.groupBy(F.md5("_pn").alias("para_hash"))
+        .agg(
+            F.count_distinct("_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("_pn").alias("paragraph"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
     )

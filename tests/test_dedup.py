@@ -378,3 +378,80 @@ def test_shingles_re2_whitespace_parity(spark):
     # \x0b and U+00A0 stay INSIDE the first token
     assert "aa\x0bbb cc dd" in got[1] and "bb cc dd" not in got[1]
     assert "aa\u00a0bb cc dd" in got[2] and "bb cc dd" not in got[2]
+
+
+def test_paragraph_stats_flags_cross_doc_boilerplate(spark):
+    """Repeated-span semantics: a paragraph is boilerplate only when it
+    appears in >= min_docs DISTINCT documents — within-doc repetition
+    alone never flags; normalization (case/whitespace) unifies variants."""
+    from slurm2sql_spark.operators.dedup import paragraph_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Subscribe  now\n\nunique alpha text\n\nsubscribe now"),
+            (2, "SUBSCRIBE NOW\n \nunique beta text"),
+            (3, "totally distinct\n\n\nalso distinct"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in paragraph_stats(docs, "doc_id", "text", min_docs=2).collect()
+    }
+    # doc 1: 3 paras, 2 flagged ("subscribe now" x2 — in docs 1 and 2)
+    assert rows[1]["n_paras"] == 3 and rows[1]["n_repeated"] == 2
+    # doc 2: blank line with a stray space still separates; 1 of 2 flagged
+    assert rows[2]["n_paras"] == 2 and rows[2]["n_repeated"] == 1
+    # doc 3: \n\n\n is ONE boundary, nothing repeated
+    assert rows[3]["n_paras"] == 2 and rows[3]["n_repeated"] == 0
+    assert rows[3]["repeated_char_share"] == 0.0
+    share1 = rows[1]["repeated_char_share"]
+    assert abs(share1 - (2 * len("subscribe now")) /
+               (2 * len("subscribe now") + len("unique alpha text"))) < 1e-9
+
+
+def test_paragraph_stats_within_doc_repeats_not_boilerplate(spark):
+    from slurm2sql_spark.operators.dedup import paragraph_stats
+
+    docs = spark.createDataFrame(
+        [(1, "same para\n\nsame para\n\nsame para"), (2, "other")],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in paragraph_stats(docs, "doc_id", "text", min_docs=2).collect()
+    }
+    assert rows[1]["n_repeated"] == 0  # one distinct doc only
+
+
+def test_repeated_paragraphs_corpus_view(spark):
+    from slurm2sql_spark.operators.dedup import repeated_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "footer text\n\nbody one"),
+            (2, "footer  TEXT\n\nbody two"),
+            (3, "footer text\n\nfooter text"),
+        ],
+        "doc_id int, text string",
+    )
+    out = repeated_paragraphs(docs, "doc_id", "text", min_docs=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["paragraph"] == "footer text"
+    assert r["n_docs"] == 3 and r["n_occurrences"] == 4
+
+
+def test_paragraph_stats_plan_no_broadcast_of_hash_table(spark):
+    """Scale contract: the paragraph-hash vocabulary is unbounded, so
+    the flag join must be a shuffle join on the 16-byte hash key, never
+    a broadcast of either corpus-sized side (local tiny frames may AQE
+    to broadcast; assert the logical plan carries no broadcast HINT)."""
+    from slurm2sql_spark.operators.dedup import paragraph_stats
+
+    docs = spark.createDataFrame([(1, "a\n\nb")], "doc_id int, text string")
+    plan = (
+        paragraph_stats(docs, "doc_id", "text")
+        ._jdf.queryExecution().logical().toString()
+    )
+    assert "hint" not in plan.lower()

@@ -61,6 +61,9 @@ DUCK_QUERIES = [
     "decontaminate",
     "vocab_top_terms",
     "doc_tfidf_terms",
+    # r8: paragraph-level dedup — oracle is the same linear groupBy +
+    # hash-join shape as the engine (no all-pairs blowup)
+    "dedup_paragraph",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -90,6 +93,16 @@ X100_QUERIES = [
     "range_count_events",
     "dedup_exact",
     "text_profile",
+    # r8 (VERDICT #2): the two remaining dual-measured families still
+    # >2x at 10x with no 100x evidence — both linear oracles
+    "asof_join_events",
+    "sacct_user_rollup",
+]
+# r8 (VERDICT #4): prove subquadratic LSH growth at 100x. Spark-only —
+# the minhash DuckDB oracle is a deliberately all-pairs-quadratic
+# correctness check (50k docs -> 2.5e9 candidate pairs), not a baseline.
+X100_SPARK_ONLY = [
+    "dedup_minhash_lsh",
 ]
 DST100 = os.environ.get("SPARK_GRAFT_SCALE_DST100", "/tmp/spark_graft_x100")
 K100 = int(os.environ.get("SPARK_GRAFT_SCALE_K100", "100"))
@@ -333,9 +346,20 @@ def main() -> None:
     # into the existing SCALING.json rows.
     if "--x100" in sys.argv:
         build_x100_dir(spark)
-        time_spark(QUERIES, spark, X100_QUERIES, "/root/testdata/sf0.01", passes=1)
-        s100, s100_med = time_spark(QUERIES, spark, X100_QUERIES, DST100, passes=3)
-        d100, d100_med = time_duck(QUERIES, X100_QUERIES, DST100, passes=3)
+        x100_names = X100_QUERIES + X100_SPARK_ONLY
+        if "--only" in sys.argv:
+            only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+            unknown = only - set(x100_names)
+            if unknown:
+                raise SystemExit(
+                    f"--x100 --only: not in the x100 set: {sorted(unknown)}"
+                )
+            x100_names = [n for n in x100_names if n in only]
+        duck100_names = [n for n in X100_QUERIES if n in x100_names]
+        spark100_names = list(x100_names)
+        time_spark(QUERIES, spark, spark100_names, "/root/testdata/sf0.01", passes=1)
+        s100, s100_med = time_spark(QUERIES, spark, spark100_names, DST100, passes=3)
+        d100, d100_med = time_duck(QUERIES, duck100_names, DST100, passes=3)
         # guarded merge: a missing/renamed row or absent SCALING.json
         # must not throw away the (expensive) measurements just taken
         out = {"queries": {}}
@@ -344,15 +368,22 @@ def main() -> None:
                 out = json.load(fh)
         out.setdefault("queries", {})
         out["k100"] = K100
-        for n in X100_QUERIES:
-            out["queries"].setdefault(n, {}).update(
-                spark_100x=s100[n],
-                spark_100x_med=s100_med[n],
-                duck_100x=d100[n],
-                duck_100x_med=d100_med[n],
-                gap_100x=round(s100[n] / d100[n], 2),
-                gap_100x_med=round(s100_med[n] / d100_med[n], 2),
-            )
+        for n in spark100_names:
+            row = out["queries"].setdefault(n, {})
+            row.update(spark_100x=s100[n], spark_100x_med=s100_med[n])
+            if n in d100:
+                row.update(
+                    duck_100x=d100[n],
+                    duck_100x_med=d100_med[n],
+                    gap_100x=round(s100[n] / d100[n], 2),
+                    gap_100x_med=round(s100_med[n] / d100_med[n], 2),
+                )
+            if row.get("spark_10x"):
+                # per-decade growth from 10x->100x: subquadratic banding
+                # holds iff this stays near-linear (~<=3 per 10x data)
+                row["growth_10x_to_100x"] = round(
+                    s100[n] / row["spark_10x"], 2
+                )
         with open("SCALING.json", "w") as fh:
             json.dump(out, fh, indent=1)
         print(json.dumps(out))
