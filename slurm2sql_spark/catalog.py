@@ -398,9 +398,10 @@ def q10_returned_items(spark, sf_dir):
     """,
     doc="TPC-H q18 shape (large-volume orders): aggregate-then-join — "
     "the HAVING-filtered per-order quantity rollup joins back to "
-    "orders/customer (the filtered aggregate is tiny, so both "
-    "downstream joins broadcast it), top-20 via TakeOrdered with an "
-    "orderkey tie-break.",
+    "orders/customer (the filtered aggregate is tiny, so AQE broadcasts "
+    "it from its measured post-agg size — no forced hint on the "
+    "unbounded frame), top-20 via TakeOrdered with an orderkey "
+    "tie-break.",
 )
 def q18_large_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -411,8 +412,13 @@ def q18_large_orders(spark, sf_dir):
         .agg(F.sum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 250)
     )
+    # No broadcast hint on `big` (VERDICT r7 #5): a HAVING-filtered
+    # aggregate over an unbounded fact table has no size guarantee at
+    # 100 TB — let AQE pick broadcast from the measured post-agg size
+    # (it does at every test SF; test_plans pins that), and degrade to
+    # a shuffle join instead of an OOM when the filter stops binding.
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
         .orderBy(F.col("total_qty").desc(), "o_orderkey")

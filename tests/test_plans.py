@@ -165,3 +165,16 @@ def test_templated_transform_plan_matches_column_path(spark, catalog):
     direct = _plan(spark, T._transform_columns_path(filled, 1, False))
     for marker in ("Exchange", "Python", "Scan parquet"):
         assert fast.count(marker) == direct.count(marker), marker
+
+
+def test_q18_aqe_broadcasts_unhinted_aggregate(spark, catalog):
+    """VERDICT r7 #5: q18's HAVING-filtered aggregate carries NO forced
+    broadcast hint (no size guarantee on an unbounded fact table at
+    100 TB) — AQE must still pick a broadcast join from the measured
+    post-aggregation size at test scale."""
+    df = catalog.QUERIES["q18_large_orders"].spark(spark, SF_DIR)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "hint" not in logical.lower()  # de-hinted
+    df.write.mode("overwrite").format("noop").save()  # let AQE finalize
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final
