@@ -3032,7 +3032,7 @@ def _paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM paras p LEFT JOIN flags f ON p.h = f.h
     GROUP BY 1
     """,
-    doc="Substring/paragraph-level dedup (L40, VERDICT r7 #3 — the "
+    doc="Substring/paragraph-level dedup (L39, VERDICT r7 #3 — the "
     "Lee-et-al boilerplate pass): blank-line paragraph split -> "
     "normalize -> md5 -> flag hashes in >=2 DISTINCT docs -> per-doc "
     "repeated-span share. Corpus synthesized deterministically from "
@@ -3053,6 +3053,86 @@ def dedup_paragraph(spark, sf_dir):
         "n_paras",
         "n_repeated",
         _q6(F.col("repeated_char_share")).alias("repeated_char_share"),
+    )
+
+
+@register(
+    "doc_repetition",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             concat_ws(chr(10)||chr(10),
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'subscribe to our newsletter for updates' END,
+               array_to_string(
+                 list_transform(
+                   range(0, greatest(CAST(ceil(len(w)/4.0) AS BIGINT), 1)),
+                   i -> array_to_string(w[(i*4+1):(i*4+4)], ' ')),
+                 chr(10)||chr(10)),
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'all rights reserved copyright notice' END) AS t2
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents)
+    ),
+    paras AS (
+      SELECT doc_id, md5(p_norm) AS h, length(p_norm) AS chars
+      FROM (
+        SELECT doc_id,
+               regexp_replace(lower(trim(p)), '\s+', ' ', 'g') AS p_norm
+        FROM base,
+             unnest(string_split_regex(t2, '\n[ \t]*\n[ \t\n]*')) AS u(p)
+      )
+      WHERE length(p_norm) > 0
+    ),
+    pg AS (
+      SELECT doc_id, h, count(*) AS cnt, min(chars) AS chars
+      FROM paras GROUP BY 1, 2
+    ),
+    pa AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_paras,
+             floor((sum(cnt) - count(*)) * 1.0 / sum(cnt) * 1000000
+                   + 0.001) / 1000000 AS dup_para_frac,
+             floor(sum((cnt - 1) * chars) * 1.0 / sum(cnt * chars) * 1000000
+                   + 0.001) / 1000000 AS dup_para_char_share
+      FROM pg GROUP BY 1
+    ),
+    wg AS (
+      SELECT doc_id, w, count(*) AS wc
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(t2)), '\s+')) AS w
+            FROM base)
+      WHERE w <> '' GROUP BY 1, 2
+    ),
+    wa AS (
+      SELECT doc_id,
+             floor(max(wc) * 1.0 / sum(wc) * 1000000 + 0.001) / 1000000
+               AS top_word_share
+      FROM wg GROUP BY 1
+    )
+    SELECT p.doc_id, p.n_paras, p.dup_para_frac, p.dup_para_char_share,
+           w.top_word_share
+    FROM pa p JOIN wa w ON p.doc_id = w.doc_id
+    """,
+    doc="WITHIN-document repetition metrics (L40 — the Gopher curation "
+    "rules, Rae et al. 2021): duplicate-paragraph fraction and char "
+    "share plus top-word share, the shares training pipelines "
+    "threshold on to drop degenerate/machine-generated text. "
+    "Complements L39's cross-document boilerplate pass. Same "
+    "synthesized multi-paragraph corpus as dedup_paragraph; operator "
+    "under test is textstats.doc_repetition (two explode->groupBy "
+    "passes on 16-byte/word keys, one doc-keyed join, all JVM-side).",
+)
+def doc_repetition_q(spark, sf_dir):
+    from slurm2sql_spark.operators.textstats import doc_repetition
+
+    out = doc_repetition(_paragraph_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_paras",
+        _q6(F.col("dup_para_frac")).alias("dup_para_frac"),
+        _q6(F.col("dup_para_char_share")).alias("dup_para_char_share"),
+        _q6(F.col("top_word_share")).alias("top_word_share"),
     )
 
 
@@ -3082,6 +3162,7 @@ _GATE_WINDOW = 50
 _GATE_PRIORITY = [
     # new this round:
     "dedup_paragraph",
+    "doc_repetition",
     # never driver-gated (registered r6/r7, always past row 50):
     "range_count_events",
     "decontaminate",
@@ -3115,6 +3196,7 @@ _GATE_TAIL = [
     "sessionize",
     "latest_event_per_user",
     "conditional_first",
+    "windowed_event_counts",
 ]
 
 

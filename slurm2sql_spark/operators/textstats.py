@@ -26,6 +26,7 @@ __all__ = [
     "scrub_pii",
     "pii_counts",
     "chunk_spans",
+    "doc_repetition",
     "PII_PATTERNS",
 ]
 
@@ -493,4 +494,86 @@ def chunk_spans(
                 F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, window),
             ).alias("chunk_text"),
         )
+    )
+
+
+def doc_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str | None = None,
+) -> DataFrame:
+    """WITHIN-document repetition metrics — the Gopher-rule family
+    (Rae et al. 2021, "repetitious documents are low quality"):
+    machine-generated or scraped-chrome text repeats its own
+    paragraphs and words, and curation pipelines threshold on exactly
+    these shares. Complements the CROSS-document boilerplate pass
+    (``dedup.paragraph_stats``): a paragraph repeated 50 times inside
+    one doc never flags there (one distinct doc) but dominates here.
+
+    Per input document:
+
+    - ``n_paras`` — non-empty normalized paragraphs (split on ``sep``,
+      default blank lines)
+    - ``dup_para_frac`` — occurrences beyond each distinct paragraph's
+      first, over all occurrences (0 = all distinct)
+    - ``dup_para_char_share`` — same numerator in characters, over all
+      paragraph characters (long repeated paragraphs weigh more)
+    - ``top_word_share`` — most frequent (lowercased) word's count over
+      all words — the degenerate-repetition tail (``aaa aaa aaa ...``)
+
+    Scale shape: two explode → map-side-combined groupBy passes (one at
+    (doc, paragraph-hash) grain, one at (doc, word) grain) each rolled
+    up to doc grain, then one doc-keyed join of two n_docs-sized
+    frames. All expressions JVM-side; paragraph grouping keys are md5
+    hashes so the wide shuffle moves 16-byte keys; per-key skew bounded
+    by the longest single document.
+    """
+    from slurm2sql_spark.operators.dedup import PARAGRAPH_SEP, normalize_text
+
+    sep = PARAGRAPH_SEP if sep is None else sep
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+
+    paras = (
+        base.select(
+            "_id", F.explode(F.split(F.col("_t"), sep)).alias("_p")
+        )
+        .select("_id", normalize_text(F.col("_p")).alias("_pn"))
+        .filter(F.length("_pn") > 0)
+        .groupBy("_id", F.md5("_pn").alias("_h"))
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.first(F.length("_pn")).alias("_chars"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.sum("_cnt").alias("n_paras"),
+            (
+                (F.sum("_cnt") - F.count(F.lit(1))) / F.sum("_cnt")
+            ).alias("dup_para_frac"),
+            (
+                F.sum((F.col("_cnt") - 1) * F.col("_chars"))
+                / F.sum(F.col("_cnt") * F.col("_chars"))
+            ).alias("dup_para_char_share"),
+        )
+    )
+    words = (
+        base.select(
+            "_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("_t"))), WS_RE2)
+            ).alias("_w"),
+        )
+        .filter(F.col("_w") != "")
+        .groupBy("_id", "_w")
+        .agg(F.count(F.lit(1)).alias("_wc"))
+        .groupBy("_id")
+        .agg((F.max("_wc") / F.sum("_wc")).alias("top_word_share"))
+    )
+    return paras.join(words, "_id").select(
+        F.col("_id").alias(id_col),
+        "n_paras",
+        "dup_para_frac",
+        "dup_para_char_share",
+        "top_word_share",
     )

@@ -353,3 +353,31 @@ def test_lang_oracle_null_text_parity(spark):
         .first()["lang"]
     )
     assert eng == "und"
+
+
+def test_doc_repetition_metrics(spark):
+    """Within-doc repetition semantics: dup fractions count occurrences
+    beyond each distinct paragraph's first; char share weighs by
+    paragraph length; top_word_share is the max-word frequency."""
+    from slurm2sql_spark.operators.textstats import doc_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # 3 paras: "aa bb" x2 (5 chars each) + "cc" (2 chars)
+            (1, "aa bb\n\nAA  BB\n\ncc"),
+            # all distinct
+            (2, "xx\n\nyy"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            doc_repetition(docs, "doc_id", "text").collect()}
+    r1 = rows[1]
+    assert r1["n_paras"] == 3
+    assert abs(r1["dup_para_frac"] - 1 / 3) < 1e-9
+    assert abs(r1["dup_para_char_share"] - 5 / 12) < 1e-9
+    # words: aa x2, bb x2, cc x1 -> top 2/5
+    assert abs(r1["top_word_share"] - 2 / 5) < 1e-9
+    r2 = rows[2]
+    assert r2["dup_para_frac"] == 0.0 and r2["dup_para_char_share"] == 0.0
+    assert abs(r2["top_word_share"] - 0.5) < 1e-9

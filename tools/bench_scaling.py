@@ -94,10 +94,19 @@ X100_QUERIES = [
     "dedup_exact",
     "text_profile",
     # r8 (VERDICT #2): the two remaining dual-measured families still
-    # >2x at 10x with no 100x evidence — both linear oracles
+    # >2x at 10x with no 100x evidence — both linear oracles.
+    # sacct_eff runs BEFORE sacct_user_rollup so the rollup's 100x row
+    # is measured memo-warm, the same regime as its 1x/10x sweep rows
+    # (memo-cold the rollup pays the whole synthesize+parse pipeline —
+    # measured 51 s at 100x, which is sacct_eff's cost, not the
+    # rollup's). sacct_eff itself is Spark-only at 100x: its oracle
+    # SELECTs every per-job row and fetchall() of ~15M tuples measures
+    # the Python client, not the engine.
     "asof_join_events",
+    "sacct_eff",
     "sacct_user_rollup",
 ]
+X100_DUCK_SKIP = {"sacct_eff"}
 # r8 (VERDICT #4): prove subquadratic LSH growth at 100x. Spark-only —
 # the minhash DuckDB oracle is a deliberately all-pairs-quadratic
 # correctness check (50k docs -> 2.5e9 candidate pairs), not a baseline.
@@ -286,6 +295,49 @@ def _build_x100_docs(spark) -> None:
         fh.write("ok\n")
 
 
+DST100_LSH = os.environ.get(
+    "SPARK_GRAFT_SCALE_DST100_LSH", "/tmp/spark_graft_x100_lshdocs"
+)
+
+
+def build_x100_lsh_docs(spark) -> None:
+    """documents at 100x with CONSTANT duplicate density: 100 DISTINCT
+    seeded alphabet permutations (injective char maps, replica 0 =
+    identity), one per replica — vs the main x100 docs build, whose 100
+    replicas cycle only 10 rotations and therefore plant 10 exact
+    copies of every document (cross-replica LSH buckets grow 10x, true
+    pair output grows ~quadratically in replicas-per-rotation). This
+    corpus isolates INPUT scaling for the banded/LSH family: intra-
+    replica near-dup structure preserved, essentially zero cross-replica
+    shingle equality — the same property the x10 corpus has with its 10
+    distinct rotations, extended to 100 replicas."""
+    import numpy as np
+    from pyspark.sql import DataFrame, functions as F
+
+    marker = os.path.join(DST100_LSH, "_BUILT")
+    if os.path.exists(marker) and "--rebuild" not in sys.argv:
+        return
+    os.makedirs(DST100_LSH, exist_ok=True)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    dshift = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = []
+    for i in range(K100):
+        if i == 0:
+            perm = ALPHA
+        else:
+            rng = np.random.default_rng(1000 + i)
+            perm = "".join(rng.permutation(list(ALPHA)))
+        reps.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * dshift))
+            .withColumn("text", F.translate("text", ALPHA, perm))
+        )
+    functools.reduce(DataFrame.unionByName, reps).repartition(
+        32
+    ).write.mode("overwrite").parquet(f"{DST100_LSH}/documents.parquet")
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+
+
 def _fold(samples: dict[str, list[float]]):
     """(min, median) per query — same policy as bench.py: min is the
     steady-state headline, median exposes page-cache variance."""
@@ -344,6 +396,40 @@ def main() -> None:
     # --x100: measure only the floor-bound micro-queries (+control) on
     # the 100x corpus and merge spark_100x/duck_100x/gap_100x fields
     # into the existing SCALING.json rows.
+    # --x100-lsh: input-scaling proof for the banded LSH family on the
+    # constant-dup-density 100x docs corpus, plus output-pair counts on
+    # every corpus so the rotation-corpus growth number can be
+    # normalized by true result cardinality.
+    if "--x100-lsh" in sys.argv:
+        name = "dedup_minhash_lsh"
+        build_x100_lsh_docs(spark)
+        time_spark(QUERIES, spark, [name], "/root/testdata/sf0.01", passes=1)
+        s_iso, s_iso_med = time_spark(QUERIES, spark, [name], DST100_LSH, passes=3)
+        pairs = {}
+        for label, d in (("pairs_10x", DST), ("pairs_100x", DST100),
+                         ("pairs_100x_iso", DST100_LSH)):
+            pairs[label] = QUERIES[name].spark(spark, d).count()
+            from slurm2sql_spark import catalog as _cat
+            _cat.drop_caches()
+        out = {"queries": {}}
+        if os.path.exists("SCALING.json"):
+            with open("SCALING.json") as fh:
+                out = json.load(fh)
+        row = out.setdefault("queries", {}).setdefault(name, {})
+        row.update(
+            spark_100x_iso=s_iso[name],
+            spark_100x_iso_med=s_iso_med[name],
+            **pairs,
+        )
+        if row.get("spark_10x"):
+            row["growth_10x_to_100x_iso"] = round(
+                s_iso[name] / row["spark_10x"], 2
+            )
+        with open("SCALING.json", "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(json.dumps(row))
+        return
+
     if "--x100" in sys.argv:
         build_x100_dir(spark)
         x100_names = X100_QUERIES + X100_SPARK_ONLY
@@ -355,7 +441,10 @@ def main() -> None:
                     f"--x100 --only: not in the x100 set: {sorted(unknown)}"
                 )
             x100_names = [n for n in x100_names if n in only]
-        duck100_names = [n for n in X100_QUERIES if n in x100_names]
+        duck100_names = [
+            n for n in X100_QUERIES
+            if n in x100_names and n not in X100_DUCK_SKIP
+        ]
         spark100_names = list(x100_names)
         time_spark(QUERIES, spark, spark100_names, "/root/testdata/sf0.01", passes=1)
         s100, s100_med = time_spark(QUERIES, spark, spark100_names, DST100, passes=3)
