@@ -28,6 +28,14 @@ interval spans the whole domain.
 Semantics: inclusive on both ends, NULL-safe (NULL point/bounds never
 match), inner join (probe rows with no interval drop out; wrap with a
 left join on the probe key to keep them).
+
+Scale path: feed PRE-BUCKETED inputs (``sinks.parquet_sink.
+write_bucketed`` on the ``by`` key) and the bin equi-join plans with
+ZERO exchanges — the session default
+``spark.sql.requireAllClusterKeysForCoPartition=false`` lets the
+(by, bin) join reuse hash(by) co-partitioning (measured 1.9x at the
+100x corpus, tools/profile_rangejoin.py; plan pinned by
+test_skew_bucketing.py::test_bucketed_range_join_zero_exchange).
 """
 
 from __future__ import annotations

