@@ -2972,23 +2972,31 @@ _BOILER_FOOT = "all rights reserved copyright notice"
 
 
 def _paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    w = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
-    nch = F.greatest(F.ceil(F.size(w) / F.lit(4.0)).cast("int"), F.lit(1))
-    paras = F.transform(
-        F.sequence(F.lit(0), nch - F.lit(1)),
-        lambda i: F.array_join(
-            F.slice(w, i * F.lit(4) + F.lit(1), F.lit(4)), " "
-        ),
-    )
-    head = F.when(F.col("doc_id") % 5 == 0, F.lit(_BOILER_HEAD))
-    foot = F.when(F.col("doc_id") % 7 == 0, F.lit(_BOILER_FOOT))
-    return d.select(
-        "doc_id",
-        F.concat_ws(
-            "\n\n", head, F.array_join(paras, "\n\n"), foot
-        ).alias("text"),
-    )
+    # Memoized (same registry as the eff frame): the chunk synthesis is
+    # an interpreted HOF (transform/sequence/slice — build-only code, so
+    # the expression form is fine) consumed by two entries
+    # (dedup_paragraph, doc_repetition) and by doc_repetition's two
+    # aggregation branches; unpersisted, every consumer would re-run it.
+    def build() -> DataFrame:
+        d = _t(spark, sf_dir, "documents")
+        w = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
+        nch = F.greatest(F.ceil(F.size(w) / F.lit(4.0)).cast("int"), F.lit(1))
+        paras = F.transform(
+            F.sequence(F.lit(0), nch - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(w, i * F.lit(4) + F.lit(1), F.lit(4)), " "
+            ),
+        )
+        head = F.when(F.col("doc_id") % 5 == 0, F.lit(_BOILER_HEAD))
+        foot = F.when(F.col("doc_id") % 7 == 0, F.lit(_BOILER_FOOT))
+        return d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n\n", head, F.array_join(paras, "\n\n"), foot
+            ).alias("text"),
+        )
+
+    return _memo(spark, sf_dir, "paragraph_docs", build)
 
 
 @register(

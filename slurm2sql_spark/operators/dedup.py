@@ -891,44 +891,47 @@ def paragraph_stats(
     - ``repeated_char_share`` — flagged chars / total paragraph chars
       (the per-doc span share a curation pipeline thresholds on)
 
-    Scale posture (100 TB): three hash-partitioned shuffles on 16-byte
-    keys — the distinct-doc count (two-phase partial aggregate), the
-    postings<->flags equi-join (both sides already hash on para_hash;
-    the flagged side is filtered BEFORE the join so only boilerplate
-    hashes move), and the per-doc rollup (map-side combined). No
-    broadcast of the hash table (paragraph vocabulary is corpus-sized,
-    unboundable), no collect, no per-row Python — split/explode/md5 are
-    all whole-stage-codegen expressions. Per-key skew is bounded: a
-    paragraph in f docs contributes f rows to its posting (linear, not
-    the f^2 of pair-joins).
+    Scale posture (100 TB): ONE pass over the corpus and three
+    hash-partitioned shuffles on 16-byte keys, no join — (1) collapse
+    occurrences to (para_hash, doc) grain with per-grain occurrence and
+    char sums (map-side combined), (2) one window count over para_hash
+    partitions of that ALREADY-COLLAPSED frame gives the distinct-doc
+    reach (partition length = a hash's doc count — linear in doc
+    frequency, never the f^2 of pair-joins, and no per-row state like a
+    collect_set would hold), (3) per-doc rollup. A join formulation was
+    measured and rejected: Spark shares no subplans across join sides,
+    so the flag side re-ran the whole split/normalize/md5 scan — the
+    window reads the collapsed frame once. No broadcast of the hash
+    table (paragraph vocabulary is corpus-sized, unboundable), no
+    collect, no per-row Python — split/explode/md5 are all
+    whole-stage-codegen expressions.
     """
-    paras = (
+    from pyspark.sql import Window
+
+    grains = (
         df.select(
             F.col(id_col).alias("_id"),
             F.explode(F.split(F.col(text_col), sep)).alias("_p"),
         )
         .select("_id", normalize_text(F.col("_p")).alias("_pn"))
         .filter(F.length("_pn") > 0)
-        .select(
-            "_id",
-            F.md5(F.col("_pn")).alias("para_hash"),
-            F.length("_pn").alias("_chars"),
+        .groupBy("_id", F.md5(F.col("_pn")).alias("para_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("_occ"),
+            F.first(F.length("_pn")).alias("_len"),
         )
     )
-    flagged = (
-        paras.groupBy("para_hash")
-        .agg(F.count_distinct("_id").alias("_ndocs"))
-        .filter(F.col("_ndocs") >= min_docs)
-        .select("para_hash")
+    w = Window.partitionBy("para_hash")
+    flagged = grains.withColumn(
+        "_rep", F.count(F.lit(1)).over(w) >= F.lit(min_docs)
     )
-    joined = paras.join(flagged.withColumn("_rep", F.lit(1)), "para_hash", "left")
-    rep = F.col("_rep").isNotNull()
-    return joined.groupBy(F.col("_id").alias(id_col)).agg(
-        F.count(F.lit(1)).alias("n_paras"),
-        F.sum(F.when(rep, 1).otherwise(0)).alias("n_repeated"),
+    rep = F.col("_rep")
+    return flagged.groupBy(F.col("_id").alias(id_col)).agg(
+        F.sum("_occ").alias("n_paras"),
+        F.sum(F.when(rep, F.col("_occ")).otherwise(0)).alias("n_repeated"),
         (
-            F.sum(F.when(rep, F.col("_chars")).otherwise(F.lit(0)))
-            / F.sum("_chars")
+            F.sum(F.when(rep, F.col("_occ") * F.col("_len")).otherwise(F.lit(0)))
+            / F.sum(F.col("_occ") * F.col("_len"))
         ).alias("repeated_char_share"),
     )
 

@@ -61,9 +61,11 @@ DUCK_QUERIES = [
     "decontaminate",
     "vocab_top_terms",
     "doc_tfidf_terms",
-    # r8: paragraph-level dedup — oracle is the same linear groupBy +
-    # hash-join shape as the engine (no all-pairs blowup)
+    # r8: paragraph-level dedup + within-doc repetition — both oracles
+    # are the same linear explode+groupBy shape as the engine (no
+    # all-pairs blowup)
     "dedup_paragraph",
+    "doc_repetition",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
