@@ -33,6 +33,7 @@ __all__ = [
     "streaming_dedup",
     "job_state_transitions",
     "decontaminate_stream",
+    "boilerplate_stream",
 ]
 
 
@@ -262,4 +263,62 @@ def decontaminate_stream(
     )
     return posts.join(b_sh, "shingle").groupBy("id").agg(
         F.count(F.lit(1)).alias("n_hits")
+    )
+
+
+def boilerplate_stream(
+    doc_stream: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_col: str = "para_hash",
+) -> DataFrame:
+    """Stream-static boilerplate flagging: count the paragraphs of each
+    streaming document that hit a STATIC blocklist — the
+    continuous-ingest twin of the L39 batch pass
+    (``dedup.paragraph_stats``), for pipelines that score documents for
+    repeated-span share as they land.
+
+    ``blocklist`` is the corpus-built boilerplate table
+    (``dedup.repeated_paragraphs`` output, or anything with a
+    ``hash_col`` of md5'd normalized paragraphs). It reduces to its
+    hash column once and rides into every micro-batch as a BROADCAST
+    (stream-static equi-join; the static side is re-resolved per
+    trigger, so a nightly blocklist rebuild is picked up on the next
+    batch). The stream side splits/normalizes/hashes with the exact
+    batch-operator expressions (same blank-line ``PARAGRAPH_SEP``, same
+    ``normalize_text``), so a document scores identically in the sweep
+    and on the stream.
+
+    Output is a streaming aggregation per document id:
+    ``n_paras`` (non-empty), ``n_boiler`` (blocklist hits), and
+    ``boiler_chars`` — run in ``update``/``complete`` mode or put a
+    watermark upstream for append sinks. Broadcast posture matches the
+    batch design rule: the FILTERED blocklist is the small side (it was
+    thresholded by min_docs at build time), never the unbounded
+    paragraph vocabulary.
+    """
+    from slurm2sql_spark.operators.dedup import PARAGRAPH_SEP, normalize_text
+
+    b = F.broadcast(blocklist.select(F.col(hash_col).alias("_bh")).distinct())
+    paras = (
+        doc_stream.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), PARAGRAPH_SEP)).alias("_p"),
+        )
+        .select("id", normalize_text(F.col("_p")).alias("_pn"))
+        .filter(F.length("_pn") > 0)
+        .select("id", F.md5("_pn").alias("_h"), F.length("_pn").alias("_c"))
+    )
+    hit = F.col("_bh").isNotNull()
+    return (
+        paras.join(b, paras._h == F.col("_bh"), "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_boiler"),
+            F.sum(F.when(hit, F.col("_c")).otherwise(F.lit(0))).alias(
+                "boiler_chars"
+            ),
+        )
     )

@@ -313,3 +313,50 @@ def test_decontaminate_stream_flags_as_docs_land(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["id"]: r["n_hits"] for r in spark.sql("SELECT * FROM decontam").collect()}
     assert rows == {10: 2}
+
+
+def test_boilerplate_stream_flags_against_static_blocklist(spark, tmp_path):
+    """Stream-static boilerplate flagging: the blocklist built by the
+    batch repeated_paragraphs pass flags streaming docs' paragraphs;
+    per-doc counts and char sums match the batch normalization."""
+    from slurm2sql_spark.operators.dedup import repeated_paragraphs
+    from slurm2sql_spark.streaming.stream import boilerplate_stream
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "subscribe now\n\nunique alpha"),
+            (2, "SUBSCRIBE  NOW\n\nunique beta"),
+        ],
+        "doc_id int, text string",
+    )
+    blocklist = repeated_paragraphs(corpus, "doc_id", "text", min_docs=2)
+
+    # parquet drops (not CSV): the docs carry embedded blank-line
+    # paragraph breaks, which non-multiLine CSV would split into records
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        [
+            (10, "fresh content here\n\nSubscribe  Now\n\nmore fresh content"),
+            (11, "no boilerplate at all"),
+        ],
+        "doc_id int, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d))
+    stream = spark.readStream.schema(
+        "doc_id int, text string"
+    ).parquet(str(d))
+
+    out = boilerplate_stream(stream, blocklist, "doc_id", "text")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("boiler")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["id"]: (r["n_paras"], r["n_boiler"], r["boiler_chars"])
+        for r in spark.sql("SELECT * FROM boiler").collect()
+    }
+    assert rows[10] == (3, 1, len("subscribe now"))
+    assert rows[11] == (1, 0, 0)
