@@ -1967,6 +1967,97 @@ def text_profile_q(spark, sf_dir):
 
 
 @register(
+    "quality_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             coalesce(text, '') AS tx,
+             string_split_regex(trim(coalesce(text, '')), '[ 	
+]+') AS w,
+             string_split(coalesce(text, ''), chr(10)) AS ln
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(w) AS n_words,
+        CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+          / len(w) AS mean_wl,
+        (length(tx) - length(replace(tx, '#', ''))
+           + len(regexp_extract_all(tx, '\.\.\.')))
+          / CAST(len(w) AS DOUBLE) AS sym,
+        len(list_filter(ln, x -> regexp_matches(x, '^[ 	]*[-*•]')))
+          / CAST(len(ln) AS DOUBLE) AS bullet,
+        len(list_filter(ln, x -> regexp_matches(x, '\.\.\.[ 	]*$')))
+          / CAST(len(ln) AS DOUBLE) AS ell,
+        len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+          / CAST(len(w) AS DOUBLE) AS alpha,
+        len(list_intersect(
+              list_distinct(string_split_regex(trim(lower(tx)),
+                                               '[ 	
+]+')),
+              ['the','be','to','of','and','that','have','with']))
+          AS stop_hits
+      FROM t
+    ), r AS (
+      SELECT *, list_filter([
+          CASE WHEN n_words < 30 OR n_words > 100000 THEN 'n_words' END,
+          CASE WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 'word_len' END,
+          CASE WHEN sym > 0.1 THEN 'symbol' END,
+          CASE WHEN bullet > 0.9 THEN 'bullet' END,
+          CASE WHEN ell > 0.3 THEN 'ellipsis' END,
+          CASE WHEN alpha < 0.8 THEN 'alpha' END,
+          CASE WHEN stop_hits < 1 THEN 'stopword' END
+        ], x -> x IS NOT NULL) AS reasons
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           floor(mean_wl * 1000000 + 0.001) / 1000000 AS mean_word_len,
+           floor(sym * 1000000 + 0.001) / 1000000 AS symbol_ratio,
+           floor(bullet * 1000000 + 0.001) / 1000000 AS bullet_frac,
+           floor(ell * 1000000 + 0.001) / 1000000 AS ellipsis_frac,
+           floor(alpha * 1000000 + 0.001) / 1000000 AS alpha_frac,
+           CAST(stop_hits AS INT) AS stop_hits,
+           len(reasons) = 0 AS keep,
+           -- array_to_string([]) is NULL in DuckDB; Spark concat_ws('')
+           coalesce(array_to_string(reasons, ','), '') AS fail_reasons
+    FROM r
+    """,
+    doc="Gopher-rule quality filter (Rae et al. 2021 A1.1): per-doc "
+    "curation signals + keep/drop decision + failed-rule names, all "
+    "integer counts and exact IEEE division folded into one scan "
+    "projection (no libm, so the decision is bit-identical across "
+    "engines; output ratios quantized for hash compare only). The "
+    "entry corpus-tunes min_words=30 / min_stop_hits=1 (synthetic "
+    "word-salad docs run 10-99 words and rarely hit Gopher's 8-word "
+    "stop list twice) so the keep decision actually splits the corpus "
+    "(~334 keep / ~166 drop at sf0.01); the operator's defaults stay "
+    "the published thresholds.",
+)
+def quality_filter_q(spark, sf_dir):
+    from slurm2sql_spark.operators.textstats import quality_filter
+
+    qf = quality_filter(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        min_words=30,
+        min_stop_hits=1,
+    )
+    return qf.select(
+        "doc_id",
+        "n_words",
+        _q6("mean_word_len").alias("mean_word_len"),
+        _q6("symbol_ratio").alias("symbol_ratio"),
+        _q6("bullet_frac").alias("bullet_frac"),
+        _q6("ellipsis_frac").alias("ellipsis_frac"),
+        _q6("alpha_frac").alias("alpha_frac"),
+        "stop_hits",
+        "keep",
+        "fail_reasons",
+    )
+
+
+@register(
     "multimodal_pipeline",
     """
     SELECT doc_id AS media_id,
@@ -3169,6 +3260,7 @@ _GATE_WINDOW = 50
 
 _GATE_PRIORITY = [
     # new this round:
+    "quality_filter",
     "dedup_paragraph",
     "doc_repetition",
     # never driver-gated (registered r6/r7, always past row 50):
@@ -3195,6 +3287,9 @@ _GATE_TAIL = [
     "jobid_roundtrip",
     "tres_roundtrip",
     # single-operator micros green r3-r7 with no code churn since:
+    # (q5: classic join-agg green r1-r7 with no churn; rotated r8 to
+    # make room for quality_filter inside the 50-row window)
+    "q5_nation_revenue",
     "group_concat",
     "rollup_counts",
     "cube_counts",

@@ -23,6 +23,9 @@ __all__ = [
     "doc_frequency_topk",
     "tfidf_top_terms",
     "text_profile",
+    "quality_filter",
+    "GOPHER_STOPWORDS",
+    "QUALITY_DEFAULTS",
     "scrub_pii",
     "pii_counts",
     "chunk_spans",
@@ -576,4 +579,127 @@ def doc_repetition(
         "dup_para_frac",
         "dup_para_char_share",
         "top_word_share",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality filtering (Gopher rules -> keep/drop decision)
+# ---------------------------------------------------------------------------
+
+#: Gopher's "must contain >= 2 of these common English words" list
+#: (Rae et al. 2021, appendix A1.1 — the stop-word presence rule).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: (rule name, default threshold) — the Gopher curation thresholds.
+#: Order is the published rule order and is the order rule names appear
+#: in ``fail_reasons``, so the output is deterministic.
+QUALITY_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_frac": 0.9,
+    "max_ellipsis_frac": 0.3,
+    "min_alpha_frac": 0.8,
+    "min_stop_hits": 2,
+}
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **thresholds: float,
+) -> DataFrame:
+    """Gopher-style document quality filter (Rae et al. 2021, A1.1):
+    per-document curation signals, the keep/drop decision, and the
+    names of the rules a dropped document failed.
+
+    Signals (one scan-stage projection, zero shuffles, no UDF):
+
+    - ``n_words`` / ``mean_word_len`` — whitespace words and their mean
+      character length (rules: 50..100k words, mean length 3..10);
+    - ``symbol_ratio`` — ``#`` and ``...`` occurrences per word (<=0.1);
+    - ``bullet_frac`` / ``ellipsis_frac`` — share of lines starting
+      with a bullet (<=90%) / ending with an ellipsis (<=30%);
+    - ``alpha_frac`` — share of words containing at least one
+      alphabetic character (>=80%);
+    - ``stop_hits`` — distinct hits on the 8-word Gopher stop list
+      (>=2).
+
+    All arithmetic is integer counts and exact IEEE division — no libm,
+    so the keep decision is bit-identical across engines and the DuckDB
+    oracle can replicate it without quantization (output ratios are
+    still quantized by the catalog entry for hash compare). NULL text
+    is treated as empty (fails the word-count rule) rather than
+    propagating NULL into the decision.
+
+    Every comparison is a plain Column expression, so Catalyst folds
+    the whole rule set into the scan projection: at 100 TB this is a
+    single pass over the text column with predicate-free parallelism —
+    the decision column can then drive partition-pruned writes of the
+    kept corpus.
+    """
+    p = {**QUALITY_DEFAULTS, **thresholds}
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.split(F.trim(text), WS_RE2)
+    n_words = F.size(t)
+    word_chars = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = word_chars / n_words.cast("double")
+    n_symbols = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+        + F.regexp_count(text, F.lit(r"\.\.\."))
+    )
+    symbol_ratio = n_symbols / n_words.cast("double")
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"^[ \t]*[-*•]")))
+        / n_lines.cast("double")
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.[ \t]*$")))
+        / n_lines.cast("double")
+    )
+    alpha_frac = (
+        F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+        / n_words.cast("double")
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.split(F.trim(F.lower(text)), WS_RE2)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    rules = [
+        ((n_words < p["min_words"]) | (n_words > p["max_words"]), "n_words"),
+        (
+            (mean_wl < p["min_mean_word_len"])
+            | (mean_wl > p["max_mean_word_len"]),
+            "word_len",
+        ),
+        (symbol_ratio > p["max_symbol_ratio"], "symbol"),
+        (bullet_frac > p["max_bullet_frac"], "bullet"),
+        (ellipsis_frac > p["max_ellipsis_frac"], "ellipsis"),
+        (alpha_frac < p["min_alpha_frac"], "alpha"),
+        (stop_hits < p["min_stop_hits"], "stopword"),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)) for cond, name in rules]),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        (F.size(reasons) == 0).alias("keep"),
+        F.concat_ws(",", reasons).alias("fail_reasons"),
     )
