@@ -427,6 +427,59 @@ def q18_large_orders(spark, sf_dir):
 
 
 @register(
+    "q22_global_sales",
+    """
+    WITH cutoff AS (
+      SELECT floor(avg(c_acctbal) * 1000000 + 0.001) / 1000000 AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           floor(sum(c_acctbal) * 100 + 0.001) / 100 AS totacctbal
+    FROM customer, cutoff
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc="TPC-H q22 shape (global sales opportunity): above-average-"
+    "balance customers with NO urgent orders — scalar aggregate "
+    "subquery (1-row crossJoin, constant-size) + NOT EXISTS as a LEFT "
+    "ANTI join + group rollup. The anti join's right side is the "
+    "priority-filtered orders scan (filter pushed down); no forced "
+    "broadcast hint — at 100 TB the urgent-order key set is unbounded, "
+    "so AQE picks broadcast only from its measured size. The average "
+    "is floor-quantized to 1e-6 on BOTH sides before the comparison so "
+    "partial-sum order noise cannot flip boundary customers across "
+    "engines.",
+)
+def q22_global_sales(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        _q6(F.avg("c_acctbal")).alias("avg_bal")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.floor(F.sum("c_acctbal") * 100 + F.lit(1e-3)) / 100).alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
     "source_lang_mix",
     r"""
     WITH toks AS (
@@ -1973,7 +2026,8 @@ def text_profile_q(spark, sf_dir):
       SELECT doc_id,
              coalesce(text, '') AS tx,
              string_split_regex(trim(coalesce(text, '')), '[ 	
-]+') AS w,
+
+]+') AS w,
              string_split(coalesce(text, ''), chr(10)) AS ln
       FROM documents
     ), s AS (
@@ -1993,7 +2047,8 @@ def text_profile_q(spark, sf_dir):
         len(list_intersect(
               list_distinct(string_split_regex(trim(lower(tx)),
                                                '[ 	
-]+')),
+
+]+')),
               ['the','be','to','of','and','that','have','with']))
           AS stop_hits
       FROM t
@@ -3261,6 +3316,7 @@ _GATE_WINDOW = 50
 _GATE_PRIORITY = [
     # new this round:
     "quality_filter",
+    "q22_global_sales",
     "dedup_paragraph",
     "doc_repetition",
     # never driver-gated (registered r6/r7, always past row 50):
@@ -3287,9 +3343,10 @@ _GATE_TAIL = [
     "jobid_roundtrip",
     "tres_roundtrip",
     # single-operator micros green r3-r7 with no code churn since:
-    # (q5: classic join-agg green r1-r7 with no churn; rotated r8 to
-    # make room for quality_filter inside the 50-row window)
+    # (q5/deidentify: multi-round-green with no churn; rotated r8 to
+    # make room for quality_filter/q22 inside the 50-row window)
     "q5_nation_revenue",
+    "deidentify",
     "group_concat",
     "rollup_counts",
     "cube_counts",
