@@ -66,6 +66,8 @@ DUCK_QUERIES = [
     # all-pairs blowup)
     "dedup_paragraph",
     "doc_repetition",
+    # r8: quality filter — one scan-stage projection, linear oracle
+    "quality_filter",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -118,6 +120,7 @@ X100_QUERIES = [
     "doc_tfidf_terms",
     "dedup_paragraph",
     "doc_repetition",
+    "quality_filter",
 ]
 X100_DUCK_SKIP = {"sacct_eff"}
 # r8 (VERDICT #4): prove subquadratic LSH growth at 100x. Spark-only —
