@@ -641,6 +641,12 @@ def quality_filter(
     the decision column can then drive partition-pruned writes of the
     kept corpus.
     """
+    unknown = set(thresholds) - set(QUALITY_DEFAULTS)
+    if unknown:
+        raise ValueError(
+            f"unknown quality_filter threshold(s) {sorted(unknown)}; "
+            f"valid: {sorted(QUALITY_DEFAULTS)}"
+        )
     p = {**QUALITY_DEFAULTS, **thresholds}
     text = F.coalesce(F.col(text_col), F.lit(""))
     t = F.split(F.trim(text), WS_RE2)

@@ -440,3 +440,12 @@ def test_quality_filter_plan_is_scan_stage(spark):
     plan = quality_filter(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_quality_filter_rejects_unknown_threshold(spark):
+    from slurm2sql_spark.operators.textstats import quality_filter
+    import pytest
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="min_word"):
+        quality_filter(docs, "doc_id", "text", min_word=5)
