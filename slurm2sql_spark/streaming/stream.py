@@ -322,3 +322,32 @@ def boilerplate_stream(
             ),
         )
     )
+
+
+def quality_stream(
+    doc_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds: float,
+) -> DataFrame:
+    """Streaming quality filtering: the Gopher-rule keep/drop decision
+    (L41, ``textstats.quality_filter``) applied to documents as they
+    land — the continuous-ingest twin of the batch curation pass.
+
+    Unlike the two stream-static twins above, this one is STATELESS:
+    the whole rule set is a single scan-stage projection (no join, no
+    aggregation), so it runs in **append** output mode with no
+    watermark, no state store, and per-row latency — the decision for
+    a document depends only on that document. A landing pipeline can
+    therefore route kept/dropped docs with ``foreachBatch`` partitioned
+    writes at full ingest parallelism; per-micro-batch cost is linear
+    in batch bytes with zero shuffle (the same plan the batch operator
+    shows in PLANS.md).
+
+    Thresholds forward to the batch operator, so a document scores
+    identically on the stream and in the sweep — the batch/stream
+    parity pytest pins that row-for-row.
+    """
+    from slurm2sql_spark.operators.textstats import quality_filter
+
+    return quality_filter(doc_stream, id_col, text_col, **thresholds)

@@ -360,3 +360,46 @@ def test_boilerplate_stream_flags_against_static_blocklist(spark, tmp_path):
     }
     assert rows[10] == (3, 1, len("subscribe now"))
     assert rows[11] == (1, 0, 0)
+
+
+def test_quality_stream_append_mode_matches_batch(spark, tmp_path):
+    """The streaming quality filter is stateless, so it must run in
+    APPEND mode (no watermark, no state) and land the exact batch
+    decision for every document."""
+    from slurm2sql_spark.operators.textstats import quality_filter
+    from slurm2sql_spark.streaming.stream import quality_stream
+
+    rows = [
+        (1, "the quick brown fox jumps over that lazy dog and more " * 5),
+        (2, "too short"),
+        (3, "zzzz yyyy xxxx qqqq " * 15),  # no stopword hits
+        (4, None),
+    ]
+    d = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id int, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d))
+
+    stream = spark.readStream.schema("doc_id int, text string").parquet(str(d))
+    out = quality_stream(stream, "doc_id", "text", min_words=30)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qstream")
+        .outputMode("append")  # stateless: append works, no watermark
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["keep"], r["fail_reasons"])
+        for r in spark.sql("SELECT * FROM qstream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["keep"], r["fail_reasons"])
+        for r in quality_filter(
+            spark.read.parquet(str(d)), "doc_id", "text", min_words=30
+        ).collect()
+    }
+    assert got == want and len(got) == 4
+    assert got[1][0] is True and got[4 - 2][0] is False
