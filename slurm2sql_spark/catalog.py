@@ -2113,6 +2113,148 @@ def quality_filter_q(spark, sf_dir):
 
 
 @register(
+    "corpus_report",
+    r"""
+    WITH t AS (
+      SELECT source,
+             coalesce(text, '') AS tx,
+             string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS w,
+             string_split(coalesce(text, ''), chr(10)) AS ln,
+             list_distinct(string_split_regex(trim(lower(coalesce(text, ''))),
+                                              '[ \t\n\r\f]+')) AS dl
+      FROM documents
+    ), s AS (
+      SELECT source,
+        md5(tx) AS h,
+        len(w) AS n_words,
+        CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+          / len(w) AS mean_wl,
+        (length(tx) - length(replace(tx, '#', ''))
+           + len(regexp_extract_all(tx, '\.\.\.')))
+          / CAST(len(w) AS DOUBLE) AS sym,
+        len(list_filter(ln, x -> regexp_matches(x, '^[ \t]*[-*•]')))
+          / CAST(len(ln) AS DOUBLE) AS bullet,
+        len(list_filter(ln, x -> regexp_matches(x, '\.\.\.[ \t]*$')))
+          / CAST(len(ln) AS DOUBLE) AS ell,
+        len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+          / CAST(len(w) AS DOUBLE) AS alpha,
+        len(list_intersect(dl,
+              ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+        len(list_intersect(dl, ['the','a','of','and','to','in','is','that'])) AS h_en,
+        len(list_intersect(dl, ['el','la','de','y','que','en','los','se'])) AS h_es,
+        len(list_intersect(dl, ['der','die','und','das','ist','von','mit','den'])) AS h_de,
+        len(list_intersect(dl, ['le','la','les','et','de','un','est','que'])) AS h_fr
+      FROM t
+    ), per AS (
+      SELECT source, h, n_words,
+        (n_words BETWEEN 30 AND 100000
+         AND mean_wl >= 3.0 AND mean_wl <= 10.0
+         AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3
+         AND alpha >= 0.8 AND stop_hits >= 1) AS keep,
+        CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+             WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+             WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+             WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+             ELSE 'de' END AS lang
+      FROM s
+    ), agg AS (
+      SELECT source,
+        count(*) AS n_docs,
+        count(DISTINCT h) AS n_uniq,
+        sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep,
+        sum(n_words) AS total_words,
+        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+        sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS c_es,
+        sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c_de,
+        sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS c_fr,
+        sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END) AS c_und
+      FROM per GROUP BY source
+    )
+    SELECT source,
+      n_docs,
+      floor((1.0 - CAST(n_uniq AS DOUBLE) / n_docs) * 1000000 + 0.001)
+        / 1000000 AS dup_rate,
+      floor((CAST(n_keep AS DOUBLE) / n_docs) * 1000000 + 0.001)
+        / 1000000 AS keep_rate,
+      floor((CAST(total_words AS DOUBLE) / n_docs) * 1000000 + 0.001)
+        / 1000000 AS mean_words,
+      CASE WHEN c_und = greatest(c_en, c_es, c_de, c_fr, c_und) THEN 'und'
+           WHEN c_fr = greatest(c_en, c_es, c_de, c_fr, c_und) THEN 'fr'
+           WHEN c_es = greatest(c_en, c_es, c_de, c_fr, c_und) THEN 'es'
+           WHEN c_en = greatest(c_en, c_es, c_de, c_fr, c_und) THEN 'en'
+           ELSE 'de' END AS top_lang,
+      floor((CAST(greatest(c_en, c_es, c_de, c_fr, c_und) AS DOUBLE) / n_docs)
+              * 1000000 + 0.001) / 1000000 AS top_lang_share
+    FROM agg
+    """,
+    doc="Corpus datasheet (the end-of-pipeline curation deliverable, "
+    "Gebru et al. 'Datasheets for Datasets' 2021): per-source document "
+    "count, exact-duplicate rate, Gopher keep-rate (L-quality, "
+    "corpus-tuned thresholds as quality_filter), mean document length, "
+    "and dominant language with its share — composed from "
+    "quality_filter(keep_cols=...), lang_id, and md5 in ONE scan of "
+    "the text column (Catalyst collapses the stacked projections) plus "
+    "one aggregation keyed by the tiny source dimension. The distinct "
+    "agg plans as Spark's 2-projection Expand over the partial "
+    "aggregate — map-side combined, single shuffle; at 100 TB the "
+    "shuffle carries one row per (source, md5-class) partial, not the "
+    "corpus. Lang ties break lexicographically-last on both engines "
+    "(doc level via lang_id's struct sort, source level via the "
+    "ordered CASE).",
+)
+def corpus_report(spark, sf_dir):
+    from slurm2sql_spark.operators.textstats import lang_id, quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    qf = quality_filter(
+        docs,
+        "doc_id",
+        "text",
+        keep_cols=("source", "text"),
+        min_words=30,
+        min_stop_hits=1,
+    )
+    per = qf.select(
+        "source",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+        lang_id(F.col("text")).alias("lang"),
+        F.col("n_words"),
+        F.col("keep").cast("int").alias("keep_i"),
+    )
+    langs = ("en", "es", "de", "fr", "und")
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_uniq"),
+        F.sum("keep_i").alias("n_keep"),
+        F.sum("n_words").alias("total_words"),
+        *[
+            F.sum((F.col("lang") == code).cast("int")).alias(f"c_{code}")
+            for code in langs
+        ],
+    )
+    m = F.greatest(*[F.col(f"c_{c}") for c in langs])
+    top_lang = (
+        F.when(F.col("c_und") == m, F.lit("und"))
+        .when(F.col("c_fr") == m, F.lit("fr"))
+        .when(F.col("c_es") == m, F.lit("es"))
+        .when(F.col("c_en") == m, F.lit("en"))
+        .otherwise(F.lit("de"))
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        _q6(F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_docs"))
+            .alias("dup_rate"),
+        _q6(F.col("n_keep").cast("double") / F.col("n_docs"))
+            .alias("keep_rate"),
+        _q6(F.col("total_words").cast("double") / F.col("n_docs"))
+            .alias("mean_words"),
+        top_lang.alias("top_lang"),
+        _q6(m.cast("double") / F.col("n_docs")).alias("top_lang_share"),
+    )
+
+
+@register(
     "multimodal_pipeline",
     """
     SELECT doc_id AS media_id,
@@ -3316,6 +3458,7 @@ _GATE_WINDOW = 50
 _GATE_PRIORITY = [
     # new this round:
     "quality_filter",
+    "corpus_report",
     "q22_global_sales",
     "dedup_paragraph",
     "doc_repetition",
@@ -3344,7 +3487,9 @@ _GATE_TAIL = [
     "tres_roundtrip",
     # single-operator micros green r3-r7 with no code churn since:
     # (q5/deidentify: multi-round-green with no churn; rotated r8 to
-    # make room for quality_filter/q22 inside the 50-row window)
+    # make room for quality_filter/q22 inside the 50-row window;
+    # q3: green r1-r7 unchanged, rotated for corpus_report)
+    "q3_top_revenue",
     "q5_nation_revenue",
     "deidentify",
     "group_concat",

@@ -610,6 +610,7 @@ def quality_filter(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    keep_cols: tuple[str, ...] = (),
     **thresholds: float,
 ) -> DataFrame:
     """Gopher-style document quality filter (Rae et al. 2021, A1.1):
@@ -647,6 +648,8 @@ def quality_filter(
             f"unknown quality_filter threshold(s) {sorted(unknown)}; "
             f"valid: {sorted(QUALITY_DEFAULTS)}"
         )
+    # keep_cols: pass-through columns (e.g. source) so compositions
+    # like corpus_report stay single-scan instead of joining back.
     p = {**QUALITY_DEFAULTS, **thresholds}
     text = F.coalesce(F.col(text_col), F.lit(""))
     t = F.split(F.trim(text), WS_RE2)
@@ -699,6 +702,7 @@ def quality_filter(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),

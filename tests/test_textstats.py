@@ -449,3 +449,19 @@ def test_quality_filter_rejects_unknown_threshold(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     with pytest.raises(ValueError, match="min_word"):
         quality_filter(docs, "doc_id", "text", min_word=5)
+
+
+def test_quality_filter_keep_cols_passthrough(spark):
+    """keep_cols carries extra columns (e.g. source, text) through the
+    projection so compositions like corpus_report stay single-scan."""
+    from slurm2sql_spark.operators.textstats import quality_filter
+
+    docs = spark.createDataFrame(
+        [(1, "the a b", "s1")], "doc_id int, text string, source string"
+    )
+    out = quality_filter(docs, "doc_id", "text", keep_cols=("source", "text"))
+    assert "source" in out.columns and "text" in out.columns
+    row = out.collect()[0]
+    assert row["source"] == "s1" and row["text"] == "the a b"
+    # default: no passthrough columns
+    assert "source" not in quality_filter(docs, "doc_id", "text").columns
