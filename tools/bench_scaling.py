@@ -68,6 +68,8 @@ DUCK_QUERIES = [
     "doc_repetition",
     # r8: quality filter — one scan-stage projection, linear oracle
     "quality_filter",
+    # r8: corpus datasheet — one scan + source-keyed agg, linear oracle
+    "corpus_report",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
