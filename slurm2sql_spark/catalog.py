@@ -2255,6 +2255,96 @@ def corpus_report(spark, sf_dir):
 
 
 @register(
+    "source_overlap",
+    r"""
+    WITH hs AS (
+      SELECT DISTINCT
+        md5(array_to_string(list_sort(list_distinct(
+          string_split_regex(trim(lower(coalesce(text, ''))),
+                             '[ \t\n\r\f]+'))), ' ')) AS h,
+        source
+      FROM documents
+    ), u AS (
+      SELECT source, count(*) AS uniq FROM hs GROUP BY source
+    ), c AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+      floor(CAST(n_shared AS DOUBLE)
+              / (ua.uniq + ub.uniq - n_shared) * 1000000 + 0.001)
+        / 1000000 AS jaccard
+    FROM c
+    JOIN u ua ON ua.source = c.source_a
+    JOIN u ub ON ub.source = c.source_b
+    """,
+    doc="Cross-source duplicate-overlap matrix (the 'leakage between "
+    "sources' curation report, e.g. CommonCrawl-vs-Wikipedia overlap "
+    "before mixture weighting): for every source pair, the number of "
+    "canonical-fingerprint classes (md5 of the sorted distinct token "
+    "set — order/repetition-robust, same key as text_profile) present "
+    "in BOTH sources, plus the Jaccard of the two sources' class sets. "
+    "Join-free pair generation: one shuffle groups (h, source) "
+    "memberships by h, collect_set bounds each class at the source "
+    "dimension (|S|, ~20), and an index-sliced transform/flatten "
+    "explodes the i<j pairs JVM-side — no self-join of the corpus, so "
+    "at 100 TB the only corpus-sized motion is the single 16-byte-key "
+    "shuffle; per-source totals broadcast. The oracle states the same "
+    "semantics as the textbook self-join.",
+)
+def source_overlap(spark, sf_dir):
+    from slurm2sql_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    hs = docs.select(fingerprint(F.col("text")).alias("h"), "source")
+    # collect_set dedups, so no pre-distinct: each branch is the scan +
+    # exactly one shuffle (h-keyed for classes, source-keyed two-level
+    # agg for the distinct totals) instead of a shared distinct both
+    # branches would recompute.
+    uniq = hs.groupBy("source").agg(F.countDistinct("h").alias("uniq"))
+    sets = (
+        hs.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") > 1)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS a, y AS b)))"
+                )
+            )
+        ).alias("p")
+    )
+    shared = pairs.groupBy(
+        F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared"))
+    ua = uniq.select(
+        F.col("source").alias("source_a"), F.col("uniq").alias("uniq_a")
+    )
+    ub = uniq.select(
+        F.col("source").alias("source_b"), F.col("uniq").alias("uniq_b")
+    )
+    return (
+        shared.join(F.broadcast(ua), "source_a")
+        .join(F.broadcast(ub), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            _q6(
+                F.col("n_shared").cast("double")
+                / (F.col("uniq_a") + F.col("uniq_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
     "multimodal_pipeline",
     """
     SELECT doc_id AS media_id,
@@ -3459,6 +3549,7 @@ _GATE_PRIORITY = [
     # new this round:
     "quality_filter",
     "corpus_report",
+    "source_overlap",
     "q22_global_sales",
     "dedup_paragraph",
     "doc_repetition",
@@ -3488,8 +3579,11 @@ _GATE_TAIL = [
     # single-operator micros green r3-r7 with no code churn since:
     # (q5/deidentify: multi-round-green with no churn; rotated r8 to
     # make room for quality_filter/q22 inside the 50-row window;
-    # q3: green r1-r7 unchanged, rotated for corpus_report)
+    # q3: green r1-r7 unchanged, rotated for corpus_report;
+    # sample_stratified: green r5-r7 no churn, rotated for
+    # source_overlap)
     "q3_top_revenue",
+    "sample_stratified",
     "q5_nation_revenue",
     "deidentify",
     "group_concat",

@@ -70,6 +70,9 @@ DUCK_QUERIES = [
     "quality_filter",
     # r8: corpus datasheet — one scan + source-keyed agg, linear oracle
     "corpus_report",
+    # r8: cross-source overlap — per-class fan-out bounded by |sources|,
+    # oracle's h-equijoin has the same bound (no all-pairs)
+    "source_overlap",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
