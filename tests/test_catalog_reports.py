@@ -1,0 +1,101 @@
+"""Corpus-report composition entries (corpus_report, source_overlap):
+semantics pinned against a straightforward reformulation on randomized
+small frames, independent of the DuckDB oracle gate."""
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _random_docs(spark, seed, n_sources=4, n_docs=60):
+    rng = random.Random(seed)
+    # small token vocabulary so fingerprint classes collide across
+    # sources with realistic frequency
+    vocab = ["the", "a", "of", "x", "y", "z", "q"]
+    rows = []
+    for i in range(n_docs):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 6))]
+        rows.append((i, " ".join(words), f"s{rng.randrange(n_sources)}"))
+    return spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+
+def test_source_overlap_pair_explode_matches_self_join(spark):
+    """The index-sliced transform/flatten pair generation must produce
+    exactly the pairs a fingerprint-equijoin self-join produces."""
+    from slurm2sql_spark.catalog import QUERIES
+    from slurm2sql_spark.operators.textstats import fingerprint
+
+    for seed in (1, 2, 3):
+        docs = _random_docs(spark, seed)
+        docs.createOrReplaceTempView("_ov_docs")
+
+        # engine path, applied to the same frame the entry would build
+        hs = docs.select(fingerprint(F.col("text")).alias("h"), "source")
+        sets = (
+            hs.groupBy("h")
+            .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+            .where(F.size("ss") > 1)
+        )
+        got = (
+            sets.select(
+                F.explode(
+                    F.flatten(
+                        F.expr(
+                            "transform(ss, (x, i) -> "
+                            "transform(slice(ss, i + 2, size(ss)), "
+                            "y -> struct(x AS a, y AS b)))"
+                        )
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.a", "p.b")
+            .count()
+        )
+
+        # textbook self-join reformulation
+        d = hs.distinct()
+        want = (
+            d.alias("l")
+            .join(d.alias("r"), "h")
+            .where(F.col("l.source") < F.col("r.source"))
+            .groupBy(
+                F.col("l.source").alias("a"), F.col("r.source").alias("b")
+            )
+            .count()
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"seed {seed}"
+
+
+def test_corpus_report_rates_match_direct_computation(spark):
+    """dup/keep/mean arithmetic spot-checked against per-row python on
+    a frame with a known exact duplicate and NULL text."""
+    from slurm2sql_spark.catalog import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the a of and to in is that " * 5, "s1"),  # keep, en
+            (2, "the a of and to in is that " * 5, "s1"),  # exact dup of 1
+            (3, None, "s1"),  # NULL text: counts, fails quality, lang und
+            (4, "zz qq ww", "s2"),
+        ],
+        "doc_id int, text string, source string",
+    )
+    docs.createOrReplaceTempView("documents_tmp")
+    import slurm2sql_spark.catalog as C
+
+    # run the entry's builder on the in-memory frame by monkeypatching _t
+    orig = C._t
+    try:
+        C._t = lambda sp, sf, name: docs
+        out = {r["source"]: r for r in C.QUERIES["corpus_report"].spark(spark, "unused").collect()}
+    finally:
+        C._t = orig
+    s1 = out["s1"]
+    assert s1["n_docs"] == 3
+    # doc1==doc2, doc3 (NULL hashes as '') distinct -> 2 unique of 3
+    assert abs(s1["dup_rate"] - (1 - 2 / 3)) < 2e-6
+    assert s1["top_lang"] == "en"
+    assert out["s2"]["n_docs"] == 1 and out["s2"]["dup_rate"] == 0.0
+    assert out["s2"]["keep_rate"] == 0.0  # 3 words < min_words=30
