@@ -427,6 +427,89 @@ def q18_large_orders(spark, sf_dir):
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-side conjunctive filter + scalar "
+    "aggregate — the predicate-pushdown/pruning showcase (every "
+    "predicate reaches the parquet scan, PLANS.md shows the 4-column "
+    "read). Sum rounded to 2dp for order-independent cross-engine "
+    "parity (q1 convention).",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+      floor(
+        round(sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0 END), 2) * 100.0
+          / round(sum(l_extendedprice * (1 - l_discount)), 2)
+          * 1000000 + 0.001) / 1000000 AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14 shape: conditional-aggregate ratio over a "
+    "broadcast dimension join (part is the small side; the date "
+    "window pushes to the fact scan), per month. Both sums are "
+    "rounded to exact 2dp decimals BEFORE the division so the "
+    "order-dependent double accumulation can never flip the q6-"
+    "quantized ratio across engines.",
+)
+def q14_promo_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("month")
+        )
+        .agg(
+            F.round(F.sum(promo), 2).alias("_p"),
+            F.round(F.sum(disc_price), 2).alias("_t"),
+        )
+        .select(
+            "month",
+            _q6(F.col("_p") * 100.0 / F.col("_t")).alias("promo_pct"),
+        )
+    )
+
+
+@register(
     "q22_global_sales",
     """
     WITH cutoff AS (
@@ -3550,6 +3633,8 @@ _GATE_PRIORITY = [
     "quality_filter",
     "corpus_report",
     "source_overlap",
+    "q6_forecast_revenue",
+    "q14_promo_share",
     "q22_global_sales",
     "dedup_paragraph",
     "doc_repetition",
@@ -3584,6 +3669,10 @@ _GATE_TAIL = [
     # source_overlap)
     "q3_top_revenue",
     "sample_stratified",
+    # text_chunks/text_scrub_pii: green r5-r7 no churn, expression-only
+    # micros with dedicated pytests; rotated for q6/q14
+    "text_chunks",
+    "text_scrub_pii",
     "q5_nation_revenue",
     "deidentify",
     "group_concat",
