@@ -891,24 +891,28 @@ def paragraph_stats(
     - ``repeated_char_share`` — flagged chars / total paragraph chars
       (the per-doc span share a curation pipeline thresholds on)
 
-    Scale posture (100 TB): ONE pass over the corpus and three
-    hash-partitioned shuffles on 16-byte keys, no join — (1) collapse
+    Scale posture (100 TB): ONE pass over the corpus (the collapsed
+    grain frame is persisted via the module ``_persist`` registry —
+    call :func:`release_caches` between batches) and three
+    hash-partitioned shuffles on 16-byte keys — (1) collapse
     occurrences to (para_hash, doc) grain with per-grain occurrence and
-    char sums (map-side combined), (2) one window count over para_hash
-    partitions of that ALREADY-COLLAPSED frame gives the distinct-doc
-    reach (partition length = a hash's doc count — linear in doc
-    frequency, never the f^2 of pair-joins, and no per-row state like a
-    collect_set would hold), (3) per-doc rollup. A join formulation was
-    measured and rejected: Spark shares no subplans across join sides,
-    so the flag side re-ran the whole split/normalize/md5 scan — the
-    window reads the collapsed frame once. No broadcast of the hash
-    table (paragraph vocabulary is corpus-sized, unboundable), no
-    collect, no per-row Python — split/explode/md5 are all
-    whole-stage-codegen expressions.
+    char sums (map-side combined), (2) ``groupBy(para_hash).count()``
+    of that ALREADY-COLLAPSED frame gives the distinct-doc reach as a
+    map-side-combined partial aggregate — never a ``Window.partitionBy
+    (para_hash)`` count, which buffers a hash's ENTIRE partition on one
+    task: partition length there equals a paragraph's distinct-doc
+    reach, exactly the quantity boilerplate maximizes (a site footer in
+    10% of a 100 TB corpus = hundreds of millions of rows on a single
+    window task) — then a left join-back of the *filtered* flag set on
+    the 16-byte key, where AQE skew-join splitting applies (window
+    partitions never split). The persist is what makes the join cheap:
+    Spark shares no subplans across join sides, so without it the flag
+    side would re-run the whole split/normalize/md5 scan. (3) per-doc
+    rollup. No broadcast of the hash table (paragraph vocabulary is
+    corpus-sized, unboundable), no collect, no per-row Python —
+    split/explode/md5 are all whole-stage-codegen expressions.
     """
-    from pyspark.sql import Window
-
-    grains = (
+    grains = _persist(
         df.select(
             F.col(id_col).alias("_id"),
             F.explode(F.split(F.col(text_col), sep)).alias("_p"),
@@ -921,11 +925,14 @@ def paragraph_stats(
             F.first(F.length("_pn")).alias("_len"),
         )
     )
-    w = Window.partitionBy("para_hash")
-    flagged = grains.withColumn(
-        "_rep", F.count(F.lit(1)).over(w) >= F.lit(min_docs)
+    flags = (
+        grains.groupBy("para_hash")
+        .agg(F.count(F.lit(1)).alias("_reach"))
+        .filter(F.col("_reach") >= F.lit(min_docs))
+        .select("para_hash", F.lit(True).alias("_rep"))
     )
-    rep = F.col("_rep")
+    flagged = grains.join(flags, "para_hash", "left")
+    rep = F.coalesce(F.col("_rep"), F.lit(False))
     return flagged.groupBy(F.col("_id").alias(id_col)).agg(
         F.sum("_occ").alias("n_paras"),
         F.sum(F.when(rep, F.col("_occ")).otherwise(0)).alias("n_repeated"),

@@ -442,6 +442,38 @@ def test_repeated_paragraphs_corpus_view(spark):
     assert r["n_docs"] == 3 and r["n_occurrences"] == 4
 
 
+def test_paragraph_stats_hot_paragraph_no_window_skew(spark):
+    """Scale contract (VERDICT r8 #1): a boilerplate paragraph present
+    in most of the corpus must NOT funnel its full distinct-doc reach
+    onto one task. The reach count must be a partial-aggregable
+    groupBy + join-back (AQE can skew-split a shuffled join), never a
+    Window.partitionBy(para_hash) count (window partitions are
+    single-task and unsplittable). Plant one paragraph in >50% of docs
+    and assert both the plan shape and the values."""
+    from slurm2sql_spark.operators.dedup import paragraph_stats, release_caches
+
+    hot = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (i, f"unique body {i}\n\n{hot}" if i % 10 < 6
+             else f"unique body {i}")
+            for i in range(200)
+        ],
+        "doc_id int, text string",
+    )
+    out = paragraph_stats(docs, "doc_id", "text", min_docs=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, "reach count regressed to a skewed window"
+    assert "Join" in plan  # filtered flag set joined back on the hash key
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["n_repeated"] == 1 and rows[0]["n_paras"] == 2
+    assert rows[6]["n_repeated"] == 0 and rows[6]["n_paras"] == 1
+    assert rows[6]["repeated_char_share"] == 0.0
+    share = rows[10]["repeated_char_share"]
+    assert abs(share - len(hot) / (len(hot) + len("unique body 10"))) < 1e-9
+    release_caches()
+
+
 def test_paragraph_stats_plan_no_broadcast_of_hash_table(spark):
     """Scale contract: the paragraph-hash vocabulary is unbounded, so
     the flag join must be a shuffle join on the 16-byte hash key, never
