@@ -110,6 +110,15 @@ def _q6(c: Column | str) -> Column:
     return F.floor(c * 1e6 + F.lit(1e-3)) / F.lit(1e6)
 
 
+def _cents(c: Column) -> Column:
+    """Floor-quantize a non-negative money sum to cents — q22's
+    ``totacctbal`` idiom (ADVICE r8: ``round(x, 2)`` decimal-tie
+    behavior differs between Spark's BigDecimal HALF_UP and DuckDB's
+    double rounding, so an exact .xx5 sum could diverge by one cent;
+    the floor + 1e-3 nudge is order- and engine-independent)."""
+    return F.floor(c * 100 + F.lit(1e-3)) / 100
+
+
 # =====================================================================
 # Group A — operator demonstrations on the TPC-H-ish tables
 # =====================================================================
@@ -429,7 +438,8 @@ def q18_large_orders(spark, sf_dir):
 @register(
     "q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT floor(sum(l_extendedprice * l_discount) * 100 + 0.001) / 100
+             AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
@@ -439,8 +449,8 @@ def q18_large_orders(spark, sf_dir):
     doc="TPC-H Q6 shape: pure scan-side conjunctive filter + scalar "
     "aggregate — the predicate-pushdown/pruning showcase (every "
     "predicate reaches the parquet scan, PLANS.md shows the 4-column "
-    "read). Sum rounded to 2dp for order-independent cross-engine "
-    "parity (q1 convention).",
+    "read). Sum floor-quantized to cents (_cents, q22 idiom) for "
+    "order- and engine-independent parity.",
 )
 def q6_forecast_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -453,11 +463,10 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue"),
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("_r"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+        .select(_cents(F.col("_r")).alias("revenue"), "n_lines")
     )
 
 
@@ -466,10 +475,11 @@ def q6_forecast_revenue(spark, sf_dir):
     """
     SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
       floor(
-        round(sum(CASE WHEN p_type = 'PROMO'
-                       THEN l_extendedprice * (1 - l_discount)
-                       ELSE 0 END), 2) * 100.0
-          / round(sum(l_extendedprice * (1 - l_discount)), 2)
+        (floor(sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END) * 100 + 0.001) / 100) * 100.0
+          / (floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.001)
+             / 100)
           * 1000000 + 0.001) / 1000000 AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
@@ -478,9 +488,9 @@ def q6_forecast_revenue(spark, sf_dir):
     doc="TPC-H Q14 shape: conditional-aggregate ratio over a "
     "broadcast dimension join (part is the small side; the date "
     "window pushes to the fact scan), per month. Both sums are "
-    "rounded to exact 2dp decimals BEFORE the division so the "
-    "order-dependent double accumulation can never flip the q6-"
-    "quantized ratio across engines.",
+    "floor-quantized to cents (_cents, q22 idiom) BEFORE the division "
+    "so the order-dependent double accumulation can never flip the "
+    "q6-quantized ratio across engines.",
 )
 def q14_promo_share(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -499,8 +509,13 @@ def q14_promo_share(spark, sf_dir):
             .alias("month")
         )
         .agg(
-            F.round(F.sum(promo), 2).alias("_p"),
-            F.round(F.sum(disc_price), 2).alias("_t"),
+            F.sum(promo).alias("_ps"),
+            F.sum(disc_price).alias("_ts"),
+        )
+        .select(
+            "month",
+            _cents(F.col("_ps")).alias("_p"),
+            _cents(F.col("_ts")).alias("_t"),
         )
         .select(
             "month",
@@ -2043,6 +2058,77 @@ def sim_ivf_recall(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Shared DuckDB-oracle SQL fragments (VERDICT r8 #8, ADVICE r8 medium).
+#
+# The Gopher signal block and rule thresholds appear in BOTH the
+# quality_filter and corpus_report oracles, and the language stop lists
+# in BOTH text_profile and corpus_report; composing every twin from one
+# set of constants means a threshold/regex edit cannot silently diverge
+# them. _WS_SQL is the ESCAPED RE2 class — textstats.WS_RE2 verbatim.
+# An embedded-literal copy of it once dropped \r, so CR-bearing docs
+# tokenized differently in the two engines (ADVICE r8, medium); the
+# escaped form is the only one allowed here.
+_WS_SQL = r"'[ \t\n\r\f]+'"
+
+#: Gopher stop list (Rae et al. 2021 A1.1), = textstats' stop set.
+_GOPHER_STOPS_SQL = "['the','be','to','of','and','that','have','with']"
+
+#: lang_id per-language stop lists, = textstats.lang_id's tables.
+_LANG_HITS_SQL = """\
+len(list_intersect(dl, ['the','a','of','and','to','in','is','that'])) AS h_en,
+        len(list_intersect(dl, ['el','la','de','y','que','en','los','se'])) AS h_es,
+        len(list_intersect(dl, ['der','die','und','das','ist','von','mit','den'])) AS h_de,
+        len(list_intersect(dl, ['le','la','les','et','de','un','est','que'])) AS h_fr"""
+
+
+def _text_base_sql(id_col: str) -> str:
+    """Shared t-stage: raw text + RE2-tokenized words + physical lines
+    + distinct lowercased tokens, all on the escaped class."""
+    return f"""SELECT {id_col},
+             coalesce(text, '') AS tx,
+             string_split_regex(trim(coalesce(text, '')), {_WS_SQL}) AS w,
+             string_split(coalesce(text, ''), chr(10)) AS ln,
+             list_distinct(string_split_regex(trim(lower(coalesce(text, ''))),
+                                              {_WS_SQL})) AS dl
+      FROM documents"""
+
+
+#: The seven Gopher curation signals over the t-stage columns.
+_GOPHER_SIGNALS_SQL = rf"""len(w) AS n_words,
+        CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+          / len(w) AS mean_wl,
+        (length(tx) - length(replace(tx, '#', ''))
+           + len(regexp_extract_all(tx, '\.\.\.')))
+          / CAST(len(w) AS DOUBLE) AS sym,
+        len(list_filter(ln, x -> regexp_matches(x, '^[ \t]*[-*•]')))
+          / CAST(len(ln) AS DOUBLE) AS bullet,
+        len(list_filter(ln, x -> regexp_matches(x, '\.\.\.[ \t]*$')))
+          / CAST(len(ln) AS DOUBLE) AS ell,
+        len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+          / CAST(len(w) AS DOUBLE) AS alpha,
+        len(list_intersect(dl, {_GOPHER_STOPS_SQL})) AS stop_hits"""
+
+#: (fail-reason name, SQL failure predicate) — corpus-tuned
+#: min_words=30 / min_stop_hits=1, exactly what both consuming entries
+#: pass to the Spark operator (see quality_filter's doc).
+_GOPHER_RULES = (
+    ("n_words", "n_words < 30 OR n_words > 100000"),
+    ("word_len", "mean_wl < 3.0 OR mean_wl > 10.0"),
+    ("symbol", "sym > 0.1"),
+    ("bullet", "bullet > 0.9"),
+    ("ellipsis", "ell > 0.3"),
+    ("alpha", "alpha < 0.8"),
+    ("stopword", "stop_hits < 1"),
+)
+_GOPHER_FAIL_CASES_SQL = ",\n          ".join(
+    f"CASE WHEN {cond} THEN '{name}' END" for name, cond in _GOPHER_RULES
+)
+_GOPHER_KEEP_SQL = "\n         AND ".join(
+    f"NOT ({cond})" for _, cond in _GOPHER_RULES
+)
+
+
 @register(
     "text_profile",
     r"""
@@ -2054,10 +2140,7 @@ def sim_ivf_recall(spark, sf_dir):
     ),
     hits AS (
       SELECT *,
-        len(list_intersect(dl, ['the','a','of','and','to','in','is','that'])) AS h_en,
-        len(list_intersect(dl, ['el','la','de','y','que','en','los','se'])) AS h_es,
-        len(list_intersect(dl, ['der','die','und','das','ist','von','mit','den'])) AS h_de,
-        len(list_intersect(dl, ['le','la','les','et','de','un','est','que'])) AS h_fr
+        """ + _LANG_HITS_SQL + r"""
       FROM t
     )
     SELECT doc_id,
@@ -2102,48 +2185,19 @@ def text_profile_q(spark, sf_dir):
     )
 
 
+
 @register(
     "quality_filter",
-    r"""
+    rf"""
     WITH t AS (
-      SELECT doc_id,
-             coalesce(text, '') AS tx,
-             string_split_regex(trim(coalesce(text, '')), '[ 	
-
-]+') AS w,
-             string_split(coalesce(text, ''), chr(10)) AS ln
-      FROM documents
+      {_text_base_sql("doc_id")}
     ), s AS (
       SELECT doc_id,
-        len(w) AS n_words,
-        CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-          / len(w) AS mean_wl,
-        (length(tx) - length(replace(tx, '#', ''))
-           + len(regexp_extract_all(tx, '\.\.\.')))
-          / CAST(len(w) AS DOUBLE) AS sym,
-        len(list_filter(ln, x -> regexp_matches(x, '^[ 	]*[-*•]')))
-          / CAST(len(ln) AS DOUBLE) AS bullet,
-        len(list_filter(ln, x -> regexp_matches(x, '\.\.\.[ 	]*$')))
-          / CAST(len(ln) AS DOUBLE) AS ell,
-        len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
-          / CAST(len(w) AS DOUBLE) AS alpha,
-        len(list_intersect(
-              list_distinct(string_split_regex(trim(lower(tx)),
-                                               '[ 	
-
-]+')),
-              ['the','be','to','of','and','that','have','with']))
-          AS stop_hits
+        {_GOPHER_SIGNALS_SQL}
       FROM t
     ), r AS (
       SELECT *, list_filter([
-          CASE WHEN n_words < 30 OR n_words > 100000 THEN 'n_words' END,
-          CASE WHEN mean_wl < 3.0 OR mean_wl > 10.0 THEN 'word_len' END,
-          CASE WHEN sym > 0.1 THEN 'symbol' END,
-          CASE WHEN bullet > 0.9 THEN 'bullet' END,
-          CASE WHEN ell > 0.3 THEN 'ellipsis' END,
-          CASE WHEN alpha < 0.8 THEN 'alpha' END,
-          CASE WHEN stop_hits < 1 THEN 'stopword' END
+          {_GOPHER_FAIL_CASES_SQL}
         ], x -> x IS NOT NULL) AS reasons
       FROM s
     )
@@ -2197,43 +2251,18 @@ def quality_filter_q(spark, sf_dir):
 
 @register(
     "corpus_report",
-    r"""
+    rf"""
     WITH t AS (
-      SELECT source,
-             coalesce(text, '') AS tx,
-             string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS w,
-             string_split(coalesce(text, ''), chr(10)) AS ln,
-             list_distinct(string_split_regex(trim(lower(coalesce(text, ''))),
-                                              '[ \t\n\r\f]+')) AS dl
-      FROM documents
+      {_text_base_sql("source")}
     ), s AS (
       SELECT source,
         md5(tx) AS h,
-        len(w) AS n_words,
-        CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-          / len(w) AS mean_wl,
-        (length(tx) - length(replace(tx, '#', ''))
-           + len(regexp_extract_all(tx, '\.\.\.')))
-          / CAST(len(w) AS DOUBLE) AS sym,
-        len(list_filter(ln, x -> regexp_matches(x, '^[ \t]*[-*•]')))
-          / CAST(len(ln) AS DOUBLE) AS bullet,
-        len(list_filter(ln, x -> regexp_matches(x, '\.\.\.[ \t]*$')))
-          / CAST(len(ln) AS DOUBLE) AS ell,
-        len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
-          / CAST(len(w) AS DOUBLE) AS alpha,
-        len(list_intersect(dl,
-              ['the','be','to','of','and','that','have','with'])) AS stop_hits,
-        len(list_intersect(dl, ['the','a','of','and','to','in','is','that'])) AS h_en,
-        len(list_intersect(dl, ['el','la','de','y','que','en','los','se'])) AS h_es,
-        len(list_intersect(dl, ['der','die','und','das','ist','von','mit','den'])) AS h_de,
-        len(list_intersect(dl, ['le','la','les','et','de','un','est','que'])) AS h_fr
+        {_GOPHER_SIGNALS_SQL},
+        {_LANG_HITS_SQL}
       FROM t
     ), per AS (
       SELECT source, h, n_words,
-        (n_words BETWEEN 30 AND 100000
-         AND mean_wl >= 3.0 AND mean_wl <= 10.0
-         AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3
-         AND alpha >= 0.8 AND stop_hits >= 1) AS keep,
+        ({_GOPHER_KEEP_SQL}) AS keep,
         CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
              WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
              WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
