@@ -461,6 +461,7 @@ def chunk_spans(
     text_col: str,
     window: int,
     stride: int | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Overlapping token-window chunk spans per document: one row per
     chunk with (id, chunk_idx, tok_start, tok_end, chunk_text).
@@ -470,6 +471,10 @@ def chunk_spans(
     (a document shorter than ``window`` yields one chunk). All
     arithmetic + ``slice``/``sequence`` expressions — narrow, zero
     shuffles, chunk explosion happens in the scan stage.
+
+    ``keep_cols`` are per-document columns carried onto every chunk row
+    (e.g. PII audit counts computed on the same pass) — still narrow,
+    so attaching them here costs nothing versus a join-back.
     """
     stride = stride or window
     if stride <= 0 or window <= 0:
@@ -484,6 +489,7 @@ def chunk_spans(
             F.col(id_col).alias("id"),
             toks.alias("_toks"),
             F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+            *keep_cols,
         )
         .select(
             "id",
@@ -496,6 +502,7 @@ def chunk_spans(
                 " ",
                 F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, window),
             ).alias("chunk_text"),
+            *keep_cols,
         )
     )
 

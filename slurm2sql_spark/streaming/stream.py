@@ -34,6 +34,7 @@ __all__ = [
     "job_state_transitions",
     "decontaminate_stream",
     "boilerplate_stream",
+    "quality_stream",
 ]
 
 

@@ -178,3 +178,66 @@ def test_q18_aqe_broadcasts_unhinted_aggregate(spark, catalog):
     df.write.mode("overwrite").format("noop").save()  # let AQE finalize
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final, final
+
+
+def test_q6_all_predicates_pushed_to_scan(spark, catalog):
+    """VERDICT r8 #7: q6 is the predicate-pushdown showcase — its
+    conjunctive predicates (date window, discount band, quantity cap)
+    must reach the parquet scan as PushedFilters, and the scan must
+    read only the 4 referenced columns."""
+    plan = _plan(
+        spark,
+        catalog.QUERIES["q6_forecast_revenue"].spark(spark, SF_DIR),
+        mode="formatted",
+    )
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q17_broadcasts_part_filter_no_window(spark, catalog):
+    """q17's decorrelation contract: the brand/type part filter
+    broadcasts onto the fact scan, the per-part threshold is a grouped
+    aggregate joined back (never a Window over l_partkey — per-part
+    row counts are unbounded for hot parts and window partitions can't
+    skew-split)."""
+    df = catalog.QUERIES["q17_small_qty_revenue"].spark(spark, SF_DIR)
+    plan = _plan(spark, df)
+    assert "BroadcastHashJoin" in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in optimized
+
+
+def test_q13_left_join_keeps_zero_bucket(spark, catalog, tmp_path):
+    """q13's LEFT join predicate lives INSIDE the join condition so
+    customers whose every order is excluded (or who have none) survive
+    into the ZERO bucket — the defining q13 subtlety a WHERE-clause
+    filter would break. Planted data: every sf* customer has non-urgent
+    orders, so the bucket only exists when the shape is right."""
+    df = catalog.QUERIES["q13_customer_distribution"].spark(spark, SF_DIR)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "hint" not in logical.lower()  # orders side unbounded
+    # all customers survive the left join: bucket counts sum to |customer|
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert sum(r["custdist"] for r in df.collect()) == n_cust
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")],
+        "c_custkey long, c_name string",
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        # cust 1: two countable; cust 2: only an excluded URGENT order
+        # (the zero bucket a WHERE filter would drop); cust 3: no orders
+        [(10, 1, "5-LOW"), (11, 1, "2-HIGH"), (12, 2, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    rows = {
+        r["c_count"]: r["custdist"]
+        for r in catalog.QUERIES["q13_customer_distribution"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows == {0: 2, 2: 1}

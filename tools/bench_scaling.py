@@ -126,8 +126,19 @@ X100_QUERIES = [
     "dedup_paragraph",
     "doc_repetition",
     "quality_filter",
+    # r9 (VERDICT r8 #6): Spark flat 1x->10x while DuckDB grows
+    # 2.81x/decade — the 100x row documents the expected cross.
+    "source_overlap",
 ]
-X100_DUCK_SKIP = {"sacct_eff"}
+X100_DUCK_SKIP: set[str] = set()
+# r9 (VERDICT r8 #5): sacct_eff's oracle SELECTs every per-job row, so
+# fetchall() of ~15M tuples at 100x measures the Python client, not the
+# engine. Wrap those oracles in a count+row-hash aggregate so the timed
+# region is engine-only (forces full evaluation of every output column,
+# returns one row). The Spark side is symmetric already: noop-sink
+# writes materialize every row without driver transfer.
+X100_DUCK_AGG_WRAP = {"sacct_eff"}
+_AGG_WRAP_SQL = "SELECT count(*) AS n, sum(hash(t)) AS h FROM ({sql}) t"
 # r8 (VERDICT #4): prove subquadratic LSH growth at 100x. Spark-only —
 # the minhash DuckDB oracle is a deliberately all-pairs-quadratic
 # correctness check (50k docs -> 2.5e9 candidate pairs), not a baseline.
@@ -384,7 +395,7 @@ def time_spark(QUERIES, spark, names, sf_dir, passes=3):
     return _fold(samples)
 
 
-def time_duck(QUERIES, names, sf_dir, passes=3):
+def time_duck(QUERIES, names, sf_dir, passes=3, agg_wrap=frozenset()):
     import duckdb
 
     samples: dict[str, list[float]] = {}
@@ -400,8 +411,11 @@ def time_duck(QUERIES, names, sf_dir, passes=3):
             if os.path.exists(f"{sf_dir}/{t}.parquet"):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         for name in names:
+            sql = QUERIES[name].oracle
+            if name in agg_wrap:
+                sql = _AGG_WRAP_SQL.format(sql=sql)
             t0 = time.perf_counter()
-            con.execute(QUERIES[name].oracle).fetchall()
+            con.execute(sql).fetchall()
             samples.setdefault(name, []).append(time.perf_counter() - t0)
         con.close()
     return _fold(samples)
@@ -469,7 +483,10 @@ def main() -> None:
         spark100_names = list(x100_names)
         time_spark(QUERIES, spark, spark100_names, "/root/testdata/sf0.01", passes=1)
         s100, s100_med = time_spark(QUERIES, spark, spark100_names, DST100, passes=3)
-        d100, d100_med = time_duck(QUERIES, duck100_names, DST100, passes=3)
+        d100, d100_med = time_duck(
+            QUERIES, duck100_names, DST100, passes=3,
+            agg_wrap=X100_DUCK_AGG_WRAP,
+        )
         # guarded merge: a missing/renamed row or absent SCALING.json
         # must not throw away the (expensive) measurements just taken
         out = {"queries": {}}
@@ -488,6 +505,10 @@ def main() -> None:
                     gap_100x=round(s100[n] / d100[n], 2),
                     gap_100x_med=round(s100_med[n] / d100_med[n], 2),
                 )
+                if n in X100_DUCK_AGG_WRAP:
+                    # oracle wrapped in count+row-hash so the timed
+                    # region is engine-only, not 15M-row fetchall
+                    row["duck_100x_engine_only"] = True
             if row.get("spark_10x"):
                 # per-decade growth from 10x->100x: subquadratic banding
                 # holds iff this stays near-linear (~<=3 per 10x data)
