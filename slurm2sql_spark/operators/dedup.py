@@ -61,6 +61,7 @@ __all__ = [
     "release_caches",
     "connected_components",
     "decontaminate",
+    "decontaminate_bloom",
     "keep_best",
     "paragraph_stats",
     "repeated_paragraphs",
@@ -814,6 +815,107 @@ def decontaminate(
     elif hint == "shuffle":
         b_sh = b_sh.hint("shuffle_hash")
     hits = c_sh.join(b_sh, "shingle")
+    return hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+#: blocked-Bloom sizing: bits per benchmark shingle and in-word probe
+#: count. 12 bits/elem at k=6 gives ~1-2% fpp for a BLOCKED filter
+#: (one cache-line word per key; Putze et al.'s variant, ~1.3-2x the
+#: classic fpp at equal m) — candidates are exact-verified afterwards,
+#: so fpp only controls candidate volume, never correctness.
+_BLOOM_BITS_PER_ITEM = 12
+_BLOOM_K = 6
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """``decontaminate`` for benchmark sets too large to broadcast as a
+    raw shingle set: a blocked Bloom filter prefilter, then an exact
+    verify join over the survivors. Output is IDENTICAL to
+    ``decontaminate`` (Bloom filters have no false negatives; false
+    positives die in the verify join).
+
+    Scale design (the broadcast ceiling moves from O(benchmark
+    shingles) to O(m/64) words, a tunable constant):
+
+    - benchmark side: distinct shingles -> ONE word index
+      (``xxhash64 % nwords``) + a k-bit in-word mask (k seeded hashes
+      % 64, OR-folded JVM-side) -> ``groupBy(word).bit_or(mask)``.
+      The resulting bitmap relation has at most ``nwords`` rows of one
+      long each — ~1.5 bytes per benchmark shingle at 12 bits/elem —
+      and is what broadcasts, NOT the shingle strings.
+    - corpus side: the same word/mask expressions, one MAP-SIDE
+      broadcast join on the word index, pass iff ``word & mask ==
+      mask``. No explode, no per-probe fan-out, and the full corpus
+      posting stream never shuffles (the classic k-probe layout would
+      either k-fold the postings through a groupBy or chain k joins;
+      the blocked layout needs exactly one).
+    - verify: survivors (true hits + ~1-2% fpp of corpus shingles)
+      join the exact benchmark shingle set — the only shuffle whose
+      volume depends on the corpus, and it carries candidates only.
+
+    ``expected_items``: benchmark distinct-shingle estimate for sizing;
+    ``None`` counts the (persisted, eval-sized) benchmark side — one
+    cheap action on the SMALL side, mirroring the IVF centroid
+    training seam. Reference analog: the reference has no
+    contamination pass at all; this extends its `-easy` filtering
+    philosophy (slurm2sql.py:214) to corpus curation.
+    """
+    c_sh = shingles(corpus, id_col, text_col, n)
+    b_sh = _persist(
+        shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    )
+    if expected_items is None:
+        expected_items = max(b_sh.count(), 1)
+    nwords = max(1, (expected_items * _BLOOM_BITS_PER_ITEM + 63) // 64)
+
+    def _word_idx(c: Column) -> Column:
+        return F.pmod(F.xxhash64(c), F.lit(nwords))
+
+    def _mask(c: Column) -> Column:
+        m = F.lit(0).cast("long")
+        for i in range(_BLOOM_K):
+            # F.shiftleft only takes a literal int shift; the SQL
+            # function accepts a column, so call it by name
+            m = m.bitwiseOR(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.pmod(F.xxhash64(c, F.lit(i + 1)), F.lit(64)).cast(
+                        "int"
+                    ),
+                )
+            )
+        return m
+
+    bitmap = (
+        b_sh.select(
+            _word_idx(F.col("shingle")).alias("word_idx"),
+            _mask(F.col("shingle")).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    probed = c_sh.withColumns(
+        {
+            "word_idx": _word_idx(F.col("shingle")),
+            "mask": _mask(F.col("shingle")),
+        }
+    )
+    cand = (
+        probed.join(F.broadcast(bitmap), "word_idx")
+        .filter(
+            F.col("word").bitwiseAND(F.col("mask")) == F.col("mask")
+        )
+        .select("id", "shingle")
+    )
+    hits = cand.join(b_sh, "shingle")
     return hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
 
 

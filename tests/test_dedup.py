@@ -487,3 +487,74 @@ def test_paragraph_stats_plan_no_broadcast_of_hash_table(spark):
         ._jdf.queryExecution().logical().toString()
     )
     assert "hint" not in plan.lower()
+
+
+def test_decontaminate_bloom_matches_exact_even_at_high_fpp(spark):
+    """The Bloom path contracts to IDENTICAL output: no false
+    negatives by construction, false positives killed by the exact
+    verify join. Forcing a degenerate filter (expected_items=1 ->
+    a handful of words, nearly every corpus shingle survives the
+    prefilter) must still produce the exact result — the verify join
+    carries correctness alone; sizing only tunes candidate volume."""
+    from slurm2sql_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+        release_caches,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus = docs.filter("doc_id >= 20")
+    bench = docs.filter("doc_id < 20")
+    exact = {
+        r["id"]: r["n_hits"]
+        for r in decontaminate(corpus, bench, "doc_id", "text", n=5).collect()
+    }
+    for expected_items in (None, 1):
+        got = {
+            r["id"]: r["n_hits"]
+            for r in decontaminate_bloom(
+                corpus, bench, "doc_id", "text", n=5,
+                expected_items=expected_items,
+            ).collect()
+        }
+        assert got == exact, f"expected_items={expected_items}"
+    release_caches()
+
+
+def test_decontaminate_bloom_corpus_side_is_map_side(spark):
+    """Scale contract: the corpus posting stream reaches the Bloom
+    probe via ONE broadcast join (no Exchange hash-partitions corpus
+    shingles before the prefilter); only candidates and the benchmark
+    shingle set shuffle for the verify join, plus the final count."""
+    import re
+
+    from slurm2sql_spark.operators.dedup import (
+        decontaminate_bloom,
+        release_caches,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(10, "x alpha beta gamma delta epsilon zeta y")],
+        "doc_id int, text string",
+    )
+    out = decontaminate_bloom(corpus, bench, "doc_id", "text", n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus probe joins the bitmap via broadcast hash on word_idx
+    assert re.search(r"BroadcastHashJoin \[word_idx", plan), plan
+    # no SHUFFLED join anywhere keys on word_idx (the only allowed
+    # word_idx exchange is the benchmark-side bit_or aggregation,
+    # bounded by nwords); corpus shingles reach the probe map-side
+    for join_kind in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert not re.search(rf"{join_kind} \[word_idx", plan), plan
+    # every word_idx hash exchange feeds the bitmap aggregate, i.e.
+    # appears only above a bit_or HashAggregate — equivalently, the
+    # count of word_idx exchanges never exceeds bit_or aggregates
+    n_widx_ex = len(re.findall(r"Exchange hashpartitioning\(word_idx", plan))
+    n_bitor = len(re.findall(r"partial_bit_or", plan))
+    assert n_widx_ex <= n_bitor, plan
+    release_caches()

@@ -241,3 +241,105 @@ def test_q13_left_join_keeps_zero_bucket(spark, catalog, tmp_path):
         .collect()
     }
     assert rows == {0: 2, 2: 1}
+
+
+def test_q19_manual_or_factoring_pushes_both_scans(spark, catalog):
+    """q19's cross-table disjunction cannot reach a scan as-is;
+    the common implicates are factored manually and must show up as
+    PushedFilters on BOTH sides (part: brand set + size cap; fact:
+    quantity band) so neither scan reads the full table at 100 TB."""
+    plan = _plan(
+        spark,
+        catalog.QUERIES["q19_disjunctive_revenue"].spark(spark, SF_DIR),
+        mode="formatted",
+    )
+    scans = plan.split("PushedFilters")[1:]
+    joined = " | ".join(s[:300] for s in scans)
+    assert "l_quantity" in joined, f"fact side not pushed: {joined}"
+    assert "p_size" in joined and "p_brand" in joined, (
+        f"part side not pushed: {joined}"
+    )
+
+
+def test_q21_decorrelation_plan_and_only_late_semantics(spark, catalog, tmp_path):
+    """q21's EXISTS + NOT EXISTS decorrelation: no cartesian product,
+    the top-100 is a TakeOrdered (never a global sort), and the planted
+    truth table pins the semantics — a supplier counts only when the
+    order is finished, multi-supplier, and it is the SOLE late one
+    (line-granular: two late lines in one qualifying order count 2)."""
+    df = catalog.QUERIES["q21_waiting_supplier"].spark(spark, SF_DIR)
+    plan = _plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan
+
+    base = "2000-01-01 00:00:00"
+    late = "2000-06-01 00:00:00"
+    ontime = "2000-01-15 00:00:00"
+    spark.createDataFrame(
+        [
+            (1, base, "F"), (2, base, "F"), (3, base, "F"), (4, base, "O"),
+        ],
+        "o_orderkey long, o_orderdate string, o_orderstatus string",
+    ).selectExpr(
+        "o_orderkey", "cast(o_orderdate as timestamp) o_orderdate",
+        "o_orderstatus",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [
+            # order 1: supp 10 late twice, supp 11 on time -> 10 counts 2
+            (1, 10, late), (1, 10, late), (1, 11, ontime),
+            # order 2: both suppliers late -> NOT EXISTS fails, nobody
+            (2, 10, late), (2, 12, late),
+            # order 3: single-supplier late -> EXISTS fails, nobody
+            (3, 13, late),
+            # order 4: open status -> filtered before anything
+            (4, 14, late), (4, 15, ontime),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_suppkey", "cast(l_shipdate as timestamp) l_shipdate",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(i, f"S{i}") for i in (10, 11, 12, 13, 14, 15)],
+        "s_suppkey long, s_name string",
+    ).write.parquet(f"{tmp_path}/supplier.parquet")
+    rows = {
+        r["s_name"]: r["numwait"]
+        for r in catalog.QUERIES["q21_waiting_supplier"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows == {"S10": 2}
+
+
+def test_q16_blocklist_anti_join_and_pair_collapse(spark, catalog):
+    """q16's NOT IN becomes a left_anti join (s_suppkey is non-null so
+    the semantics agree), and the who-supplies-what relation collapses
+    to DISTINCT pairs BEFORE the part join, so the count-distinct sees
+    part x supplier cardinality, not fact cardinality."""
+    df = catalog.QUERIES["q16_supplier_cnt"].spark(spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in optimized
+    # a blocked supplier never appears in any group's distinct count
+    blocked = {
+        r["s_suppkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+        .filter("s_acctbal < 0")
+        .collect()
+    }
+    if blocked:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        with_blocked = li.filter(
+            li.l_suppkey.isin(*blocked)
+        ).count()
+        assert with_blocked > 0  # the exclusion actually bites
+
+
+def test_q20_semi_join_no_dedup_shuffle(spark, catalog):
+    """q20's outer IN is a left_semi against supplier — supplier rows
+    emit at most once with no distinct-then-join dedup shuffle."""
+    df = catalog.QUERIES["q20_heavy_shippers"].spark(spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in optimized
+    keys = [r["s_suppkey"] for r in df.collect()]
+    assert len(keys) == len(set(keys))
