@@ -3373,6 +3373,79 @@ def mix_fractions_q(spark, sf_dir):
 
 
 @register(
+    "dsir_selection",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(coalesce(text, ''))),
+                                '[ \t\n\r\f]+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, unnest(w) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g
+      FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    ),
+    occ AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(g || 'd1'), 1, 8))::BIGINT % 1024 AS b
+      FROM grams
+    ),
+    rcnt AS (SELECT b, count(*) AS cr FROM occ WHERE source <> 'src0'
+             GROUP BY 1),
+    tcnt AS (SELECT b, count(*) AS ct FROM occ WHERE source = 'src0'
+             GROUP BY 1),
+    tot AS (SELECT (SELECT sum(cr) FROM rcnt) AS rt,
+                   (SELECT coalesce(sum(ct), 0) FROM tcnt) AS tt),
+    ratio AS (
+      SELECT r.b,
+             ln((coalesce(t.ct, 0) + 1.0) / (tt + 1024.0))
+               - ln((r.cr + 1.0) / (rt + 1024.0)) AS lr
+      FROM rcnt r LEFT JOIN tcnt t USING (b), tot
+    ),
+    w AS (
+      SELECT o.doc_id, sum(lr) AS logw
+      FROM occ o JOIN ratio USING (b) WHERE o.source <> 'src0' GROUP BY 1
+    ),
+    sc AS (
+      SELECT doc_id,
+             floor(logw * 1000000 + 0.001) / 1000000 AS weight,
+             floor((logw + -ln(-ln(
+                 (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'd1g1'),
+                    1, 8))::BIGINT + 0.5) / 4294967296.0)))
+               * 1000000 + 0.001) / 1000000 AS score
+      FROM w
+    )
+    SELECT doc_id, weight FROM sc ORDER BY score DESC, doc_id LIMIT 100
+    """,
+    doc="DSIR data selection (Xie et al. 2023, NeurIPS): pick the raw "
+    "documents whose hashed-n-gram distribution looks most like a "
+    "trusted target corpus (here source src0), sampling without "
+    "replacement proportional to the importance weight via "
+    "deterministic Gumbel top-k. Per-doc weight = sum over unigram+ "
+    "bigram occurrences of ln(p_target(bin)/p_raw(bin)), add-1 "
+    "smoothed over m=1024 md5 bins. Scale: the only corpus-sized "
+    "shuffles are the m-BOUNDED bin counts (each map task emits <= m "
+    "partial rows) and the map-side-combined per-doc sum; the m-row "
+    "ratio table broadcasts; selection is TakeOrdered, no global "
+    "sort. Gumbel noise is content-addressed (md5 of doc_id), so the "
+    "selected set is reproducible across engines and partitionings — "
+    "weight and score are floor-quantized at 1e-6 so last-ulp ln() "
+    "divergence cannot flip membership.",
+)
+def dsir_selection(spark, sf_dir):
+    from slurm2sql_spark.operators.sampling import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return dsir_select(
+        raw, target, "doc_id", "text", k=100, m=1024, salt="d1"
+    )
+
+
+@register(
     "pack_sequences",
     """
     SELECT source AS shard, doc_id AS id,
@@ -4587,6 +4660,9 @@ _GATE_TAIL = [
     # rotated r9 (second batch) to make room for the 8 TPC-H
     # completions (q8/q9/q11/q12/q16/q19/q20/q21): the similarity
     # family + mix_fractions, all green r5-r8 with no code churn
+    # rotated r9 (fourth batch) to make room for dsir_selection: green
+    # r1-r8 with no churn
+    "pivot_event_counts",
     "sim_topk_cosine",
     "sim_lsh_topk",
     "sim_lsh_recall",

@@ -27,6 +27,8 @@ __all__ = [
     "mix_fractions",
     "sample_exact_k",
     "split_assign",
+    "dsir_weights",
+    "dsir_select",
 ]
 
 #: bucket space: first 8 md5 hex chars = 32 bits
@@ -194,3 +196,160 @@ def split_assign(
         cond = b < F.lit(edge) * F.lit(_BUCKETS)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn("split", expr.otherwise(F.lit(None).cast("string")))
+
+
+def _hashed_ngram_occurrences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int,
+    salt: str,
+    bigrams: bool = True,
+) -> DataFrame:
+    """One row per (doc, hashed n-gram occurrence): lowercase
+    whitespace unigrams plus adjacent bigrams, md5-bucketed into
+    ``m`` feature bins (DSIR's hashed bag-of-ngrams featurization).
+
+    Engine-portable on purpose: the DuckDB twin is
+    ``('0x' || substr(md5(gram || salt), 1, 8))::BIGINT % m`` over
+    ``string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+')``
+    unigrams and 1-indexed ``w[i] || ' ' || w[i+1]`` bigrams. Narrow
+    explode in the scan stage — no shuffle; the fan-out is bounded by
+    2x tokens per doc.
+    """
+    from .textstats import WS_RE2
+
+    t = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_RE2)
+    grams = t
+    if bigrams:
+        n = F.size(t)
+        bi = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(t, 1, n - 1),
+                F.slice(t, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(t, bi)
+    g = F.explode(grams).alias("gram")
+    occ = df.select(F.col(id_col), g)
+    return occ.select(
+        F.col(id_col),
+        (hash_bucket(F.col("gram"), salt) % F.lit(m)).alias("b"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int = 4096,
+    alpha: float = 1.0,
+    salt: str = "",
+    bigrams: bool = True,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS — public paper; no reference-repo analog, this extends the
+    engine's curation family).
+
+    Features are hashed n-grams (unigrams + bigrams -> ``m`` bins);
+    the target and raw corpora each induce a smoothed multinomial over
+    bins, and a document's weight is its log-likelihood ratio:
+    ``sum over gram occurrences of ln(p_target(b)/p_raw(b))`` with
+    add-``alpha`` smoothing. Returns ``(id, logw)``, one row per raw
+    document with at least one token.
+
+    Scale design (100 TB raw corpus, bounded target):
+    - the only corpus-sized shuffles are two m-BOUNDED count
+      aggregations (map-side combined: each task emits <= m partial
+      rows regardless of input size) and the per-doc sum (map-side
+      combined on the doc key, no skew — every doc contributes its
+      own rows only);
+    - the bin ratio table is <= m rows (m defaults to 4096) and
+      BROADCASTS to the occurrence stream — the per-doc join never
+      shuffles the corpus;
+    - raw-side bins always exist in the raw count frame (every doc's
+      grams are counted), so the ratio join is an inner join with no
+      null legs; target-absent bins take the smoothed floor via a
+      left join + coalesce(0).
+    """
+    if m <= 0:
+        raise ValueError(f"m must be positive, got {m}")
+    r_occ = _hashed_ngram_occurrences(raw, id_col, text_col, m, salt, bigrams)
+    t_occ = _hashed_ngram_occurrences(target, id_col, text_col, m, salt, bigrams)
+    r_cnt = r_occ.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    t_cnt = t_occ.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    # scalar totals: tiny frames (<= m rows) crossJoined as 1-row
+    # literals — the q22/q11 broadcast-cutoff idiom, never a re-scan
+    r_tot = r_cnt.agg(F.sum("cr").alias("rt"))
+    t_tot = t_cnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    am = float(alpha) * m
+    ratio = (
+        r_cnt.join(t_cnt, "b", "left")
+        .crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("tt") + F.lit(am))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(float(alpha)))
+                    / (F.col("rt") + F.lit(am))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        r_occ.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(F.sum("lr").alias("logw"))
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    m: int = 4096,
+    alpha: float = 1.0,
+    salt: str = "",
+    bigrams: bool = True,
+) -> DataFrame:
+    """DSIR selection: top-``k`` raw documents by importance weight
+    plus deterministic Gumbel noise — sampling WITHOUT replacement
+    with probability proportional to exp(logw) (the Gumbel-top-k
+    trick), but content-addressed like every sampler here: the noise
+    is derived from the document identity's md5, so the selected set
+    is reproducible across engines, partitionings, and re-runs.
+
+    Output ``(id, weight)`` where weight = floor-quantized logw (1e-6
+    quanta — both engines sum the same bin ratios; quantization
+    absorbs last-ulp libm divergence in ln()). Ordering/membership is
+    decided on the quantized Gumbel-perturbed score with the id as
+    the final tie-break.
+
+    Scale: everything in ``dsir_weights`` plus one TakeOrdered over
+    per-doc rows — no global sort is materialized.
+    """
+    w = dsir_weights(raw, target, id_col, text_col, m, alpha, salt, bigrams)
+    u = (hash_bucket(id_col, salt + "g1") + F.lit(0.5)) / F.lit(_BUCKETS)
+    gumbel = -F.log(-F.log(u))
+    quant = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.001)) / F.lit(1e6)  # noqa: E731
+    return (
+        w.select(
+            F.col(id_col),
+            quant(F.col("logw")).alias("weight"),
+            quant(F.col("logw") + gumbel).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(int(k))
+        .select(id_col, "weight")
+    )

@@ -159,3 +159,74 @@ def test_split_assign_stable_and_leakage_free(spark):
     assert sum(1 for v in part.values() if v is None) > 0
     with pytest.raises(ValueError, match="> 1"):
         split_assign(df, "id", {"a": 0.9, "b": 0.2})
+
+
+def _dsir_corpora(spark):
+    """Target speaks 'chemistry'; half the raw docs do too, the other
+    half speak an unrelated vocabulary."""
+    target = spark.createDataFrame(
+        [(1000 + i,
+          "the reaction yields a stable molecule under acid catalysis")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    on = [(i, "acid catalysis of the molecule gives a stable reaction")
+          for i in range(20)]
+    off = [(100 + i, "stadium crowd cheers loudly as the striker scores")
+           for i in range(20)]
+    raw = spark.createDataFrame(on + off, "doc_id long, text string")
+    return raw, target
+
+
+def test_dsir_weights_rank_in_distribution_docs_first(spark):
+    from slurm2sql_spark.operators.sampling import dsir_weights
+
+    raw, target = _dsir_corpora(spark)
+    w = {r["doc_id"]: r["logw"]
+         for r in dsir_weights(raw, target, "doc_id", "text", m=512).collect()}
+    assert len(w) == 40
+    worst_on = min(v for k, v in w.items() if k < 100)
+    best_off = max(v for k, v in w.items() if k >= 100)
+    assert worst_on > best_off  # every on-distribution doc outranks all off
+
+
+def test_dsir_select_membership_and_determinism(spark):
+    from slurm2sql_spark.operators.sampling import dsir_select
+
+    raw, target = _dsir_corpora(spark)
+    sel = dsir_select(raw, target, "doc_id", "text", k=20, m=512)
+    ids = [r["doc_id"] for r in sel.collect()]
+    assert len(ids) == 20
+    # Gumbel noise spread is O(1); the planted weight gap is >> that,
+    # so the selection is dominated by the on-distribution docs
+    assert sum(1 for i in ids if i < 100) >= 18
+    # content-addressed: identical on re-run and under repartitioning
+    again = [r["doc_id"]
+             for r in dsir_select(raw.repartition(7), target, "doc_id",
+                                  "text", k=20, m=512).collect()]
+    assert ids == again
+
+
+def test_dsir_ratio_join_is_broadcast_and_aggs_partial(spark):
+    """Scale contract: the m-row bin-ratio table must broadcast to the
+    corpus occurrence stream (never a shuffled join of the corpus on
+    the bin key), and no Window appears anywhere."""
+    from slurm2sql_spark.operators.sampling import dsir_weights
+
+    raw, target = _dsir_corpora(spark)
+    plan = dsir_weights(
+        raw, target, "doc_id", "text", m=512
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+    assert "Window" not in plan
+    # the per-doc sum and bin counts are partial-aggregable
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_dsir_validates_m(spark):
+    from slurm2sql_spark.operators.sampling import dsir_weights
+
+    raw, target = _dsir_corpora(spark)
+    with pytest.raises(ValueError, match="m must be positive"):
+        dsir_weights(raw, target, "doc_id", "text", m=0)
