@@ -1031,16 +1031,35 @@ def paragraph_stats(
         grains.groupBy("para_hash")
         .agg(F.count(F.lit(1)).alias("_reach"))
         .filter(F.col("_reach") >= F.lit(min_docs))
-        .select("para_hash", F.lit(True).alias("_rep"))
+        .select("para_hash")
     )
-    flagged = grains.join(flags, "para_hash", "left")
-    rep = F.coalesce(F.col("_rep"), F.lit(False))
-    return flagged.groupBy(F.col("_id").alias(id_col)).agg(
+    # INNER join: only the FLAGGED grains (boilerplate is a small
+    # fraction of distinct (doc, para) grains even when its total
+    # occurrence reach is huge) cross the hash-keyed join — the
+    # unflagged bulk of the corpus never re-shuffles. Totals come from
+    # a separate direct per-doc aggregate of the persisted grains, and
+    # the two doc-keyed frames merge on the doc id (both <= |docs|
+    # rows, co-partitioned by their aggregates, so the merge adds no
+    # exchange).
+    rep_doc = (
+        grains.join(flags, "para_hash")
+        .groupBy("_id")
+        .agg(
+            F.sum("_occ").alias("_rep_occ"),
+            F.sum(F.col("_occ") * F.col("_len")).alias("_rep_chars"),
+        )
+    )
+    tot_doc = grains.groupBy("_id").agg(
         F.sum("_occ").alias("n_paras"),
-        F.sum(F.when(rep, F.col("_occ")).otherwise(0)).alias("n_repeated"),
+        F.sum(F.col("_occ") * F.col("_len")).alias("_tot_chars"),
+    )
+    return tot_doc.join(rep_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_paras",
+        F.coalesce(F.col("_rep_occ"), F.lit(0)).alias("n_repeated"),
         (
-            F.sum(F.when(rep, F.col("_occ") * F.col("_len")).otherwise(F.lit(0)))
-            / F.sum(F.col("_occ") * F.col("_len"))
+            F.coalesce(F.col("_rep_chars"), F.lit(0))
+            / F.col("_tot_chars")
         ).alias("repeated_char_share"),
     )
 

@@ -73,6 +73,11 @@ DUCK_QUERIES = [
     # r8: cross-source overlap — per-class fan-out bounded by |sources|,
     # oracle's h-equijoin has the same bound (no all-pairs)
     "source_overlap",
+    # r9: Bloom decontamination — the oracle is L33's linear
+    # shingle-join shape; DSIR — linear explode + m-bounded bin counts
+    # in both engines
+    "decontaminate_bloom",
+    "dsir_selection",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
