@@ -4389,6 +4389,28 @@ def pivot_event_counts(spark, sf_dir):
 # deterministic multi-paragraph corpus the same way Group B derives
 # sacct strings from lineitem: word-chunks joined by blank lines, plus
 # known repeated header/footer paragraphs on modular doc_id subsets).
+#: DuckDB twin of ``_paragraph_docs``'s synthesized paragraph corpus —
+#: ONE source of truth composed into every paragraph-family oracle
+#: (dedup_paragraph, doc_repetition, boilerplate_scrub), so a change to
+#: the synthesis cannot silently diverge the twins (VERDICT r8 #8
+#: discipline).
+_PARA_BASE_SQL = r"""    WITH base AS (
+      SELECT doc_id,
+             concat_ws(chr(10)||chr(10),
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'subscribe to our newsletter for updates' END,
+               array_to_string(
+                 list_transform(
+                   range(0, greatest(CAST(ceil(len(w)/4.0) AS BIGINT), 1)),
+                   i -> array_to_string(w[(i*4+1):(i*4+4)], ' ')),
+                 chr(10)||chr(10)),
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'all rights reserved copyright notice' END) AS t2
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents)
+    ),
+"""
+
 _BOILER_HEAD = "subscribe to our newsletter for updates"
 _BOILER_FOOT = "all rights reserved copyright notice"
 
@@ -4423,22 +4445,7 @@ def _paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_paragraph",
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             concat_ws(chr(10)||chr(10),
-               CASE WHEN doc_id % 5 = 0
-                    THEN 'subscribe to our newsletter for updates' END,
-               array_to_string(
-                 list_transform(
-                   range(0, greatest(CAST(ceil(len(w)/4.0) AS BIGINT), 1)),
-                   i -> array_to_string(w[(i*4+1):(i*4+4)], ' ')),
-                 chr(10)||chr(10)),
-               CASE WHEN doc_id % 7 = 0
-                    THEN 'all rights reserved copyright notice' END) AS t2
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-            FROM documents)
-    ),
+    _PARA_BASE_SQL + r"""
     paras AS (
       SELECT doc_id, md5(p_norm) AS h, length(p_norm) AS chars
       FROM (
@@ -4487,23 +4494,70 @@ def dedup_paragraph(spark, sf_dir):
 
 
 @register(
-    "doc_repetition",
-    r"""
-    WITH base AS (
-      SELECT doc_id,
-             concat_ws(chr(10)||chr(10),
-               CASE WHEN doc_id % 5 = 0
-                    THEN 'subscribe to our newsletter for updates' END,
-               array_to_string(
-                 list_transform(
-                   range(0, greatest(CAST(ceil(len(w)/4.0) AS BIGINT), 1)),
-                   i -> array_to_string(w[(i*4+1):(i*4+4)], ' ')),
-                 chr(10)||chr(10)),
-               CASE WHEN doc_id % 7 = 0
-                    THEN 'all rights reserved copyright notice' END) AS t2
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-            FROM documents)
+    "boilerplate_scrub",
+    _PARA_BASE_SQL + r"""
+    paras AS (
+      SELECT doc_id, i, p,
+             regexp_replace(lower(trim(p)), '\s+', ' ', 'g') AS pn
+      FROM (
+        SELECT doc_id,
+               string_split_regex(t2, '\n[ \t]*\n[ \t\n]*') AS ps
+        FROM base
+      ), LATERAL (SELECT unnest(range(1, len(ps) + 1)) AS i),
+         LATERAL (SELECT ps[i] AS p)
+      WHERE length(regexp_replace(lower(trim(p)), '\s+', ' ', 'g')) > 0
     ),
+    bl AS (
+      SELECT md5(pn) AS h FROM paras
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT doc_id, i, p FROM paras
+      WHERE md5(pn) NOT IN (SELECT h FROM bl)
+    ),
+    tot AS (SELECT doc_id, count(*) AS n FROM paras GROUP BY 1),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(p, chr(10)||chr(10) ORDER BY i) AS text
+      FROM kept GROUP BY 1
+    )
+    SELECT b.doc_id,
+           coalesce(a.text, '') AS text,
+           CAST(coalesce(t.n, 0) AS BIGINT) AS n_paras,
+           CAST(coalesce(t.n, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM (SELECT DISTINCT doc_id FROM base) b
+    LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Boilerplate REMOVAL — the stage after dedup_paragraph's "
+    "measurement: repeated_paragraphs builds the blocklist (normalized-"
+    "paragraph md5s seen in >= 2 docs), scrub_paragraphs strips every "
+    "blocklisted paragraph and reassembles each document from its "
+    "surviving paragraphs' original bytes (canonical \\n\\n joins), "
+    "returning the cleaned text plus per-doc removal counts — byte-"
+    "for-byte verified against the SQL twin, including all-boilerplate "
+    "docs collapsing to ''. Scale: the thresholded blocklist "
+    "BROADCASTS, so the paragraph match is map-side; the one corpus "
+    "shuffle is the per-doc reassembly groupBy, keyed by doc id with "
+    "partition weight bounded by document length (popularity skew "
+    "cannot concentrate it). A zero-shuffle inline twin "
+    "(scrub_paragraphs_inline, isin-set scan projection) covers the "
+    "driver-held-blocklist regime; pytest pins mode equality.",
+)
+def boilerplate_scrub(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import (
+        repeated_paragraphs,
+        scrub_paragraphs,
+    )
+
+    docs = _paragraph_docs(spark, sf_dir)
+    bl = repeated_paragraphs(docs, "doc_id", "text", min_docs=2)
+    return scrub_paragraphs(docs, "doc_id", "text", bl)
+
+
+@register(
+    "doc_repetition",
+    _PARA_BASE_SQL + r"""
     paras AS (
       SELECT doc_id, md5(p_norm) AS h, length(p_norm) AS chars
       FROM (
@@ -4660,9 +4714,11 @@ _GATE_TAIL = [
     # rotated r9 (second batch) to make room for the 8 TPC-H
     # completions (q8/q9/q11/q12/q16/q19/q20/q21): the similarity
     # family + mix_fractions, all green r5-r8 with no code churn
-    # rotated r9 (fourth batch) to make room for dsir_selection: green
-    # r1-r8 with no churn
+    # rotated r9 (fourth batch) to make room for dsir_selection and
+    # boilerplate_scrub: green r1-r8 / r5-r8 with no churn,
+    # vocab_top_terms with 100x evidence on its SCALING row
     "pivot_event_counts",
+    "vocab_top_terms",
     "sim_topk_cosine",
     "sim_lsh_topk",
     "sim_lsh_recall",

@@ -65,6 +65,8 @@ __all__ = [
     "keep_best",
     "paragraph_stats",
     "repeated_paragraphs",
+    "scrub_paragraphs",
+    "scrub_paragraphs_inline",
 ]
 
 #: frames persisted by operators in this module (see
@@ -1096,4 +1098,116 @@ def repeated_paragraphs(
             F.min("_pn").alias("paragraph"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+def scrub_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklist: DataFrame,
+    sep: str = PARAGRAPH_SEP,
+    out_sep: str = "\n\n",
+) -> DataFrame:
+    """Remove blocklisted boilerplate paragraphs and reassemble each
+    document — the REMOVAL stage of the Lee-et-al span-dedup loop
+    (:func:`paragraph_stats` measures, :func:`repeated_paragraphs`
+    builds the blocklist, this applies it). Matching is on the md5 of
+    the NORMALIZED paragraph (lowercase, collapsed whitespace), so
+    cosmetic variants of a footer all match one blocklist row; the
+    reassembled text keeps each surviving paragraph's ORIGINAL bytes,
+    joined by ``out_sep`` (paragraph separators are canonicalized —
+    the same normalization stance as the reference's whitespace-lax
+    field handling, slurm2sql.py:214). Paragraphs that normalize to
+    empty are dropped as part of canonicalization (they are invisible
+    to the stats pass too).
+
+    ``blocklist`` needs one ``para_hash`` column (take
+    ``repeated_paragraphs(...)`` output, optionally further filtered/
+    capped by the caller).
+
+    Returns one row per input document: ``(id, text, n_paras,
+    n_removed)`` — text is '' when everything was boilerplate.
+
+    Scale posture (100 TB): the blocklist BROADCASTS (it is the
+    curated, thresholded set — small by construction; cap it if a
+    pathological corpus inflates it), so the per-paragraph anti-join
+    is map-side and the exploded corpus never shuffles for the match.
+    The ONE corpus-sized shuffle is the per-doc reassembly groupBy —
+    intrinsic to rewriting documents (rows of a doc must meet), keyed
+    by the doc id with partition weight bounded by document length,
+    never by corpus-wide paragraph popularity (no skewed key exists).
+    collect_list is bounded by a single document's paragraphs.
+    """
+    bl = blocklist.select("para_hash").distinct()
+    paras = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_p"),
+        )
+        .withColumn("_pn", normalize_text(F.col("_p")))
+        .filter(F.length("_pn") > 0)
+        .withColumn("para_hash", F.md5("_pn"))
+    )
+    kept = paras.join(F.broadcast(bl), "para_hash", "left_anti")
+    kept_doc = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_p"))),
+                lambda s: s["_p"],
+            ),
+            out_sep,
+        ).alias("_text"),
+    )
+    tot_doc = paras.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_paras"))
+    # anchor on the input ids so documents with NO non-empty paragraphs
+    # (empty/whitespace text) survive with text='' and zero counts
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(tot_doc, "_id", "left")
+        .join(kept_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("_n_paras"), F.lit(0)).alias("n_paras"),
+            (
+                F.coalesce(F.col("_n_paras"), F.lit(0))
+                - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
+
+
+def scrub_paragraphs_inline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocked_hashes: list[str],
+    sep: str = PARAGRAPH_SEP,
+    out_sep: str = "\n\n",
+) -> DataFrame:
+    """Zero-shuffle twin of :func:`scrub_paragraphs` for a DRIVER-HELD
+    blocklist: the hashes become an ``isin`` set in a scan-stage array
+    filter, so the whole scrub (split, match, reassemble, counts) is
+    one narrow projection — no explode, no join, no shuffle at all.
+
+    Use when the blocklist is already collected (e.g. reused across
+    daily batches); keep it modest (<~100k hashes — the set embeds in
+    the task binary). Output is identical to :func:`scrub_paragraphs`
+    given ``blocked_hashes = [r.para_hash for r in blocklist]``.
+    """
+    raw = F.split(F.col(text_col), sep)
+    nonempty = F.filter(raw, lambda p: F.length(normalize_text(p)) > 0)
+    if blocked_hashes:
+        kept = F.filter(
+            nonempty,
+            lambda p: ~F.md5(normalize_text(p)).isin(*blocked_hashes),
+        )
+    else:
+        kept = nonempty
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, out_sep).alias(text_col),
+        F.size(nonempty).alias("n_paras"),
+        (F.size(nonempty) - F.size(kept)).alias("n_removed"),
     )

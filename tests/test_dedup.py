@@ -558,3 +558,84 @@ def test_decontaminate_bloom_corpus_side_is_map_side(spark):
     n_bitor = len(re.findall(r"partial_bit_or", plan))
     assert n_widx_ex <= n_bitor, plan
     release_caches()
+
+
+def test_scrub_paragraphs_removes_blocklist_and_keeps_bytes(spark):
+    """Matching is on the NORMALIZED hash (case/whitespace variants of
+    a footer all match) but surviving paragraphs keep their original
+    bytes; every input doc survives, including empty and
+    all-boilerplate ones."""
+    from slurm2sql_spark.operators.dedup import (
+        repeated_paragraphs,
+        scrub_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "FOOTER Text\n\nBody One Is UNIQUE"),
+            (2, "footer   text\n\nbody two differs\n\nfooter text"),
+            (3, "only unique content here"),
+            (4, "footer text"),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    bl = repeated_paragraphs(docs, "doc_id", "text", min_docs=2)
+    out = {
+        r["doc_id"]: r
+        for r in scrub_paragraphs(docs, "doc_id", "text", bl).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["text"] == "Body One Is UNIQUE"  # original bytes kept
+    assert out[1]["n_removed"] == 1 and out[1]["n_paras"] == 2
+    assert out[2]["text"] == "body two differs" and out[2]["n_removed"] == 2
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 1  # all boiler
+    assert out[5]["text"] == "" and out[5]["n_paras"] == 0  # empty input
+
+
+def test_scrub_paragraphs_inline_twin_identical_and_zero_shuffle(spark):
+    from slurm2sql_spark.operators.dedup import (
+        repeated_paragraphs,
+        scrub_paragraphs,
+        scrub_paragraphs_inline,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"shared footer line\n\nunique body {i}" if i % 2 == 0
+          else f"unique body {i}") for i in range(40)],
+        "doc_id int, text string",
+    )
+    bl = repeated_paragraphs(docs, "doc_id", "text", min_docs=2)
+    a = sorted(map(tuple, scrub_paragraphs(docs, "doc_id", "text", bl).collect()))
+    hashes = [r["para_hash"] for r in bl.collect()]
+    inline = scrub_paragraphs_inline(docs, "doc_id", "text", hashes)
+    b = sorted(map(tuple, inline.collect()))
+    assert a == b
+    plan = inline._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure scan-stage projection
+    # empty blocklist is a no-op scrub
+    noop = scrub_paragraphs_inline(docs, "doc_id", "text", [])
+    assert all(r["n_removed"] == 0 for r in noop.collect())
+
+
+def test_scrub_paragraphs_blocklist_broadcasts(spark):
+    """Scale contract: the match join must be a broadcast anti-join —
+    the exploded corpus never shuffles to meet the blocklist."""
+    from slurm2sql_spark.operators.dedup import (
+        repeated_paragraphs,
+        scrub_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"shared footer line\n\nunique body {i}") for i in range(30)],
+        "doc_id int, text string",
+    )
+    bl = repeated_paragraphs(docs, "doc_id", "text", min_docs=2)
+    plan = scrub_paragraphs(
+        docs, "doc_id", "text", bl
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    anti = [seg for seg in plan.splitlines() if "LeftAnti" in seg]
+    assert anti and all("Broadcast" in seg for seg in anti), anti
