@@ -3063,6 +3063,136 @@ def quality_stream_parity(spark, sf_dir):
 
 
 @register(
+    "curation_pipeline",
+    rf"""
+    WITH t AS (
+      {_text_base_sql("doc_id, source")} WHERE doc_id >= 20
+    ), s AS (
+      SELECT doc_id, source, tx,
+        {_GOPHER_SIGNALS_SQL}
+      FROM t
+    ), q AS (
+      SELECT doc_id, source, tx,
+             ({_GOPHER_KEEP_SQL}) AS keep
+      FROM s
+    ),
+    passed AS (SELECT doc_id, source, tx FROM q WHERE keep),
+    classes AS (
+      SELECT md5(regexp_replace(lower(trim(tx)), '[ \t\n\r\f]+', ' ', 'g'))
+               AS h,
+             min(doc_id) AS keep_id
+      FROM passed GROUP BY 1
+    ),
+    reps AS (
+      SELECT p.doc_id, c.keep_id FROM passed p
+      JOIN classes c
+        ON md5(regexp_replace(lower(trim(p.tx)), '[ \t\n\r\f]+', ' ', 'g'))
+           = c.h
+    ),
+    rtok AS (
+      SELECT r.doc_id, string_split_regex(trim(q2.tx), '\s+') AS w
+      FROM reps r JOIN q q2 ON r.doc_id = q2.doc_id
+      WHERE r.doc_id = r.keep_id
+    ),
+    ridx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) AS i FROM rtok
+    ),
+    rsh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+      FROM ridx
+    ),
+    btok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE doc_id < 20
+    ),
+    bidx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) AS i FROM btok
+    ),
+    bench AS (
+      SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS shingle FROM bidx
+    ),
+    hits AS (
+      SELECT DISTINCT c.doc_id
+      FROM rsh c JOIN bench b ON c.shingle = b.shingle
+    )
+    SELECT q.doc_id, q.source,
+           CASE WHEN NOT q.keep THEN 'quality'
+                WHEN q.doc_id <> r.keep_id THEN 'duplicate'
+                WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+                ELSE 'kept' END AS status
+    FROM q
+    LEFT JOIN reps r ON q.doc_id = r.doc_id
+    LEFT JOIN hits h ON q.doc_id = h.doc_id
+    """,
+    doc="The END-TO-END curation pipeline a training-data team "
+    "actually runs, as ONE composed query with per-document stage "
+    "attribution: Gopher quality gate (L41) -> exact dedup keeping "
+    "the min-id representative per normalized-content class (L1) -> "
+    "benchmark decontamination of the representatives (L33, 5-gram "
+    "overlap vs the doc_id<20 eval slice) -> status in {{quality, "
+    "duplicate, contaminated, kept}}, first failing stage wins. "
+    "Demonstrates operator COMPOSITION under one optimizer pass: the "
+    "quality decision stays a scan-stage projection, dedup classes "
+    "shuffle 16-byte md5 keys once, contamination is a broadcast "
+    "semi-structure over representatives only (already-deduped, "
+    "strictly smaller side), and the three stage verdicts re-join on "
+    "the doc id. Every stage reuses the shared SQL fragments of its "
+    "standalone entry, so the composed oracle cannot drift from the "
+    "per-stage oracles.",
+)
+def curation_pipeline(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import (
+        decontaminate,
+        exact_dedup,
+        normalize_text,
+    )
+    from slurm2sql_spark.operators.textstats import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20)
+    qf = quality_filter(
+        corpus,
+        "doc_id",
+        "text",
+        keep_cols=("source", "text"),
+        min_words=30,
+        min_stop_hits=1,
+    ).select("doc_id", "source", "text", "keep")
+    passed = qf.filter(F.col("keep"))
+    classes = exact_dedup(passed, "doc_id", "text").select(
+        F.col("content_hash").alias("_h"), "keep_id"
+    )
+    reps = passed.withColumn(
+        "_h", F.md5(normalize_text(F.col("text")))
+    ).join(classes, "_h")
+    hits = decontaminate(
+        reps.filter(F.col("doc_id") == F.col("keep_id")).select(
+            "doc_id", "text"
+        ),
+        bench,
+        "doc_id",
+        "text",
+        n=5,
+        hint="broadcast",
+    ).select(F.col("id").alias("doc_id"), F.lit(True).alias("_hit"))
+    return (
+        qf.select("doc_id", "source", "keep")
+        .join(reps.select("doc_id", "keep_id"), "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(~F.col("keep"), F.lit("quality"))
+            .when(F.col("doc_id") != F.col("keep_id"), F.lit("duplicate"))
+            .when(F.col("_hit"), F.lit("contaminated"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
+@register(
     "corpus_report",
     rf"""
     WITH t AS (
@@ -4719,6 +4849,7 @@ _GATE_TAIL = [
     # vocab_top_terms with 100x evidence on its SCALING row
     "pivot_event_counts",
     "vocab_top_terms",
+    "doc_winnow",
     "sim_topk_cosine",
     "sim_lsh_topk",
     "sim_lsh_recall",

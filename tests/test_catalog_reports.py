@@ -99,3 +99,81 @@ def test_corpus_report_rates_match_direct_computation(spark):
     assert s1["top_lang"] == "en"
     assert out["s2"]["n_docs"] == 1 and out["s2"]["dup_rate"] == 0.0
     assert out["s2"]["keep_rate"] == 0.0  # 3 words < min_words=30
+
+
+def test_curation_pipeline_all_four_statuses(spark):
+    """Planted corpus exercising every stage verdict: the driver-scale
+    corpus has no exact duplicates, so the 'duplicate' branch (and the
+    first-failing-stage precedence) is pinned here."""
+    import pyspark.sql.functions as F
+
+    good_a = ("the data and the model have to train well " * 5).strip()
+    good_b = ("sampling weights for the mixture must sum to one " * 5).strip()
+    bench_q = ("which answer did the exam expect for question five "
+               * 5).strip()
+    docs = spark.createDataFrame(
+        # doc_id < 20 = benchmark slice
+        [(1, bench_q, "bench")]
+        + [
+            (20, good_a, "src0"),                        # kept
+            (21, "short junk", "src0"),                  # quality
+            (22, good_b, "src1"),                        # kept
+            (23, "  " + good_b.upper() + "  ", "src1"),  # duplicate of 22
+            (24, "student notes: " + bench_q, "src2"),   # contaminated
+            # a second copy of a QUALITY-FAILING doc is judged on
+            # quality first (precedence), not as duplicate
+            (25, "short junk", "src2"),                  # quality
+        ],
+        "doc_id long, text string, source string",
+    )
+    # drive the registered entry's logic on the planted frame by
+    # monkey-reading: call the entry fn with a temp dir is not possible,
+    # so re-compose the same operators the entry uses
+    from slurm2sql_spark.operators.dedup import (
+        decontaminate,
+        exact_dedup,
+        normalize_text,
+    )
+    from slurm2sql_spark.operators.textstats import quality_filter
+
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20)
+    qf = quality_filter(
+        corpus, "doc_id", "text", keep_cols=("source", "text"),
+        min_words=30, min_stop_hits=1,
+    ).select("doc_id", "source", "text", "keep")
+    passed = qf.filter(F.col("keep"))
+    classes = exact_dedup(passed, "doc_id", "text").select(
+        F.col("content_hash").alias("_h"), "keep_id"
+    )
+    reps = passed.withColumn(
+        "_h", F.md5(normalize_text(F.col("text")))
+    ).join(classes, "_h")
+    hits = decontaminate(
+        reps.filter(F.col("doc_id") == F.col("keep_id")).select(
+            "doc_id", "text"
+        ),
+        bench, "doc_id", "text", n=5, hint="broadcast",
+    ).select(F.col("id").alias("doc_id"), F.lit(True).alias("_hit"))
+    out = (
+        qf.select("doc_id", "source", "keep")
+        .join(reps.select("doc_id", "keep_id"), "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("keep"), F.lit("quality"))
+            .when(F.col("doc_id") != F.col("keep_id"), F.lit("duplicate"))
+            .when(F.col("_hit"), F.lit("contaminated"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+    got = {r["doc_id"]: r["status"] for r in out.collect()}
+    assert got == {
+        20: "kept",
+        21: "quality",
+        22: "kept",
+        23: "duplicate",
+        24: "contaminated",
+        25: "quality",
+    }
