@@ -3522,8 +3522,11 @@ def mix_fractions_q(spark, sf_dir):
              ('0x' || substr(md5(g || 'd1'), 1, 8))::BIGINT % 1024 AS b
       FROM grams
     ),
-    rcnt AS (SELECT b, count(*) AS cr FROM occ WHERE source <> 'src0'
-             GROUP BY 1),
+    -- (doc, bin) grains mirror the engine's collapse-first shape so
+    -- both sides sum n*lr (same float ops, same quantization behavior)
+    rgrain AS (SELECT doc_id, b, count(*) AS n FROM occ
+               WHERE source <> 'src0' GROUP BY 1, 2),
+    rcnt AS (SELECT b, sum(n) AS cr FROM rgrain GROUP BY 1),
     tcnt AS (SELECT b, count(*) AS ct FROM occ WHERE source = 'src0'
              GROUP BY 1),
     tot AS (SELECT (SELECT sum(cr) FROM rcnt) AS rt,
@@ -3535,8 +3538,8 @@ def mix_fractions_q(spark, sf_dir):
       FROM rcnt r LEFT JOIN tcnt t USING (b), tot
     ),
     w AS (
-      SELECT o.doc_id, sum(lr) AS logw
-      FROM occ o JOIN ratio USING (b) WHERE o.source <> 'src0' GROUP BY 1
+      SELECT g.doc_id, sum(g.n * lr) AS logw
+      FROM rgrain g JOIN ratio USING (b) GROUP BY 1
     ),
     sc AS (
       SELECT doc_id,

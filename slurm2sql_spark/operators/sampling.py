@@ -278,9 +278,21 @@ def dsir_weights(
     """
     if m <= 0:
         raise ValueError(f"m must be positive, got {m}")
-    r_occ = _hashed_ngram_occurrences(raw, id_col, text_col, m, salt, bigrams)
+    # collapse the raw side to (doc, bin) grains FIRST: the fan-out of
+    # the explode dies in a map-side-combinable aggregate, and both
+    # downstream consumers (the corpus bin counts and the per-doc
+    # weight sum) read the collapsed frame — one corpus scan, and the
+    # ratio join processes ~distinct-bins-per-doc rows instead of
+    # every gram occurrence (the paragraph_stats grain idiom).
+    from .dedup import _persist
+
+    r_occ = _persist(
+        _hashed_ngram_occurrences(raw, id_col, text_col, m, salt, bigrams)
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     t_occ = _hashed_ngram_occurrences(target, id_col, text_col, m, salt, bigrams)
-    r_cnt = r_occ.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    r_cnt = r_occ.groupBy("b").agg(F.sum("_n").alias("cr"))
     t_cnt = t_occ.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     # scalar totals: tiny frames (<= m rows) crossJoined as 1-row
     # literals — the q22/q11 broadcast-cutoff idiom, never a re-scan
@@ -308,7 +320,7 @@ def dsir_weights(
     return (
         r_occ.join(F.broadcast(ratio), "b")
         .groupBy(id_col)
-        .agg(F.sum("lr").alias("logw"))
+        .agg(F.sum(F.col("_n") * F.col("lr")).alias("logw"))
     )
 
 

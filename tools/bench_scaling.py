@@ -134,6 +134,10 @@ X100_QUERIES = [
     # r9 (VERDICT r8 #6): Spark flat 1x->10x while DuckDB grows
     # 2.81x/decade — the 100x row documents the expected cross.
     "source_overlap",
+    # r9: the two new document-family entries, same falling-gap trend
+    # (dsir 11.6x -> 3.6x, bloom 5.4x -> 3.9x across the first decade)
+    "decontaminate_bloom",
+    "dsir_selection",
 ]
 X100_DUCK_SKIP: set[str] = set()
 # r9 (VERDICT r8 #5): sacct_eff's oracle SELECTs every per-job row, so
