@@ -3503,6 +3503,41 @@ def mix_fractions_q(spark, sf_dir):
 
 
 @register(
+    "mix_temperature",
+    """
+    WITH counts AS (
+      SELECT lang AS stratum, count(*) AS n FROM documents GROUP BY 1
+    ),
+    p AS (SELECT stratum, n, pow(n, 1.0/3.0) AS pw FROM counts),
+    tots AS (SELECT sum(pw) AS s, sum(n) AS nt FROM p),
+    tgt AS (SELECT stratum, n, pw / s AS prob, nt FROM p, tots),
+    r AS (SELECT min(n / (nt * prob)) AS rr FROM tgt)
+    SELECT stratum, n,
+           floor(prob * 1000000 + 0.001) / 1000000 AS target,
+           floor(least(1.0, prob * rr * nt / n) * 1000000 + 0.001)
+             / 1000000 AS fraction
+    FROM tgt, r
+    """,
+    doc="Temperature-scaled domain mixing (Conneau & Lample 2019 / "
+    "mT5 multilingual sampling): target mixture p_i = n_i^(1/T) / "
+    "sum n_j^(1/T) flattens the natural distribution as T grows (T=3 "
+    "here over the documents lang column), then the downsample-only "
+    "retention logic of mix_fractions scales everything by R = min "
+    "n_i/(N*p_i) so the most up-weighted stratum keeps 1.0 and "
+    "nothing needs upsampling. One |strata|-bounded map-side-combined "
+    "count; the rest is arithmetic over the tiny frame with 1-row "
+    "broadcast crossJoins for the scalars. pow/min are libm on both "
+    "engines — targets and fractions floor-quantized at 1e-6.",
+)
+def mix_temperature_q(spark, sf_dir):
+    from slurm2sql_spark.operators.sampling import mix_temperature
+
+    return mix_temperature(
+        _t(spark, sf_dir, "documents"), "lang", 3.0
+    )
+
+
+@register(
     "dsir_selection",
     r"""
     WITH tok AS (
@@ -4853,6 +4888,7 @@ _GATE_TAIL = [
     "pivot_event_counts",
     "vocab_top_terms",
     "doc_winnow",
+    "pack_sequences",
     "sim_topk_cosine",
     "sim_lsh_topk",
     "sim_lsh_recall",

@@ -25,6 +25,7 @@ __all__ = [
     "hash_bucket",
     "deterministic_sample",
     "mix_fractions",
+    "mix_temperature",
     "sample_exact_k",
     "split_assign",
     "dsir_weights",
@@ -364,4 +365,57 @@ def dsir_select(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(int(k))
         .select(id_col, "weight")
+    )
+
+
+def mix_temperature(
+    df: DataFrame,
+    stratum_col: str,
+    temperature: float,
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual sampling
+    idiom of Conneau & Lample 2019 / mT5): target mixture
+    ``p_i = n_i^(1/T) / sum_j n_j^(1/T)``, flattening the corpus
+    distribution as T grows (T=1 reproduces natural proportions,
+    T→inf approaches uniform), then the same downsample-only
+    retention logic as :func:`mix_fractions` — scale all targets by
+    ``R = min_i n_i / (N * p_i)`` so the binding (most up-weighted)
+    stratum keeps everything and no stratum needs upsampling.
+
+    Returns ``(stratum, n, target, fraction)``; feed the fractions to
+    :func:`deterministic_sample`. Targets and fractions are
+    floor-quantized at 1e-6 (pow/min are libm on both engines).
+
+    Scale: one |strata|-bounded count aggregate (map-side combined),
+    then arithmetic over the tiny frame with two 1-row broadcast
+    crossJoins for the scalar sums — never a second corpus scan.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    a = 1.0 / float(temperature)
+    quant = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.001)) / F.lit(1e6)  # noqa: E731
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    powed = counts.withColumn("_pw", F.pow(F.col("n"), F.lit(a)))
+    tots = powed.agg(
+        F.sum("_pw").alias("_s"), F.sum("n").alias("_N")
+    )
+    tgt = powed.crossJoin(F.broadcast(tots)).select(
+        "stratum",
+        "n",
+        (F.col("_pw") / F.col("_s")).alias("_p"),
+        "_N",
+    )
+    r = tgt.agg(F.min(F.col("n") / (F.col("_N") * F.col("_p"))).alias("_r"))
+    return tgt.crossJoin(F.broadcast(r)).select(
+        "stratum",
+        "n",
+        quant(F.col("_p")).alias("target"),
+        quant(
+            F.least(
+                F.lit(1.0),
+                F.col("_p") * F.col("_r") * F.col("_N") / F.col("n"),
+            )
+        ).alias("fraction"),
     )

@@ -35,6 +35,7 @@ __all__ = [
     "decontaminate_stream",
     "boilerplate_stream",
     "quality_stream",
+    "scrub_stream",
 ]
 
 
@@ -352,3 +353,31 @@ def quality_stream(
     from slurm2sql_spark.operators.textstats import quality_filter
 
     return quality_filter(doc_stream, id_col, text_col, **thresholds)
+
+
+def scrub_stream(
+    doc_stream: DataFrame,
+    blocked_hashes: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming boilerplate REMOVAL: apply a driver-held blocklist to
+    documents as they land — the continuous-ingest twin of
+    ``dedup.scrub_paragraphs_inline`` and the natural deployment shape
+    for the scrub stage (the blocklist is rebuilt nightly by the batch
+    sweep, collected once, and every arriving document is cleaned in
+    the scan).
+
+    Because the inline scrub is a PURE PROJECTION (split, isin-set
+    match on the normalized-paragraph md5, reassemble, counts — no
+    join, no aggregation, no state), it runs in plain APPEND mode with
+    no watermark and no state store, and a document's cleaned text is
+    byte-identical to the batch operator's (parity pytest). Stateless
+    like ``quality_stream``; contrast ``boilerplate_stream``, whose
+    per-doc aggregation needs update mode or a watermark.
+    """
+    from slurm2sql_spark.operators.dedup import scrub_paragraphs_inline
+
+    return scrub_paragraphs_inline(
+        doc_stream, id_col, text_col, blocked_hashes
+    )

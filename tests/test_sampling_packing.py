@@ -230,3 +230,29 @@ def test_dsir_validates_m(spark):
     raw, target = _dsir_corpora(spark)
     with pytest.raises(ValueError, match="m must be positive"):
         dsir_weights(raw, target, "doc_id", "text", m=0)
+
+
+def test_mix_temperature_limits_and_flattening(spark):
+    from slurm2sql_spark.operators.sampling import mix_temperature
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else ("mid" if i < 990 else "small"))
+         for i in range(1000)],
+        "id long, src string",
+    )
+    # T=1: natural proportions are already the target -> keep everything
+    t1 = {r["stratum"]: r for r in mix_temperature(df, "src", 1.0).collect()}
+    assert all(abs(r["fraction"] - 1.0) < 1e-6 for r in t1.values())
+    assert abs(t1["big"]["target"] - 0.9) < 1e-5
+    # T=4 flattens: the smallest stratum binds at 1.0, the biggest is
+    # cut hardest, and targets are closer to uniform than natural
+    t4 = {r["stratum"]: r for r in mix_temperature(df, "src", 4.0).collect()}
+    assert t4["small"]["fraction"] == 1.0
+    assert t4["big"]["fraction"] < t4["mid"]["fraction"] < 1.0
+    assert t4["big"]["target"] < 0.9 and t4["small"]["target"] > 0.01
+    # targets always sum to ~1
+    assert abs(sum(r["target"] for r in t4.values()) - 1.0) < 1e-4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="temperature must be positive"):
+        mix_temperature(df, "src", 0.0)

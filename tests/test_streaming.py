@@ -403,3 +403,52 @@ def test_quality_stream_append_mode_matches_batch(spark, tmp_path):
     }
     assert got == want and len(got) == 4
     assert got[1][0] is True and got[4 - 2][0] is False
+
+
+def test_scrub_stream_append_mode_matches_batch(spark, tmp_path):
+    """The streaming scrub is a pure projection (isin-set match on the
+    normalized-paragraph md5), so it runs in APPEND mode with no state
+    and lands byte-identical cleaned text to the batch operator."""
+    from slurm2sql_spark.operators.dedup import (
+        repeated_paragraphs,
+        scrub_paragraphs_inline,
+    )
+    from slurm2sql_spark.streaming.stream import scrub_stream
+
+    rows = [
+        (1, "shared footer line\n\nUnique Body ONE"),
+        (2, "shared   FOOTER line\n\nunique body two\n\nshared footer line"),
+        (3, "no boilerplate at all"),
+        (4, ""),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id int, text string")
+    hashes = [
+        r["para_hash"]
+        for r in repeated_paragraphs(batch, "doc_id", "text", 2).collect()
+    ]
+    d = tmp_path / "docs"
+    batch.coalesce(1).write.mode("overwrite").parquet(str(d))
+    stream = spark.readStream.schema("doc_id int, text string").parquet(str(d))
+    out = scrub_stream(stream, hashes)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scrubstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM scrubstream").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            scrub_paragraphs_inline(batch, "doc_id", "text", hashes).collect(),
+        )
+    )
+    assert got == want and len(got) == 4
+    by_id = dict((t[0], t) for t in got)
+    assert by_id[1][1] == "Unique Body ONE" and by_id[1][3] == 1
+    assert by_id[2][3] == 2
