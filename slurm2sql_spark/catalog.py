@@ -3141,55 +3141,18 @@ def quality_stream_parity(spark, sf_dir):
     "per-stage oracles.",
 )
 def curation_pipeline(spark, sf_dir):
-    from slurm2sql_spark.operators.dedup import (
-        decontaminate,
-        exact_dedup,
-        normalize_text,
-    )
-    from slurm2sql_spark.operators.textstats import quality_filter
+    from slurm2sql_spark.operators.curation import curate
 
     docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") >= 20)
-    bench = docs.filter(F.col("doc_id") < 20)
-    qf = quality_filter(
-        corpus,
+    out = curate(
+        docs.filter(F.col("doc_id") >= 20).select("doc_id", "source", "text"),
+        docs.filter(F.col("doc_id") < 20),
         "doc_id",
         "text",
-        keep_cols=("source", "text"),
         min_words=30,
         min_stop_hits=1,
-    ).select("doc_id", "source", "text", "keep")
-    passed = qf.filter(F.col("keep"))
-    classes = exact_dedup(passed, "doc_id", "text").select(
-        F.col("content_hash").alias("_h"), "keep_id"
     )
-    reps = passed.withColumn(
-        "_h", F.md5(normalize_text(F.col("text")))
-    ).join(classes, "_h")
-    hits = decontaminate(
-        reps.filter(F.col("doc_id") == F.col("keep_id")).select(
-            "doc_id", "text"
-        ),
-        bench,
-        "doc_id",
-        "text",
-        n=5,
-        hint="broadcast",
-    ).select(F.col("id").alias("doc_id"), F.lit(True).alias("_hit"))
-    return (
-        qf.select("doc_id", "source", "keep")
-        .join(reps.select("doc_id", "keep_id"), "doc_id", "left")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            F.when(~F.col("keep"), F.lit("quality"))
-            .when(F.col("doc_id") != F.col("keep_id"), F.lit("duplicate"))
-            .when(F.col("_hit"), F.lit("contaminated"))
-            .otherwise(F.lit("kept"))
-            .alias("status"),
-        )
-    )
+    return out.select("doc_id", "source", "status")
 
 
 @register(

@@ -1,0 +1,95 @@
+"""End-to-end corpus curation: the composed quality -> dedup ->
+decontaminate pass a training-data pipeline ships, with per-document
+stage attribution.
+
+Reference analog: none — the reference stops at per-job filtering
+(slurm2sql.py:214 ``-easy`` philosophy); this composes the engine's
+curation operators (textstats.quality_filter, dedup.exact_dedup,
+dedup.decontaminate) into the decision pipeline those operators exist
+for. Each stage keeps its own scale posture: the quality gate is a
+scan-stage projection, dedup shuffles 16-byte content hashes once,
+decontamination broadcasts the benchmark against the already-deduped
+representatives, and the three verdicts re-join on the document id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["curate"]
+
+
+def curate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    decontaminate_hint: str | None = "broadcast",
+    **thresholds: float,
+) -> DataFrame:
+    """Per-document curation verdict over ``corpus``: ``status`` in
+    ``{'quality', 'duplicate', 'contaminated', 'kept'}``, FIRST failing
+    stage wins.
+
+    - ``quality``: fails the Gopher rules (``thresholds`` forwarded to
+      :func:`~slurm2sql_spark.operators.textstats.quality_filter`).
+    - ``duplicate``: not the min-id representative of its
+      normalized-content class AMONG quality-passing documents (a
+      duplicate of a quality-failing doc reports ``quality`` — the
+      pipeline never even hashes docs the gate dropped).
+    - ``contaminated``: the representative shares >= 1 ``n``-gram
+      shingle with ``benchmark`` text.
+    - ``kept``: survives all three.
+
+    Every non-id input column is preserved alongside ``status``
+    except ``text_col`` (pass-through columns ride the quality stage's
+    ``keep_cols``). Deterministic and engine-portable — the catalog's
+    ``curation_pipeline`` entry verifies this exact composition against
+    a DuckDB twin built from the per-stage oracle fragments.
+    """
+    from .dedup import decontaminate, exact_dedup, normalize_text
+    from .textstats import quality_filter
+
+    passthrough = tuple(
+        c for c in corpus.columns if c not in (id_col, text_col)
+    )
+    qf = quality_filter(
+        corpus,
+        id_col,
+        text_col,
+        keep_cols=passthrough + (text_col,),
+        **thresholds,
+    ).select(id_col, *passthrough, text_col, "keep")
+    passed = qf.filter(F.col("keep"))
+    classes = exact_dedup(passed, id_col, text_col).select(
+        F.col("content_hash").alias("_h"), "keep_id"
+    )
+    reps = passed.withColumn(
+        "_h", F.md5(normalize_text(F.col(text_col)))
+    ).join(classes, "_h")
+    hits = decontaminate(
+        reps.filter(F.col(id_col) == F.col("keep_id")).select(
+            id_col, text_col
+        ),
+        benchmark,
+        id_col,
+        text_col,
+        n=n,
+        hint=decontaminate_hint,
+    ).select(F.col("id").alias(id_col), F.lit(True).alias("_hit"))
+    return (
+        qf.select(id_col, *passthrough, "keep")
+        .join(reps.select(id_col, "keep_id"), id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            *passthrough,
+            F.when(~F.col("keep"), F.lit("quality"))
+            .when(F.col(id_col) != F.col("keep_id"), F.lit("duplicate"))
+            .when(F.col("_hit"), F.lit("contaminated"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
