@@ -1031,16 +1031,23 @@ def q9_product_profit(spark, sf_dir):
     "AQE broadcasts the filtered side when it fits).",
 )
 def q11_important_stock(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    nat_supp = supp.filter(
-        F.col("s_nationkey").isin(0, 1, 2, 3, 4)
-    ).select("s_suppkey")
-    val = (
-        li.join(nat_supp, li.l_suppkey == nat_supp.s_suppkey)
-        .groupBy(F.col("l_partkey").alias("p_partkey"))
-        .agg(_cents(F.sum("l_extendedprice")).alias("value"))
-    )
+    def build():
+        li = _t(spark, sf_dir, "lineitem")
+        supp = _t(spark, sf_dir, "supplier")
+        nat_supp = supp.filter(
+            F.col("s_nationkey").isin(0, 1, 2, 3, 4)
+        ).select("s_suppkey")
+        return (
+            li.join(nat_supp, li.l_suppkey == nat_supp.s_suppkey)
+            .groupBy(F.col("l_partkey").alias("p_partkey"))
+            .agg(_cents(F.sum("l_extendedprice")).alias("value"))
+        )
+
+    # both consumers (the scalar cutoff and the filter) read the SAME
+    # materialized frame — Spark shares no subplans across a crossJoin's
+    # sides, so without the persist the whole join+agg chain (and both
+    # scans) runs twice (the docstring's computed-once contract)
+    val = _memo(spark, sf_dir, "q11_val", build)
     cut = val.agg(_q6(F.sum("value") * F.lit(0.001)).alias("cut"))
     return (
         val.crossJoin(F.broadcast(cut))

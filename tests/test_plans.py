@@ -343,3 +343,17 @@ def test_q20_semi_join_no_dedup_shuffle(spark, catalog):
     assert "LeftSemi" in optimized
     keys = [r["s_suppkey"] for r in df.collect()]
     assert len(keys) == len(set(keys))
+
+
+def test_q11_grouped_frame_computed_once(spark, catalog):
+    """q11's docstring contract: the per-part value frame feeds BOTH
+    the scalar cutoff and the filter from ONE materialization — both
+    consumers must read the memoized cache, not re-run the join+agg."""
+    plan = (
+        catalog.QUERIES["q11_important_stock"]
+        .spark(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 2
