@@ -724,20 +724,27 @@ def q13_customer_distribution(spark, sf_dir):
     "carries only 4 columns.",
 )
 def q15_top_supplier(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    revenue = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+
+    def build():
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+            )
+            .groupBy(F.col("l_suppkey").alias("supplier_no"))
+            .agg(
+                _cents(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                ).alias("total_revenue")
+            )
         )
-        .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            _cents(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            ).alias("total_revenue")
-        )
-    )
+
+    # the scalar max and the tie filter both read ONE materialization —
+    # without it the filtered fact scan + aggregate runs twice (q11
+    # lesson; at 100 TB that is a doubled fact scan)
+    revenue = _memo(spark, sf_dir, "q15_revenue", build)
     best = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     return (
         revenue.crossJoin(F.broadcast(best))
@@ -1270,19 +1277,25 @@ def q19_disjunctive_revenue(spark, sf_dir):
     "scan as a StartsWith filter (contrast q9's leading-%% pattern).",
 )
 def q20_heavy_shippers(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier")
-    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
-    qty = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+
+    def build():
+        li = _t(spark, sf_dir, "lineitem")
+        part = _t(spark, sf_dir, "part")
+        red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            )
+            .join(red, F.col("l_partkey") == red.p_partkey)
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(_q6(F.sum("l_quantity")).alias("q"))
         )
-        .join(red, li.l_partkey == red.p_partkey)
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(_q6(F.sum("l_quantity")).alias("q"))
-    )
+
+    # the per-part threshold and the comparison both read ONE
+    # materialization of the filtered fact aggregate (q11/q15 lesson)
+    qty = _memo(spark, sf_dir, "q20_qty", build)
     cuts = qty.groupBy(F.col("l_partkey").alias("pk")).agg(
         _q6(F.avg("q")).alias("cut")
     )
