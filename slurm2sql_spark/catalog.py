@@ -1366,20 +1366,30 @@ def q21_waiting_supplier(spark, sf_dir):
             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         ).alias("is_late"),
     )
+    # ONE aggregation pass decorrelates both EXISTS branches AND yields
+    # the final count: when exactly one supplier is late on an order,
+    # max(late supplier) IS that supplier and the order's late lines
+    # are all its — so the per-order frame carries (late_supp,
+    # late_lines) and the fact join never runs a second branch (the
+    # original lines-filter + join-back re-ran the li-orders join).
     per_order = lines.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(
             F.when(F.col("is_late"), F.col("l_suppkey"))
         ).alias("n_late_supp"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias(
+            "late_lines"
+        ),
     )
-    qualifying = per_order.filter(
-        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-    ).select(F.col("l_orderkey").alias("qok"))
     waited = (
-        lines.filter(F.col("is_late"))
-        .join(qualifying, F.col("l_orderkey") == F.col("qok"))
-        .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        per_order.filter(
+            (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
+        .groupBy(F.col("late_supp").alias("l_suppkey"))
+        .agg(F.sum("late_lines").alias("numwait"))
     )
     return (
         waited.join(supp, waited.l_suppkey == supp.s_suppkey)
@@ -3340,7 +3350,12 @@ def source_overlap(spark, sf_dir):
     # collect_set dedups, so no pre-distinct: each branch is the scan +
     # exactly one shuffle (h-keyed for classes, source-keyed two-level
     # agg for the distinct totals) instead of a shared distinct both
-    # branches would recompute.
+    # branches would recompute. Persisting the collapsed (h, source)
+    # frame to share ONE text scan was TRIED (r9) and measured worse at
+    # every scale incl. 100x (2.23 s vs 1.69: materializing ~16 B/doc
+    # costs more than re-running the cheap fingerprint scan); on real
+    # cold object storage the trade flips — callers there should cache
+    # the projection themselves.
     uniq = hs.groupBy("source").agg(F.countDistinct("h").alias("uniq"))
     sets = (
         hs.groupBy("h")
