@@ -2281,6 +2281,82 @@ def deidentify_q(spark, sf_dir):
 
 
 @register(
+    "moving_avg_events",
+    """
+    SELECT user_id, event_id,
+           floor(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+             ) * 1000000 + 0.001) / 1000000 AS avg5,
+           floor(coalesce(value - lag(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ), 0) * 1000000 + 0.001) / 1000000 AS delta
+    FROM events WHERE user_id < 50
+    """,
+    doc="Rolling window over event time: per-user 5-row moving average "
+    "(ROWS frame) plus the lag delta — the running-metric shape "
+    "dashboards and drift monitors compute constantly, and the ROWS-"
+    "BETWEEN frame none of the other window entries exercises "
+    "(latest-per-key = rank, sessionize = lag-gap, windowed counts = "
+    "tumbling GROUP BY). Ordering is (ts, event_id) — a TOTAL order, "
+    "so tie rows cannot shuffle frame membership between engines. One "
+    "shuffle on user_id; frames are bounded (5 rows) so no "
+    "unbounded-partition buffering; results 1e-6 floor-quantized "
+    "(windowed double sums).",
+)
+def moving_avg_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    quant = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.001)) / F.lit(1e6)  # noqa: E731
+    return ev.select(
+        "user_id",
+        "event_id",
+        quant(F.avg("value").over(w.rowsBetween(-4, 0))).alias("avg5"),
+        quant(
+            F.coalesce(
+                F.col("value") - F.lag("value").over(w), F.lit(0.0)
+            )
+        ).alias("delta"),
+    )
+
+
+@register(
+    "unpivot_source_stats",
+    """
+    WITH wide AS (
+      SELECT source,
+             CAST(count(*) AS DOUBLE) AS docs,
+             floor(avg(n_chars) * 1000000 + 0.001) / 1000000 AS mean_chars,
+             CAST(count(DISTINCT lang) AS DOUBLE) AS langs
+      FROM documents GROUP BY source
+    )
+    UNPIVOT wide ON docs, mean_chars, langs
+    INTO NAME metric VALUE metric_value
+    """,
+    doc="Wide-to-long reshape (UNPIVOT / melt): per-source aggregate "
+    "metrics emitted as (source, metric, value) rows — the inverse of "
+    "the pivot entry and the long format metric stores ingest. Uses "
+    "Spark's native unpivot (Expand under the hood: one projection "
+    "per metric, NO shuffle beyond the source-keyed aggregate); the "
+    "oracle uses DuckDB's UNPIVOT. Metrics are cast to one DOUBLE "
+    "value column (unpivot requires a common type) and quantized "
+    "where non-integral.",
+)
+def unpivot_source_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    wide = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("docs"),
+        (F.floor(F.avg("n_chars") * F.lit(1e6) + F.lit(0.001)) / F.lit(1e6)).alias(
+            "mean_chars"
+        ),
+        F.countDistinct("lang").cast("double").alias("langs"),
+    )
+    return wide.unpivot(
+        ["source"], ["docs", "mean_chars", "langs"], "metric", "metric_value"
+    )
+
+
+@register(
     "windowed_event_counts",
     """
     SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
@@ -4887,6 +4963,8 @@ _GATE_TAIL = [
     "vocab_top_terms",
     "doc_winnow",
     "pack_sequences",
+    "dedup_keep_best",
+    "dedup_components",
     "sim_topk_cosine",
     "sim_lsh_topk",
     "sim_lsh_recall",
