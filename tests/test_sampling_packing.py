@@ -256,3 +256,28 @@ def test_mix_temperature_limits_and_flattening(spark):
 
     with _pytest.raises(ValueError, match="temperature must be positive"):
         mix_temperature(df, "src", 0.0)
+
+
+def test_new_r9_operators_handle_empty_inputs(spark):
+    """Empty corpora must yield empty (or all-kept) results, not
+    crashes — the first thing a scheduled pipeline hits on a quiet
+    ingest day."""
+    from slurm2sql_spark.operators.curation import curate
+    from slurm2sql_spark.operators.dedup import scrub_paragraphs
+    from slurm2sql_spark.operators.sampling import (
+        dsir_select,
+        mix_temperature,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1, "some target text here")], "doc_id long, text string"
+    )
+    assert dsir_select(empty, target, "doc_id", "text", k=5).count() == 0
+    # empty TARGET: smoothing keeps weights defined for every raw doc
+    assert dsir_select(target, empty, "doc_id", "text", k=5).count() == 1
+    assert mix_temperature(empty, "text", 2.0).count() == 0
+    bl = spark.createDataFrame([], "para_hash string")
+    out = scrub_paragraphs(target, "doc_id", "text", bl).collect()
+    assert len(out) == 1 and out[0]["n_removed"] == 0
+    assert curate(empty, target, "doc_id", "text").count() == 0
