@@ -78,6 +78,13 @@ DUCK_QUERIES = [
     # in both engines
     "decontaminate_bloom",
     "dsir_selection",
+    # r9: TPC-H join shapes, enabled by the orders replicas + static
+    # dim links (_build_scaled_orders) — all linear oracles (q21's is
+    # the correlated EXISTS form, which DuckDB decorrelates itself)
+    "q12_late_priority",
+    "q16_supplier_cnt",
+    "q21_waiting_supplier",
+    "q9_product_profit",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -138,6 +145,13 @@ X100_QUERIES = [
     # (dsir 11.6x -> 3.6x, bloom 5.4x -> 3.9x across the first decade)
     "decontaminate_bloom",
     "dsir_selection",
+    # r9: TPC-H join shapes, enabled by the orders replicas + static
+    # dim links (_build_scaled_orders) — all linear oracles (q21's is
+    # the correlated EXISTS form, which DuckDB decorrelates itself)
+    "q12_late_priority",
+    "q16_supplier_cnt",
+    "q21_waiting_supplier",
+    "q9_product_profit",
 ]
 X100_DUCK_SKIP: set[str] = set()
 # r9 (VERDICT r8 #5): sacct_eff's oracle SELECTs every per-job row, so
@@ -165,9 +179,10 @@ def build_scaled_dir(spark) -> None:
 
     marker = os.path.join(DST, "_BUILT")
     if os.path.exists(marker) and "--rebuild" not in sys.argv:
-        # events replicas shipped after the main marker: a dir built by
-        # an older run has _BUILT but no events — backfill regardless.
+        # events/orders replicas shipped after the main marker: a dir
+        # built by an older run has _BUILT but not them — backfill.
         _build_scaled_events(spark)
+        _build_scaled_orders(spark)
         return
     import numpy as np
     from pyspark.sql import functions as F
@@ -220,6 +235,7 @@ def build_scaled_dir(spark) -> None:
     with open(marker, "w") as fh:
         fh.write("ok\n")
     _build_scaled_events(spark)
+    _build_scaled_orders(spark)
 
 
 def _build_scaled_events(spark) -> None:
@@ -251,6 +267,41 @@ def _build_scaled_events(spark) -> None:
         fh.write("ok\n")
 
 
+def _build_scaled_orders(spark) -> None:
+    """orders replicas shift o_orderkey by the SAME stride the lineitem
+    replicas used (max l_orderkey + 1 — equal to max o_orderkey in this
+    corpus, asserted), so order-line joins line up within each replica;
+    o_custkey stays fixed (10x orders against a fixed customer dim —
+    how facts actually outgrow dimensions). The static dims
+    (customer/supplier/part/nation/region) symlink to the source —
+    r9: enables SF-scaling evidence for the TPC-H join shapes.
+    Own marker: backfills dirs built by older runs."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(DST, "_BUILT_ORDERS")
+    if os.path.exists(marker) and "--rebuild" not in sys.argv:
+        return
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    shift = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    omax = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    assert omax < shift, f"order keys {omax} exceed the lineitem stride {shift}"
+    reps = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * shift))
+        for i in range(K)
+    ]
+    functools.reduce(DataFrame.unionByName, reps).write.mode(
+        "overwrite"
+    ).parquet(f"{DST}/orders.parquet")
+    for t in ("customer", "supplier", "part", "nation", "region"):
+        dst = f"{DST}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+
+
 def build_x100_dir(spark) -> None:
     """100x events + lineitem via one explode(sequence) pass per table
     (not 100 unioned plans): replicas shift the grouping/join keys
@@ -260,7 +311,9 @@ def build_x100_dir(spark) -> None:
 
     marker = os.path.join(DST100, "_BUILT")
     if os.path.exists(marker) and "--rebuild" not in sys.argv:
-        _build_x100_docs(spark)  # backfill: docs shipped after _BUILT
+        # backfill: docs/orders shipped after _BUILT
+        _build_x100_docs(spark)
+        _build_x100_orders(spark)
         return
     os.makedirs(DST100, exist_ok=True)
 
@@ -294,6 +347,41 @@ def build_x100_dir(spark) -> None:
     with open(marker, "w") as fh:
         fh.write("ok\n")
     _build_x100_docs(spark)
+    _build_x100_orders(spark)
+
+
+def _build_x100_orders(spark) -> None:
+    """orders at 100x, same stride as the lineitem replicas (r9 — see
+    _build_scaled_orders); static dims symlink to the source. Own
+    marker: backfills 100x dirs built by older rounds."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(DST100, "_BUILT_ORDERS")
+    if os.path.exists(marker) and "--rebuild" not in sys.argv:
+        return
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    shift = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    omax = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    assert omax < shift, f"order keys {omax} exceed the stride {shift}"
+    (
+        orders.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(K100 - 1)))
+        )
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("_r") * F.lit(shift)
+        )
+        .drop("_r")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(f"{DST100}/orders.parquet")
+    )
+    for t in ("customer", "supplier", "part", "nation", "region"):
+        dst = f"{DST100}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
 
 
 def _build_x100_docs(spark) -> None:
