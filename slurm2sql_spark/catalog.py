@@ -1372,10 +1372,14 @@ def q21_waiting_supplier(spark, sf_dir):
     # are all its — so the per-order frame carries (late_supp,
     # late_lines) and the fact join never runs a second branch (the
     # original lines-filter + join-back re-ran the li-orders join).
+    # collect_set sizes instead of countDistinct: two countDistincts
+    # make Spark plan an Expand that pushes 3x the join output through
+    # the aggregate shuffle; a set bounded by suppliers-per-order
+    # (<= lines per order) costs O(1) per row with no row multiplication
     per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey")))
         ).alias("n_late_supp"),
         F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
             "late_supp"
