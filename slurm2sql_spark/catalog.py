@@ -3173,6 +3173,104 @@ def quality_stream_parity(spark, sf_dir):
 
 
 @register(
+    "c4_clean",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               CASE WHEN doc_id % 6 = 0
+                    THEN 'please enable javascript to continue.' END,
+               CASE WHEN doc_id % 11 = 0
+                    THEN 'var f = function() { browser check }' END,
+               CASE WHEN doc_id % 13 = 0
+                    THEN 'lorem ipsum dolor sit amet sentence.' END,
+               array_to_string(
+                 list_transform(
+                   range(0, greatest(CAST(ceil(len(w)/5.0) AS BIGINT), 1)),
+                   i -> array_to_string(w[(i*5+1):(i*5+5)], ' ')
+                        || CASE WHEN i % 2 = 0 THEN '.' ELSE '' END),
+                 chr(10))) AS t2
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents)
+    ),
+    k AS (
+      SELECT doc_id, t2,
+             string_split(t2, chr(10)) AS ls,
+             list_filter(string_split(t2, chr(10)),
+               x -> regexp_matches(x, '[.!?"][ \t]*$')
+                    AND len(list_filter(
+                          string_split_regex(trim(x), '[ \t\n\r\f]+'),
+                          w2 -> length(w2) > 0)) >= 3
+                    AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM base
+    )
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS text,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           (NOT contains(lower(t2), '{')
+            AND NOT contains(lower(t2), 'lorem ipsum')
+            AND len(kept) >= 3) AS keep,
+           -- array_to_string([]) is NULL in DuckDB; Spark array_join('')
+           coalesce(array_to_string(list_filter([
+               CASE WHEN contains(lower(t2), '{') THEN 'brace' END,
+               CASE WHEN contains(lower(t2), 'lorem ipsum') THEN 'lorem' END,
+               CASE WHEN len(kept) < 3 THEN 'lines' END
+             ], x -> x IS NOT NULL), ','), '') AS fail_reasons
+    FROM k
+    """,
+    doc="C4-style cleaning (Raffel et al. 2020 - the OTHER canonical "
+    "filter family next to the Gopher rules, and the one that REWRITES "
+    "text): line-level keep rules (terminal punctuation, >= 3 words, "
+    "no javascript boilerplate) rebuild each document from its "
+    "surviving lines' original bytes; page-level drop rules (curly "
+    "brace, lorem ipsum, < 3 surviving lines) set keep + ordered "
+    "fail_reasons. The corpus is synthesized with line structure the "
+    "same way the paragraph entries synthesize paragraphs (5-word "
+    "lines, every 2nd terminated; javascript/brace/lorem planted by "
+    "doc_id residue so every rule fires). ONE scan-stage projection - "
+    "no explode, no join, no shuffle (plan-asserted Exchange-free); "
+    "byte-for-byte text parity with the SQL twin.",
+)
+def c4_clean(spark, sf_dir):
+    from slurm2sql_spark.operators.textstats import c4_filter
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
+    nch = F.greatest(F.ceil(F.size(w) / F.lit(5.0)).cast("int"), F.lit(1))
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nch - F.lit(1)),
+            lambda i: F.concat(
+                F.array_join(F.slice(w, i * F.lit(5) + F.lit(1), F.lit(5)), " "),
+                F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+            ),
+        ),
+        "\n",
+    )
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit("please enable javascript to continue."),
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("var f = function() { browser check }"),
+            ),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit("lorem ipsum dolor sit amet sentence."),
+            ),
+            body,
+        ).alias("text"),
+    )
+    return c4_filter(lined, "doc_id", "text")
+
+
+@register(
     "curation_pipeline",
     rf"""
     WITH t AS (
@@ -4969,6 +5067,7 @@ _GATE_TAIL = [
     "pack_sequences",
     "dedup_keep_best",
     "dedup_components",
+    "dedup_embedding",
     "sim_topk_cosine",
     "sim_lsh_topk",
     "sim_lsh_recall",

@@ -24,6 +24,7 @@ __all__ = [
     "tfidf_top_terms",
     "text_profile",
     "quality_filter",
+    "c4_filter",
     "GOPHER_STOPWORDS",
     "QUALITY_DEFAULTS",
     "scrub_pii",
@@ -719,4 +720,89 @@ def quality_filter(
         stop_hits.alias("stop_hits"),
         (F.size(reasons) == 0).alias("keep"),
         F.concat_ws(",", reasons).alias("fail_reasons"),
+    )
+
+
+#: C4 defaults (Raffel et al. 2020, §2.2 "Colossal Clean Crawled
+#: Corpus"): line keep rules + page drop rules, verbatim where the
+#: paper is concrete (terminal punctuation, 3-word lines, the
+#: javascript line rule, lorem ipsum / curly brace page rules).
+C4_TERMINAL_RE = r'[.!?"][ \t]*$'
+C4_MIN_LINE_WORDS = 3
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bad_words: tuple[str, ...] = (),
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020): LINE-level keep rules
+    followed by PAGE-level drop rules — the other canonical filter
+    family next to the Gopher rules (:func:`quality_filter`), and the
+    one that REWRITES the text rather than only scoring it.
+
+    Line rules (a line survives iff ALL hold):
+    - ends in terminal punctuation (. ! ? or a closing quote),
+    - has >= ``min_line_words`` whitespace words,
+    - does not mention javascript (the enable-javascript boilerplate).
+
+    Page rules (over the ORIGINAL text, matching the paper's order —
+    a page is judged before its lines are cleaned):
+    - no curly brace (code), no 'lorem ipsum' (placeholder),
+    - none of ``bad_words`` as a whole word (case-insensitive),
+    - >= ``min_kept_lines`` lines survive the line stage.
+
+    Returns ``(id, text, n_lines, n_kept_lines, keep, fail_reasons)``
+    with ``text`` rebuilt from the surviving lines (original bytes,
+    newline-joined; '' when nothing survives).
+
+    Scale: one scan-stage projection — array filter + regexps, no
+    explode, no join, no shuffle (plan-asserted Exchange-free like the
+    inline scrub). Engine-portable: every regex is RE2-compatible and
+    the word class is the pinned ``WS_RE2``.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+
+    def line_ok(l: Column) -> Column:
+        words = F.size(
+            F.filter(
+                F.split(F.trim(l), WS_RE2), lambda w: F.length(w) > 0
+            )
+        )
+        return (
+            l.rlike(C4_TERMINAL_RE)
+            & (words >= F.lit(int(min_line_words)))
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    checks = [
+        ("brace", low.contains("{")),
+        ("lorem", low.contains("lorem ipsum")),
+    ]
+    for w in bad_words:
+        checks.append(
+            (f"word:{w}", low.rlike(r"\b" + w.lower() + r"\b"))
+        )
+    checks.append(
+        ("lines", F.size(kept) < F.lit(int(min_kept_lines)))
+    )
+    reasons = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(name)) for name, cond in checks]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        (F.size(reasons) == 0).alias("keep"),
+        F.array_join(reasons, ",").alias("fail_reasons"),
     )

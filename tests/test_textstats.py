@@ -465,3 +465,42 @@ def test_quality_filter_keep_cols_passthrough(spark):
     assert row["source"] == "s1" and row["text"] == "the a b"
     # default: no passthrough columns
     assert "source" not in quality_filter(docs, "doc_id", "text").columns
+
+
+def test_c4_filter_line_and_page_rules(spark):
+    """C4 rules (Raffel et al. 2020): line keeps need terminal
+    punctuation + 3 words + no javascript; page drops on brace, lorem
+    ipsum, bad words, and too few surviving lines — original bytes
+    kept, reasons ordered."""
+    from slurm2sql_spark.operators.textstats import c4_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Good Sentence ONE stands here.\nno punct line\n"
+                "Good sentence two stands here!\nGood sentence three?\n"
+                "Please enable JavaScript now."),
+            (2, "code { x }\nOne good sentence here now.\n"
+                "Two good sentence here now.\nThree good sentence here now."),
+            (3, "One good sentence here now.\nshort."),
+            (4, "Has a damnword in text.\nTwo good sentence here now.\n"
+                "Three good sentence here now."),
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in c4_filter(
+            docs, "doc_id", "text", bad_words=("damnword",)
+        ).collect()
+    }
+    assert out[1]["keep"] is True and out[1]["n_kept_lines"] == 3
+    assert out[1]["text"].startswith("Good Sentence ONE")  # bytes kept
+    assert "javascript" not in out[1]["text"].lower()
+    assert out[2]["keep"] is False and out[2]["fail_reasons"] == "brace"
+    assert out[3]["fail_reasons"] == "lines"
+    assert out[4]["fail_reasons"] == "word:damnword"
+    assert out[5]["keep"] is False and out[5]["text"] == ""
+    plan = c4_filter(docs, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan  # one scan-stage projection
