@@ -27,14 +27,19 @@ def curate(
     text_col: str,
     n: int = 5,
     decontaminate_hint: str | None = "broadcast",
+    quality: str = "gopher",
     **thresholds: float,
 ) -> DataFrame:
     """Per-document curation verdict over ``corpus``: ``status`` in
     ``{'quality', 'duplicate', 'contaminated', 'kept'}``, FIRST failing
     stage wins.
 
-    - ``quality``: fails the Gopher rules (``thresholds`` forwarded to
-      :func:`~slurm2sql_spark.operators.textstats.quality_filter`).
+    - ``quality``: fails the selected rule family — ``quality=
+      "gopher"`` scores with :func:`~slurm2sql_spark.operators.
+      textstats.quality_filter` (default), ``quality="c4"`` CLEANS
+      with :func:`~slurm2sql_spark.operators.textstats.c4_filter`
+      first, so dedup and decontamination then run on the cleaned
+      text (``thresholds`` forward to the chosen family).
     - ``duplicate``: not the min-id representative of its
       normalized-content class AMONG quality-passing documents (a
       duplicate of a quality-failing doc reports ``quality`` — the
@@ -50,18 +55,31 @@ def curate(
     a DuckDB twin built from the per-stage oracle fragments.
     """
     from .dedup import decontaminate, exact_dedup, normalize_text
-    from .textstats import quality_filter
+    from .textstats import c4_filter, quality_filter
 
     passthrough = tuple(
         c for c in corpus.columns if c not in (id_col, text_col)
     )
-    qf = quality_filter(
-        corpus,
-        id_col,
-        text_col,
-        keep_cols=passthrough + (text_col,),
-        **thresholds,
-    ).select(id_col, *passthrough, text_col, "keep")
+    if quality == "gopher":
+        qf = quality_filter(
+            corpus,
+            id_col,
+            text_col,
+            keep_cols=passthrough + (text_col,),
+            **thresholds,
+        ).select(id_col, *passthrough, text_col, "keep")
+    elif quality == "c4":
+        # C4 REWRITES the text (line-level cleaning), so downstream
+        # dedup/decontamination run on the CLEANED text — the real
+        # pipeline order for this family
+        cleaned = c4_filter(corpus, id_col, text_col, **thresholds)
+        qf = (
+            corpus.select(id_col, *passthrough)
+            .join(cleaned.select(id_col, text_col, "keep"), id_col)
+            .select(id_col, *passthrough, text_col, "keep")
+        )
+    else:
+        raise ValueError(f"unknown quality family {quality!r}")
     passed = qf.filter(F.col("keep"))
     classes = exact_dedup(passed, id_col, text_col).select(
         F.col("content_hash").alias("_h"), "keep_id"

@@ -145,3 +145,41 @@ def test_curation_pipeline_all_four_statuses(spark):
         24: "contaminated",
         25: "quality",
     }
+
+
+def test_curate_c4_mode_dedups_on_cleaned_text(spark):
+    """quality='c4' cleans FIRST, so two docs that differ only in
+    C4-dropped lines (junk lines, javascript boilerplate) become exact
+    duplicates and the later doc is attributed 'duplicate'."""
+    import pyspark.sql.functions as F
+
+    from slurm2sql_spark.operators.curation import curate
+
+    body = ("One good sentence stands right here.\n"
+            "Two good sentence stands right here.\n"
+            "Three good sentence stands right here.")
+    docs = spark.createDataFrame(
+        [
+            (1, "benchmark answer key sentence lives here once.", "b"),
+            (20, body, "s"),
+            (21, "no punct junk line\n" + body + "\nPlease enable javascript now.", "s"),
+            (22, "code { brace }\n" + body, "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in curate(
+            docs.filter(F.col("doc_id") >= 20),
+            docs.filter(F.col("doc_id") < 20),
+            "doc_id",
+            "text",
+            quality="c4",
+        ).collect()
+    }
+    # 21 cleans to exactly 20's text -> duplicate; 22 fails the page rule
+    assert out == {20: "kept", 21: "duplicate", 22: "quality"}
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unknown quality family"):
+        curate(docs, docs, "doc_id", "text", quality="nope").collect()

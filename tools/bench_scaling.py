@@ -85,6 +85,7 @@ DUCK_QUERIES = [
     "q16_supplier_cnt",
     "q21_waiting_supplier",
     "q9_product_profit",
+    "q8_market_share",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -152,6 +153,7 @@ X100_QUERIES = [
     "q16_supplier_cnt",
     "q21_waiting_supplier",
     "q9_product_profit",
+    "q8_market_share",
 ]
 X100_DUCK_SKIP: set[str] = set()
 # r9 (VERDICT r8 #5): sacct_eff's oracle SELECTs every per-job row, so
