@@ -876,11 +876,18 @@ def q8_market_share(spark, sf_dir):
                 "volume"
             ),
         )
-        .join(ordf, F.col("l_orderkey") == F.col("o_orderkey"))
+        # the filtered-part join FIRST: Catalyst does not reorder joins
+        # without CBO stats, and the p_type filter is the most
+        # selective edge (~1/6 of parts) — applying it as a broadcast
+        # join BEFORE the order-key exchange shrinks the one big
+        # shuffle and every join after it by the same factor (r9:
+        # measured 13.8 s -> see SCALING row — the part-last order
+        # shuffled all date-window lines first)
         .join(
             part.filter(F.col("p_type") == "ECONOMY").select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
+        .join(ordf, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             cust.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
