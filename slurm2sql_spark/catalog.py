@@ -189,9 +189,16 @@ def q3_top_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
     )
+    # r9: the forced broadcast(orders) was the q18 defect class — the
+    # date filter keeps ~95% of orders, an unbounded frame at 100 TB.
+    # Gate orders by the customer-segment broadcast FIRST (~1/5), then
+    # join the (5%-selective) lineitem side UNHINTED: AQE broadcasts
+    # from measured sizes when it fits. 100x wall 7.2 -> see SCALING.
+    ordc = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(ordc, li.l_orderkey == ordc.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -236,7 +243,7 @@ def q5_nation_revenue(spark, sf_dir):
         .select("s_suppkey", "n_name")
     )
     return (
-        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
         .groupBy("n_name")
         .agg(
             F.round(
@@ -332,9 +339,9 @@ def q7_nation_volume(spark, sf_dir):
         ).select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
     j = (
-        li.join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        li.join(sdim, li.l_suppkey == sdim.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
+        .join(cdim, orders.o_custkey == cdim.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -385,7 +392,7 @@ def q10_returned_items(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
+        .join(cdim, orders.o_custkey == cdim.c_custkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg((F.floor(F.sum(rev) * 100 + F.lit(1e-3)) / 100).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -502,7 +509,7 @@ def q14_promo_share(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
             F.date_trunc("month", F.col("l_shipdate"))
             .cast("date")
@@ -628,9 +635,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         )
     )
     flt = costs.join(
-        F.broadcast(
-            part.filter(F.col("p_size") <= 10).select("p_partkey")
-        ),
+        part.filter(F.col("p_size") <= 10).select("p_partkey"),
         costs.l_partkey == F.col("p_partkey"),
     ).select("l_partkey", "l_suppkey", "unit_cost")
     w = Window.partitionBy("l_partkey")
@@ -638,7 +643,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         F.col("unit_cost") == F.col("_min_cost")
     )
     return (
-        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        best.join(supp, best.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -792,7 +797,7 @@ def q17_small_qty_revenue(spark, sf_dir):
         (F.col("p_brand") == "Brand#4") & (F.col("p_type") == "MEDIUM")
     ).select("p_partkey")
     restricted = li.join(
-        F.broadcast(parts), li.l_partkey == parts.p_partkey
+        parts, li.l_partkey == parts.p_partkey
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     thresholds = restricted.groupBy("l_partkey").agg(
         _q6(F.avg("l_quantity") * F.lit(0.2)).alias("_qty_cut")

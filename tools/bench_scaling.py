@@ -86,6 +86,14 @@ DUCK_QUERIES = [
     "q21_waiting_supplier",
     "q9_product_profit",
     "q8_market_share",
+    # r9: the remaining multi-join classics (the q8 sweep caught a
+    # join-order defect; these are the shapes where the same class
+    # could hide)
+    "q3_top_revenue",
+    "q5_nation_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q18_large_orders",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -154,6 +162,11 @@ X100_QUERIES = [
     "q21_waiting_supplier",
     "q9_product_profit",
     "q8_market_share",
+    "q3_top_revenue",
+    "q5_nation_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q18_large_orders",
 ]
 X100_DUCK_SKIP: set[str] = set()
 # r9 (VERDICT r8 #5): sacct_eff's oracle SELECTs every per-job row, so
