@@ -21,8 +21,11 @@ Protocol:
    MEDIAN rides along (`queries_median` / `value_median`) so
    run-to-run variance — page-cache state moves some queries 2-3x —
    is visible in the record instead of silently folded into the min.
-   Cross-query result caches are dropped between passes, so every pass
-   pays each query's full compute at the target SF.
+   Cross-query result caches (`catalog._memo`) are dropped BEFORE
+   EVERY ENTRY (r10; previously only between passes), so each
+   reported wall is the entry's solo wall — stable under catalog /
+   gate-rotation reordering instead of depending on whether a
+   memo-sharing sibling ran first.
 
 The emitted JSON records the protocol (`warmup_sf`, `iterations`).
 """
@@ -43,6 +46,15 @@ def _run_all(
     # are recorded per-query and surfaced in the emitted JSON.
     times: dict[str, float] = {}
     for name, spec in QUERIES.items():
+        # Drop memoized frames BEFORE each entry, not just between
+        # passes: entries that share `_memo` frames (dedup_keep_best /
+        # dedup_components, the sim_* recall pairs, the eff rollup)
+        # otherwise read hot or cold depending purely on catalog order,
+        # and a gate rotation shifts their reported wall 5x with zero
+        # code change (r9 "What's wrong" #5). Per-entry clearing makes
+        # every reported wall the entry's SOLO wall, stable under
+        # reordering.
+        _drop_caches()
         t0 = time.perf_counter()
         try:
             spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()

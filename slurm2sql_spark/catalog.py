@@ -1409,7 +1409,11 @@ def q21_waiting_supplier(spark, sf_dir):
     )
     return (
         waited.join(supp, waited.l_suppkey == supp.s_suppkey)
-        .select("s_name", "numwait")
+        # re-aggregate on s_name: the oracle groups by name, so parity
+        # must not lean on s_name being unique per suppkey (tiny frame
+        # post-aggregation — this groupBy is over <= |suppliers| rows)
+        .groupBy("s_name")
+        .agg(F.sum("numwait").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -26,7 +26,7 @@ def curate(
     id_col: str,
     text_col: str,
     n: int = 5,
-    decontaminate_hint: str | None = "broadcast",
+    decontaminate_hint: str = "broadcast",
     quality: str = "gopher",
     **thresholds: float,
 ) -> DataFrame:
@@ -95,7 +95,7 @@ def curate(
         id_col,
         text_col,
         n=n,
-        hint=decontaminate_hint,
+        hint=decontaminate_hint or "auto",
     ).select(F.col("id").alias(id_col), F.lit(True).alias("_hit"))
     return (
         qf.select(id_col, *passthrough, "keep")

@@ -7,6 +7,8 @@ blowup) — and everything runs in the scan stage with zero shuffles.
 
 from __future__ import annotations
 
+import re as _re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -786,8 +788,10 @@ def c4_filter(
         ("lorem", low.contains("lorem ipsum")),
     ]
     for w in bad_words:
+        # escape regex metacharacters so a word like "c++" stays a
+        # literal match instead of silently changing the pattern
         checks.append(
-            (f"word:{w}", low.rlike(r"\b" + w.lower() + r"\b"))
+            (f"word:{w}", low.rlike(r"\b" + _re.escape(w.lower()) + r"\b"))
         )
     checks.append(
         ("lines", F.size(kept) < F.lit(int(min_kept_lines)))
