@@ -53,12 +53,35 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return _
 
 
+#: (sf_dir, table) -> registered Spark-catalog table name. When a tool
+#: (tools/bench_cbo.py) has CREATEd external tables over the same
+#: parquet and ANALYZEd them, routing reads through spark.table() gives
+#: the optimizer rowCount + column stats (CBO join reorder needs
+#: catalog stats; a bare parquet scan only has sizeInBytes). Empty in
+#: normal operation — zero behavior change for the driver.
+_TABLE_OVERRIDES: dict[tuple[str, str], str] = {}
+
+
+def use_catalog_table(sf_dir: str, name: str, table: str | None) -> None:
+    """Route ``_t(spark, sf_dir, name)`` through ``spark.table(table)``
+    (pass ``None`` to clear). The caller owns creating/analyzing the
+    table over the SAME parquet location so results are identical."""
+    key = (sf_dir.rstrip("/"), name)
+    if table is None:
+        _TABLE_OVERRIDES.pop(key, None)
+    else:
+        _TABLE_OVERRIDES[key] = table
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Engine semantics are SQLite-lax (x/0 -> NULL, malformed cast ->
     # NULL). The driver hands us ITS session, which on Spark 4 defaults
     # to ANSI mode; pin the runtime-settable flag so every catalog query
     # behaves identically under any session.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    override = _TABLE_OVERRIDES.get((sf_dir.rstrip("/"), name))
+    if override is not None:
+        return spark.table(override)
     if name == "events":
         # events.parquet's `ts` has shipped as both TIMESTAMP(NANOS) and
         # timestamp[us] across testdata generations. The flag below only
@@ -338,10 +361,17 @@ def q7_nation_volume(spark, sf_dir):
             cust.c_nationkey == nation.n_nationkey,
         ).select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
+    # r10 (CBO experiment, CBO_r10.json): resolve orders -> cdim FIRST
+    # so the nation-pair selectivity (~2/25 of customers) shrinks
+    # orders BEFORE the big orderkey join against lineitem — the exact
+    # order stats-driven join reorder picked; hand-placed so the
+    # statless parquet path gets it too. 5.80 -> 2.34 s at 100x.
+    ordc = orders.join(cdim, orders.o_custkey == cdim.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
     j = (
         li.join(sdim, li.l_suppkey == sdim.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cdim, orders.o_custkey == cdim.c_custkey)
+        .join(ordc, li.l_orderkey == ordc.o_orderkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -4570,6 +4600,86 @@ def dedup_winnow_fast(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_exact_substring",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+      FROM documents
+    ), h AS (
+      SELECT doc_id, length(s) AS L, length(s) - 24 + 1 AS ng,
+             list_transform(range(1, length(s) - 24 + 2),
+               i -> ('0x' || substr(md5(substr(s, i::INT, 24)), 1, 8))::BIGINT
+             ) AS hashes
+      FROM t
+    ), selpos AS (
+      SELECT doc_id, L, hashes,
+         CASE WHEN ng < 1 THEN []::BIGINT[]
+              WHEN ng < 8 THEN
+                [list_position(hashes, list_aggregate(hashes, 'min'))::BIGINT]
+              ELSE list_sort(list_distinct(list_transform(
+                     range(1, ng - 8 + 2),
+                     j -> (j - 1 + list_position(
+                            list_slice(hashes, j::INT, (j + 7)::INT),
+                            list_aggregate(
+                              list_slice(hashes, j::INT, (j + 7)::INT), 'min')
+                          ))::BIGINT
+                   ))) END AS poss
+      FROM h
+    ), sel0 AS (
+      SELECT doc_id, L, hashes, unnest(poss) AS pos FROM selpos
+    ), sel AS (
+      SELECT doc_id, L, pos, hashes[pos::INT] AS fp FROM sel0
+    ), rep AS (
+      SELECT fp FROM (
+        SELECT fp, count(DISTINCT doc_id) AS nd FROM sel GROUP BY fp
+      ) WHERE nd >= 2
+    ), m AS (
+      SELECT s.doc_id, s.L, s.pos FROM sel s JOIN rep r ON s.fp = r.fp
+    ), sp0 AS (
+      SELECT doc_id, L, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > 32 THEN 1 ELSE 0 END AS brk
+      FROM m
+    ), sp AS (
+      SELECT doc_id, L, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM sp0
+    ), spans AS (
+      SELECT doc_id, L, min(pos) AS a, max(pos) AS b
+      FROM sp GROUP BY doc_id, L, sid
+    ), big AS (
+      SELECT doc_id, L, b - a + 24 AS len FROM spans WHERE b - a + 24 >= 100
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(len) AS BIGINT) AS span_chars,
+           CAST(max(L) AS BIGINT) AS doc_chars,
+           floor(sum(len) * 1.0 / max(L) * 1000000 + 0.001) / 1000000
+             AS span_share
+    FROM big GROUP BY doc_id
+    """,
+    doc="Cross-boundary exact-substring duplication report (the "
+    "ExactSubstr half of Lee et al. 2022, "
+    "operators/dedup.py:exact_substring_spans): positional winnowing "
+    "(k=24 char grams, w=8 windows, leftmost-argmin for engine "
+    "parity) -> repeated-hash flag on the distinct (hash, doc) grain "
+    "(>= 2 docs) -> per-doc gap-sessionized span merge -> spans >= "
+    "100 chars. Catches repeated regions that straddle or subset "
+    "paragraph boundaries — invisible to dedup_paragraph, whose grain "
+    "is the blank-line paragraph (planted-case pytest in "
+    "test_dedup.py). Fully linear: no pair join anywhere; a "
+    "boilerplate hash in every doc is ONE aggregate row.",
+)
+def dedup_exact_substring(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import exact_substring_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_substring_spans(
+        docs, "doc_id", "text", k=24, w=8, min_len=100, min_docs=2, gap=32
+    )
+    return out.withColumn("span_share", _q6(F.col("span_share")))
+
+
 #: shared by the `decontaminate` and `decontaminate_bloom` entries:
 #: both operators contract to IDENTICAL output (the Bloom path has no
 #: false negatives and exact-verifies its candidates), so one oracle
@@ -5004,7 +5114,15 @@ def doc_repetition_q(spark, sf_dir):
 _GATE_WINDOW = 50
 
 _GATE_PRIORITY = [
-    # new this round (r9):
+    # new this round (r10):
+    "dedup_exact_substring",
+    # changed this round (r10), must re-gate: q21 re-aggregates on
+    # s_name (ADVICE r9), c4_clean regex-escapes bad_words,
+    # curation_pipeline hint-None forwarding
+    "q21_waiting_supplier",
+    "c4_clean",
+    "curation_pipeline",
+    # new r9 (one green round only — keep in-window one more):
     "q2_min_cost_supplier",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -5033,10 +5151,6 @@ _GATE_PRIORITY = [
     "q6_forecast_revenue",
     "q14_promo_share",
     "dedup_paragraph",
-    # first gated r8 (one green round only — keep in-window one more):
-    "source_overlap",
-    "q22_global_sales",
-    "doc_repetition",
 ]
 
 _GATE_TAIL = [
@@ -5097,6 +5211,18 @@ _GATE_TAIL = [
     # one more slot needed. dedup_ngram_jaccard is green r1-r8 and its
     # operator path (shingles + pair join) has had no churn since r2.
     "dedup_ngram_jaccard",
+    # rotated r10 to make room for dedup_exact_substring /
+    # lm_perplexity_buckets / transitions_stream_parity and the three
+    # re-gates (q21/c4_clean/curation_pipeline): source_overlap,
+    # q22_global_sales and doc_repetition are green r8+r9 with no
+    # churn since; q6/q14 are single-shape micros green r9 plus every
+    # earlier round under the same plan (the r9 re-gate was an oracle
+    # recomposition, not an operator change).
+    "source_overlap",
+    "q22_global_sales",
+    "doc_repetition",
+    "q6_forecast_revenue",
+    "q14_promo_share",
 ]
 
 

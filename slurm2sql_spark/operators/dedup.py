@@ -50,6 +50,7 @@ __all__ = [
     "shingles",
     "ngram_jaccard_pairs",
     "winnow_overlap_pairs",
+    "exact_substring_spans",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_band_rows",
@@ -781,6 +782,120 @@ def winnow_overlap_pairs(
     postings = fped.select("id", F.explode("_wfp").alias("shingle"))
     return _jaccard_pairs_from_postings(
         postings, max_fingerprint_freq, threshold, persist_postings
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_len: int = 50,
+    min_docs: int = 2,
+    gap: int | None = None,
+) -> DataFrame:
+    """Cross-boundary exact-substring duplication report — the
+    ExactSubstr half of Lee et al. 2022 (the half ``repeated_
+    paragraphs`` / L39 does NOT cover: L39's grain is the blank-line-
+    delimited paragraph, so a repeated span that straddles or subsets
+    paragraph boundaries is invisible to it; this operator finds any
+    repeated region of length >= ``min_len`` chars regardless of
+    where paragraph breaks fall).
+
+    Method (no pair join anywhere — fully linear):
+
+    1. positional winnowing (``textstats.winnow_fingerprint_
+       positions``): per doc, the selected (pos, gram-hash) set; the
+       winnowing guarantee makes any cross-doc exact match of length
+       >= w+k-1 share selected hash VALUES, and inside a long match
+       consecutive selected positions sit at most ~w+k apart;
+    2. a hash is *repeated* when it appears in >= ``min_docs``
+       distinct docs — computed on the distinct (hash, doc) GRAIN
+       first, then one m-bounded count per hash (the L39 groupBy-
+       reach idiom: a boilerplate hash appearing in every doc is one
+       aggregate row, never a hot window or a pair fan-out);
+    3. repeated-hash positions within a doc are merged into spans by
+       sessionization (gap > ``gap`` chars starts a new span) — one
+       window partitioned by doc, per-partition work bounded by doc
+       length, no skew;
+    4. spans shorter than ``min_len`` chars are dropped; per-doc
+       rollup of count/coverage.
+
+    Returns ``(id, n_spans, span_chars, doc_chars, span_share)`` for
+    docs with at least one qualifying span. ``doc_chars`` is the
+    length of the whitespace-collapsed lowercased text the positions
+    index into. ``gap`` defaults to ``w + k`` (the guarantee's worst-
+    case stride plus the gram length).
+
+    Scale: the only corpus-sized shuffles are the grain distinct, the
+    flagged-hash inner join-back, and the per-doc window; posting
+    volume is ~2/(w+1) of the gram count (winnowing density). The
+    selected-positions frame is persisted (two consumers) via the
+    module ``_persist`` registry.
+    """
+    from slurm2sql_spark.operators.textstats import (
+        winnow_fingerprint_positions,
+    )
+
+    if gap is None:
+        gap = w + k
+    from pyspark.sql import Window
+
+    narrow = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+        min_bytes=4 << 20,
+    )
+    fped = winnow_fingerprint_positions(narrow, "_t", out_col="_pf", k=k, w=w)
+    sel = _persist(
+        fped.select("id", F.explode("_pf").alias("_s")).select(
+            "id", F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp")
+        )
+    )
+    repeated = (
+        sel.select("fp", "id")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .select("fp")
+    )
+    matched = sel.join(repeated, "fp").select("id", "pos")
+    wdoc = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        matched.withColumn(
+            "_brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(wdoc) > F.lit(int(gap)), 1
+            ).otherwise(0),
+        )
+        .withColumn("_sid", F.sum("_brk").over(wdoc))
+        .groupBy("id", "_sid")
+        .agg(F.min("pos").alias("_a"), F.max("pos").alias("_b"))
+        .withColumn("span_len", F.col("_b") - F.col("_a") + F.lit(int(k)))
+        .filter(F.col("span_len") >= int(min_len))
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").cast("long").alias("span_chars"),
+    )
+    lens = df.select(
+        F.col(id_col).alias("id"),
+        F.length(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\r\f]+", " ")
+        )
+        .cast("long")
+        .alias("doc_chars"),
+    )
+    return (
+        per_doc.join(lens, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "span_chars",
+            "doc_chars",
+            (F.col("span_chars") / F.col("doc_chars")).alias("span_share"),
+        )
     )
 
 

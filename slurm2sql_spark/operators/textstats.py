@@ -22,6 +22,7 @@ __all__ = [
     "fingerprint",
     "winnow_fingerprints",
     "winnow_fingerprints_fast",
+    "winnow_fingerprint_positions",
     "doc_frequency_topk",
     "tfidf_top_terms",
     "text_profile",
@@ -312,6 +313,64 @@ def winnow_fingerprints_fast(
             # view BEFORE unique: the sorted-distinct contract is in
             # int64 order (bigint), not uint64 order
             return np.unique(mins.view(np.int64)).tolist()
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, _kernel(F.col(text_col)))
+
+
+def winnow_fingerprint_positions(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "fingerprints",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Positional variant of :func:`winnow_fingerprints`: per window of
+    ``w`` consecutive k-gram hashes, select the LEFTMOST minimal gram
+    and keep its (position, hash) — the winnowing guarantee (any match
+    of length >= w+k-1 shares a selected hash) holds exactly as for the
+    value-set kernel, but positions let a consumer locate and merge the
+    matching SPANS (the ExactSubstr half of Lee et al. 2022, "Dedup-
+    licating Training Data Makes Language Models Better" — public
+    paper; ``dedup.exact_substring_spans`` is the consumer).
+
+    Adds ``out_col``: sorted array<struct<pos:int, fp:bigint>> of
+    distinct selected positions; ``pos`` is the 1-based gram start in
+    the whitespace-collapsed lowercased text (1-based so the DuckDB
+    oracle's ``list_position``/``substr`` arithmetic mirrors it
+    directly). Leftmost-argmin (not classic winnowing's rightmost) for
+    the same reason: DuckDB's ``list_position`` returns the FIRST
+    occurrence, so both engines pick identical positions on ties.
+    Same NULL/short-doc degradation and same Arrow-kernel-not-
+    expressions rationale as :func:`winnow_fingerprints`.
+    """
+    import hashlib
+    import re as _re
+
+    @F.pandas_udf("array<struct<pos:int,fp:bigint>>")
+    def _kernel(texts: pd.Series) -> pd.Series:
+        ws = _re.compile(r"[ \t\n\r\f]+")
+
+        def one(text):
+            if text is None:
+                return None
+            t = ws.sub(" ", text.lower())
+            ng = len(t) - k + 1
+            if ng < 1:
+                return []
+            hashes = [
+                int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+                for i in range(ng)
+            ]
+            if ng < w:
+                i = hashes.index(min(hashes))
+                return [(i + 1, hashes[i])]
+            picked = set()
+            for j in range(ng - w + 1):
+                window = hashes[j : j + w]
+                picked.add(j + window.index(min(window)))
+            return sorted((i + 1, hashes[i]) for i in picked)
 
         return texts.map(one)
 
