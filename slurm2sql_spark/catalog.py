@@ -3219,6 +3219,66 @@ def quality_stream_parity(spark, sf_dir):
 
 
 @register(
+    "transitions_stream_parity",
+    """
+    WITH e AS (
+      SELECT CAST(user_id AS VARCHAR) AS JobID, event_type AS s,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') AS t
+      FROM events
+    ), o AS (
+      SELECT JobID, s,
+             lag(s) OVER (PARTITION BY JobID ORDER BY t, s) AS prev
+      FROM e
+    )
+    SELECT JobID, prev AS prev_state, s AS new_state
+    FROM o WHERE prev IS DISTINCT FROM s
+    """,
+    doc="Driver-gated STATEFUL streaming row (VERDICT r9 missing #5: "
+    "quality_stream_parity gates only the stateless twin; "
+    "job_state_transitions — applyInPandasWithState, per-key state "
+    "store — was pytest-only). The events table replays availableNow "
+    "as a job-state stream (user_id -> JobID, event_type -> State, "
+    "zero-padded epoch-micros -> the operator's in-batch sort key) "
+    "through streaming/stream.py:job_state_transitions into a parquet "
+    "sink; the landed transitions must hash-match the batch "
+    "lag-over-window SQL, because per-key state carried across "
+    "micro-batches is exactly 'previous row's state' under a "
+    "deterministic replay order. The stateful analog of the "
+    "reference's incremental-vs-batch equivalence protocol "
+    "(test.py:329-357).",
+)
+def transitions_stream_parity(spark, sf_dir):
+    import os
+    import tempfile
+
+    from slurm2sql_spark.streaming.stream import job_state_transitions
+
+    batch = _t(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="transitions_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    ts_key = F.lpad(_ts_us(stream).cast("string"), 20, "0")
+    jobs = stream.select(
+        F.col("user_id").cast("string").alias("JobID"),
+        F.col("event_type").alias("State"),
+        ts_key.alias("Start"),
+        ts_key.alias("End"),
+    )
+    out = job_state_transitions(jobs)
+    sink = tempfile.mkdtemp(prefix="transitions_stream_parity_")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{sink}/data")
+        .option("checkpointLocation", f"{sink}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{sink}/data")
+
+
+@register(
     "c4_clean",
     r"""
     WITH base AS (
@@ -3832,6 +3892,108 @@ def dsir_selection(spark, sf_dir):
     raw = docs.filter(F.col("source") != "src0")
     return dsir_select(
         raw, target, "doc_id", "text", k=100, m=1024, salt="d1"
+    )
+
+
+@register(
+    "lm_perplexity_buckets",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(coalesce(text, ''))),
+                                '[ \t\n\r\f]+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, unnest(w) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g
+      FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    ),
+    occ AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(g || 'p1'), 1, 8))::BIGINT % 1024 AS b
+      FROM grams
+    ),
+    rgrain AS (SELECT doc_id, b, count(*) AS n FROM occ
+               WHERE source <> 'src0' GROUP BY 1, 2),
+    tcnt AS (SELECT b, count(*) AS ct FROM occ WHERE source = 'src0'
+             GROUP BY 1),
+    tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tcnt) AS tt),
+    scored AS (
+      SELECT g.doc_id,
+             floor((-sum(g.n * ln((coalesce(t.ct, 0) + 1.0)
+                                  / (tt + 1024.0)))
+                    / sum(g.n)) * 1000000 + 0.001) / 1000000 AS lq
+      FROM rgrain g LEFT JOIN tcnt t USING (b), tot
+      GROUP BY 1
+    ),
+    cuts AS (
+      SELECT floor(quantile_cont(lq, 0.3333333333333333) * 1000000
+                   + 0.001) / 1000000 AS c1,
+             floor(quantile_cont(lq, 0.6666666666666666) * 1000000
+                   + 0.001) / 1000000 AS c2
+      FROM scored
+    )
+    SELECT CASE WHEN lq <= c1 THEN 'head'
+                WHEN lq <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           floor(avg(lq) * 1000000 + 0.001) / 1000000 AS mean_logppl,
+           min(lq) AS min_logppl, max(lq) AS max_logppl
+    FROM scored, cuts GROUP BY 1
+    """,
+    doc="CCNet-style LM-perplexity quality bucketing (Wenzek et al. "
+    "2020, operators/sampling.py:lm_perplexity): train a hashed "
+    "unigram+bigram multinomial on the trusted reference corpus "
+    "(source src0 — the same featurization the DSIR machinery uses, "
+    "salt-decorrelated), score every other document's per-gram "
+    "cross-entropy, split the corpus at the logppl terciles "
+    "(head = most reference-like / middle / tail, CCNet's buckets), "
+    "and report per-bucket count + logppl stats. Per-doc scores and "
+    "tercile cutoffs are 1e-6 floor-quantized before any comparison "
+    "(the dsir_selection discipline). Scale: m-bounded bin shuffles + "
+    "broadcast bin table (sampling.py:244's contract); the exact "
+    "tercile aggregate is the value_percentiles idiom — swap to "
+    "percentile_approx at 100 TB, same plan shape.",
+)
+def lm_perplexity_buckets(spark, sf_dir):
+    from slurm2sql_spark.operators.sampling import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    scored = lm_perplexity(
+        raw, ref, "doc_id", "text", m=1024, salt="p1"
+    ).select("doc_id", _q6(F.col("logppl")).alias("lq"))
+    cuts = (
+        scored.agg(
+            F.expr(
+                "percentile(lq, array(0.3333333333333333D,"
+                " 0.6666666666666666D))"
+            ).alias("cs")
+        )
+        .select(
+            _q6(F.element_at("cs", 1)).alias("c1"),
+            _q6(F.element_at("cs", 2)).alias("c2"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            F.when(F.col("lq") <= F.col("c1"), "head")
+            .when(F.col("lq") <= F.col("c2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "lq",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _q6(F.avg("lq")).alias("mean_logppl"),
+            F.min("lq").alias("min_logppl"),
+            F.max("lq").alias("max_logppl"),
+        )
     )
 
 
@@ -5116,6 +5278,8 @@ _GATE_WINDOW = 50
 _GATE_PRIORITY = [
     # new this round (r10):
     "dedup_exact_substring",
+    "lm_perplexity_buckets",
+    "transitions_stream_parity",
     # changed this round (r10), must re-gate: q21 re-aggregates on
     # s_name (ADVICE r9), c4_clean regex-escapes bad_words,
     # curation_pipeline hint-None forwarding
@@ -5142,14 +5306,10 @@ _GATE_PRIORITY = [
     "converters_roundtrip",
     "text_transforms",
     "grouping_sets_counts",
-    # changed this round, must re-gate: oracle recomposed from shared
-    # fragments (+ \r whitespace fix) / quantization switched to
-    # _cents / operator's reach count rewritten
+    # re-gated r9 after oracle recomposition; kept in-window one more
+    # round (q6/q14/text_profile/corpus_report rotated to tail in r10
+    # after their second green round)
     "quality_filter",
-    "corpus_report",
-    "text_profile",
-    "q6_forecast_revenue",
-    "q14_promo_share",
     "dedup_paragraph",
 ]
 
@@ -5223,6 +5383,10 @@ _GATE_TAIL = [
     "doc_repetition",
     "q6_forecast_revenue",
     "q14_promo_share",
+    # rotated r10 (second batch): green r8+r9 under unchanged plans,
+    # both with SCALING evidence at their largest measured scale
+    "text_profile",
+    "corpus_report",
 ]
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "split_assign",
     "dsir_weights",
     "dsir_select",
+    "lm_perplexity",
 ]
 
 #: bucket space: first 8 md5 hex chars = 32 bits
@@ -365,6 +366,77 @@ def dsir_select(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(int(k))
         .select(id_col, "weight")
+    )
+
+
+def lm_perplexity(
+    raw: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int = 4096,
+    alpha: float = 1.0,
+    salt: str = "",
+    bigrams: bool = True,
+) -> DataFrame:
+    """Per-document log-perplexity under a hashed n-gram LM trained on
+    a REFERENCE corpus — the CCNet-style quality signal (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data", LREC — public paper; CCNet uses a KenLM 5-gram,
+    here the LM is the same hashed unigram+bigram multinomial the DSIR
+    machinery trains, so the feature pipeline is shared, not
+    duplicated).
+
+    The reference corpus induces an add-``alpha``-smoothed multinomial
+    over ``m`` hashed bins; a document's score is its per-gram
+    cross-entropy in nats: ``logppl = -(1/n) * sum ln p_ref(bin)``
+    over its gram occurrences. Lower = more reference-like. Returns
+    ``(id, n_grams, logppl)`` for raw docs with >= 1 token; quantize
+    downstream (the catalog entry floor-quantizes at 1e-6, the
+    ``dsir_select`` discipline, so last-ulp ln() divergence between
+    engines cannot leak into comparisons).
+
+    Scale contract (identical to ``dsir_weights`` — sampling.py:244):
+    the only corpus-sized shuffles are the (doc, bin) grain collapse
+    (map-side combined, fan-out bounded by 2x tokens/doc) and the
+    per-doc sum; the reference's bin table is <= ``m`` rows and
+    BROADCASTS. The reference corpus is scanned once; the raw corpus
+    once.
+    """
+    if m <= 0:
+        raise ValueError(f"m must be positive, got {m}")
+    r_occ = (
+        _hashed_ngram_occurrences(raw, id_col, text_col, m, salt, bigrams)
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    t_occ = _hashed_ngram_occurrences(
+        reference, id_col, text_col, m, salt, bigrams
+    )
+    t_cnt = t_occ.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    t_tot = t_cnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    am = float(alpha) * m
+    logp = t_cnt.crossJoin(F.broadcast(t_tot)).select(
+        "b",
+        F.log(
+            (F.col("ct") + F.lit(float(alpha))) / (F.col("tt") + F.lit(am))
+        ).alias("lp"),
+    )
+    # bins absent from the reference take the smoothed floor
+    # ln(alpha / (tt + alpha*m)) — computed per-row from the broadcast
+    # scalar so the left join needs no full m-bin densification
+    floor_lp = F.log(F.lit(float(alpha)) / (F.col("tt") + F.lit(am)))
+    return (
+        r_occ.join(F.broadcast(logp), "b", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").alias("n_grams"),
+            (
+                -F.sum(F.col("_n") * F.coalesce(F.col("lp"), floor_lp))
+                / F.sum("_n")
+            ).alias("logppl"),
+        )
     )
 
 

@@ -639,3 +639,85 @@ def test_scrub_paragraphs_blocklist_broadcasts(spark):
 
     anti = [seg for seg in plan.splitlines() if "LeftAnti" in seg]
     assert anti and all("Broadcast" in seg for seg in anti), anti
+
+
+def test_exact_substring_spans_cross_boundary_planted(spark):
+    """The ExactSubstr guarantee L39 cannot give: a repeated region
+    whose paragraph breaks FALL DIFFERENTLY in the two documents is
+    invisible to paragraph_stats (no complete blank-line paragraph is
+    shared) but must be flagged by exact_substring_spans, whose grain
+    is the whitespace-collapsed character stream."""
+    from slurm2sql_spark.operators.dedup import (
+        exact_substring_spans,
+        paragraph_stats,
+    )
+
+    shared = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo"
+    )  # 114 chars ws-collapsed
+    # doc 1 carries the span intact inside one paragraph; doc 2 has a
+    # paragraph break in the MIDDLE of it (ws-collapse unifies them);
+    # doc 3 is unrelated.
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one unique\n\n{shared}\n\ncoda one unique"),
+            (
+                2,
+                "prefix two other\n\n"
+                + shared.replace(" hotel ", " hotel\n\n", 1)
+                + " tail two other",
+            ),
+            (3, "zulu yankee xray whiskey victor uniform tango sierra"),
+        ],
+        "doc_id int, text string",
+    )
+    # L39's paragraph grain sees NO cross-doc repeated paragraph
+    pstats = {
+        r["doc_id"]: r["n_repeated"]
+        for r in paragraph_stats(docs, "doc_id", "text", min_docs=2).collect()
+    }
+    assert pstats == {1: 0, 2: 0, 3: 0}
+    # the character-stream grain flags both carriers
+    rows = {
+        r["doc_id"]: r
+        for r in exact_substring_spans(
+            docs, "doc_id", "text", k=8, w=4, min_len=50, min_docs=2
+        ).collect()
+    }
+    assert set(rows) == {1, 2}
+    for doc_id, r in rows.items():
+        assert r["n_spans"] == 1
+        # the merged span lives inside the shared region: grams that
+        # straddle the boundary hash differently in the two docs, so
+        # coverage is the shared length minus at most one window+gram
+        assert len(shared) - 12 - 8 <= r["span_chars"] <= len(shared) + 1
+        assert 0.0 < r["span_share"] <= 1.0
+        assert r["doc_chars"] > r["span_chars"]
+
+
+def test_exact_substring_spans_gap_split_and_min_len(spark):
+    """Two repeated regions separated by > gap unique chars form two
+    spans; a short repeat below min_len never surfaces."""
+    from slurm2sql_spark.operators.dedup import exact_substring_spans
+
+    span_a = "first repeated block with plenty of characters inside it yes"
+    span_b = "second repeated block also long enough to clear the bar too"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span_a} uniquely-one filler middle part {span_b}"),
+            (2, f"{span_a} other-two padding center words {span_b}"),
+            (3, "tiny shared bit"),
+            (4, "tiny shared bit plus unrelated trailing content here"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in exact_substring_spans(
+            docs, "doc_id", "text", k=8, w=4, min_len=50, min_docs=2
+        ).collect()
+    }
+    # docs 3/4 share only 15 chars < min_len -> absent
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_spans"] == 2 and rows[2]["n_spans"] == 2

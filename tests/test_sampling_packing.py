@@ -281,3 +281,59 @@ def test_new_r9_operators_handle_empty_inputs(spark):
     out = scrub_paragraphs(target, "doc_id", "text", bl).collect()
     assert len(out) == 1 and out[0]["n_removed"] == 0
     assert curate(empty, target, "doc_id", "text").count() == 0
+
+
+def test_lm_perplexity_ranks_reference_like_docs_lower(spark):
+    """CCNet contract: a raw document drawn from the reference LM's
+    vocabulary must score LOWER log-perplexity than an out-of-
+    distribution document; n_grams counts unigrams + bigrams."""
+    from slurm2sql_spark.operators.sampling import lm_perplexity
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat near the cat door") for i in range(100, 110)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),       # in-distribution
+            (2, "zqxv wvvk pllm trrg bnnm qq"),  # out-of-distribution
+            # empty text: split('') -> [''] on BOTH engines (the DSIR
+            # featurization convention) -> one out-of-vocab '' gram
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in lm_perplexity(raw, ref, "doc_id", "text", m=1024).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[3]["n_grams"] == 1
+    assert rows[1]["logppl"] < rows[2]["logppl"]
+    # 6 unigrams + 5 bigrams
+    assert rows[1]["n_grams"] == 11
+    # perplexities are positive cross-entropies in nats
+    assert rows[1]["logppl"] > 0
+
+
+def test_lm_perplexity_reference_table_broadcasts(spark):
+    """Scale contract (sampling.py:244): the per-doc scoring join must
+    broadcast the m-bounded reference bin table, never shuffle the
+    corpus side."""
+    from slurm2sql_spark.operators.sampling import lm_perplexity
+
+    ref = spark.createDataFrame(
+        [(i, f"word{i} common text body") for i in range(20)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, f"doc body number {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = (
+        lm_perplexity(raw, ref, "doc_id", "text", m=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the only SortMergeJoin-free contract: no corpus-keyed shuffle join
+    assert "SortMergeJoin" not in plan
