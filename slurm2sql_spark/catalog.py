@@ -3685,19 +3685,24 @@ def source_overlap(spark, sf_dir):
     "multimodal_pipeline",
     """
     SELECT doc_id AS media_id,
-           CAST(1 + octet_length(encode(text)) % 1024 AS INT) AS width,
-           CAST(1 + ('0x' || substr(sha256(text), 1, 4))::INT % 1024 AS INT)
-             AS height,
+           CAST(octet_length(encode(text)) AS INT) AS width,
+           1 AS height,
            substr(sha256(text), 1, 16) AS pixel_digest,
            64 AS dim
-    FROM documents WHERE doc_id < 200
+    FROM documents WHERE doc_id < 200 AND octet_length(encode(text)) >= 1
     """,
-    doc="Multimodal plumbing: text bytes -> media table -> fake decode -> "
-    "hash features -> feature dim, all through mapInPandas Arrow batches. "
-    "The deterministic sha256 fake decode lets the oracle recompute "
-    "width/height/digest directly, checking the Arrow batch plumbing "
-    "(schema, ids, byte round-trip) for real even though the real "
-    "decoder is a stub.",
+    doc="Multimodal plumbing, REAL decode branch (r10, VERDICT r9 "
+    "missing #3/next #7): text bytes are wrapped into valid binary "
+    "PGM images (header 'P5 <w> 1 255\\n' + the utf-8 bytes as the "
+    "pixel row), pushed through media_table -> decode_images "
+    "STRICT mode — operators/multimodal.py:decode_pnm, a full "
+    "pure-stdlib netpbm parser (magic, comments, dims, maxval, "
+    "payload-size validation) — plus the hash-feature seam, all in "
+    "mapInPandas Arrow batches. The oracle recomputes the expected "
+    "decode output directly: width = byte count, height = 1, "
+    "pixel_digest = sha256 of the pixel bytes (= the text bytes by "
+    "construction), so a parser bug (off-by-one header skip, wrong "
+    "sample slicing) breaks the hash match.",
 )
 def multimodal_pipeline(spark, sf_dir):
     from slurm2sql_spark.operators.multimodal import (
@@ -3706,15 +3711,22 @@ def multimodal_pipeline(spark, sf_dir):
         media_table,
     )
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    media = media_table(
-        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob")),
-        "doc_id",
-        "blob",
-        "image",
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.octet_length(F.col("text")) >= 1)
     )
-    decoded = decode_images(media, fake=True)
-    feats = extract_features(media, fake=True)
+    pixels = F.encode(F.col("text"), "utf-8")
+    header = F.encode(
+        F.concat(
+            F.lit("P5 "),
+            F.octet_length("text").cast("string"),
+            F.lit(" 1 255\n"),
+        ),
+        "utf-8",
+    )
+    pgm = docs.select("doc_id", F.concat(header, pixels).alias("blob"))
+    media = media_table(pgm, "doc_id", "blob", "image")
+    decoded = decode_images(media, fake=False)  # REAL netpbm decode
+    feats = extract_features(media, fake=True)  # model runtime stays a stub
     return decoded.join(feats, "media_id").select(
         "media_id", "width", "height", "pixel_digest", F.size("features").alias("dim")
     )
@@ -5282,10 +5294,12 @@ _GATE_PRIORITY = [
     "transitions_stream_parity",
     # changed this round (r10), must re-gate: q21 re-aggregates on
     # s_name (ADVICE r9), c4_clean regex-escapes bad_words,
-    # curation_pipeline hint-None forwarding
+    # curation_pipeline hint-None forwarding, multimodal_pipeline now
+    # exercises the REAL netpbm decode branch
     "q21_waiting_supplier",
     "c4_clean",
     "curation_pipeline",
+    "multimodal_pipeline",
     # new r9 (one green round only — keep in-window one more):
     "q2_min_cost_supplier",
     "q13_customer_distribution",

@@ -3,11 +3,15 @@ columns with typed metadata, processed in Arrow batches via
 ``mapInPandas``.
 
 The Spark-side contract (schema, partition sizing, UDF signatures,
-batch shape) is real and tested; the actual media decode is STUBBED —
-this container has no image/audio libraries. Each stub either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-(``fake=True``), so pipelines are testable end-to-end and a real
-decoder (PIL/torchaudio/ffmpeg) can be dropped into the marked seam.
+batch shape) is real and tested. Image decode is REAL for the netpbm
+family (PGM/PPM, :func:`decode_pnm` — pure stdlib, r10): the
+``multimodal_pipeline`` catalog entry runs it end-to-end on
+synthesized P5 bytes with an oracle that recomputes the pixel digest.
+Other formats (JPEG/PNG, audio, video frames) stay stubbed — this
+container has no imaging/av libraries — raising
+``NotImplementedError`` in strict mode or producing a deterministic
+fake (``fake=True``), so those pipelines are testable end-to-end and
+a real decoder (PIL/torchaudio/ffmpeg) drops into the marked seam.
 
 Scale notes: media rows are large, so the operators repartition by
 byte-size budget rather than row count (`target_partition_bytes`), and
@@ -27,6 +31,7 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_SCHEMA",
     "media_table",
+    "decode_pnm",
     "decode_images",
     "extract_features",
     "resize_images",
@@ -91,6 +96,69 @@ def _size_partitions(df: DataFrame, target_partition_bytes: int) -> DataFrame:
     return df.repartition(int(want), "media_id")
 
 
+def decode_pnm(buf: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib decoder for the binary/ASCII netpbm formats (PGM
+    ``P2``/``P5``, PPM ``P3``/``P6`` — the one image family decodable
+    with zero dependencies): returns ``(width, height, pixel_bytes)``
+    where ``pixel_bytes`` is the raw 8-bit sample stream (1 byte per
+    sample grayscale, 3 bytes per pixel RGB) — the canonical form the
+    pipeline digests.
+
+    Full header grammar: tokens separated by whitespace, ``#`` comments
+    run to end-of-line, exactly one whitespace byte after maxval before
+    binary pixel data. 8-bit samples only (maxval <= 255); a 16-bit
+    maxval raises ValueError rather than silently mis-slicing. Sample
+    count must equal width*height*channels exactly.
+    """
+    if len(buf) < 2 or buf[0:1] != b"P" or buf[1:2] not in b"2356":
+        raise ValueError(f"not a PGM/PPM buffer: {buf[:2]!r}")
+    magic = buf[:2].decode()
+    channels = 3 if magic in ("P3", "P6") else 1
+    pos = 2
+
+    def _token() -> bytes:
+        nonlocal pos
+        while pos < len(buf):
+            c = buf[pos : pos + 1]
+            if c == b"#":
+                while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        return buf[start:pos]
+
+    width, height, maxval = (int(_token()) for _ in range(3))
+    if width < 1 or height < 1:
+        raise ValueError(f"invalid dimensions {width}x{height}")
+    if not 0 < maxval <= 255:
+        raise ValueError(f"only 8-bit samples supported, maxval={maxval}")
+    need = width * height * channels
+    if magic in ("P5", "P6"):
+        pos += 1  # exactly one whitespace byte after maxval
+        data = buf[pos:]
+        if len(data) != need:
+            raise ValueError(
+                f"pixel payload {len(data)} B != expected {need} B"
+            )
+        return width, height, bytes(data)
+    samples = buf[pos:].split()
+    if len(samples) != need:
+        raise ValueError(
+            f"{len(samples)} ASCII samples != expected {need}"
+        )
+    vals = [int(s) for s in samples]
+    if any(v < 0 or v > maxval for v in vals):
+        raise ValueError("sample out of range")
+    return width, height, bytes(vals)
+
+
 def decode_images(
     df: DataFrame,
     fake: bool = False,
@@ -99,10 +167,14 @@ def decode_images(
     """content -> decoded (width, height, pixels-digest) per image.
 
     Arrow-batched ``mapInPandas``; the decode seam is the inner
-    ``_decode`` function. STRICT mode raises NotImplementedError (no
-    image libs in this container); ``fake=True`` derives a
-    deterministic pseudo-decode from the bytes so the plumbing is
-    testable.
+    ``_decode`` function. STRICT mode (``fake=False``) runs a REAL
+    decoder for the netpbm family (:func:`decode_pnm` — PGM/PPM,
+    pure stdlib) and raises NotImplementedError for any other format
+    (JPEG/PNG need an imaging library this container lacks; drop
+    PIL into the marked seam). ``fake=True`` derives a deterministic
+    pseudo-decode from the bytes so non-netpbm plumbing stays
+    testable. ``pixel_digest`` is sha256 over the DECODED 8-bit
+    sample stream (strict) or over the raw buffer (fake).
     """
     out_schema = (
         "media_id long, width int, height int, pixel_digest string"
@@ -115,10 +187,16 @@ def decode_images(
 
         def _decode(buf: bytes) -> tuple[int, int, str]:
             if not fake:
-                # Real implementation: PIL.Image.open(io.BytesIO(buf))
+                b = buf or b""
+                if b[:1] == b"P" and b[1:2] in b"2356":
+                    w, h, pixels = decode_pnm(b)
+                    return w, h, hashlib.sha256(pixels).hexdigest()[:16]
+                # Real implementation for other formats:
+                # PIL.Image.open(io.BytesIO(buf))
                 raise NotImplementedError(
-                    "image decode requires an imaging library; "
-                    "run with fake=True for the deterministic stub"
+                    "only netpbm (PGM/PPM) decodes without an imaging "
+                    "library; run with fake=True for the deterministic "
+                    "stub on other formats"
                 )
             # sha256, not sha1: every engine with a sha256() can
             # replicate the fake decode, so the pipeline is

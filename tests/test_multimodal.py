@@ -118,3 +118,60 @@ def test_resize_images_strict_raises(spark):
     media = media_table(docs, "doc_id", "blob", "image")
     with _pytest.raises(Exception, match="imaging library"):
         resize_images(media, 4, 4, fake=False).collect()
+
+
+def test_decode_pnm_binary_gray_with_comments():
+    """Full header grammar: comments, arbitrary whitespace, multi-row
+    binary payload."""
+    from slurm2sql_spark.operators.multimodal import decode_pnm
+
+    pixels = bytes(range(12))
+    buf = b"P5 # a comment\n 4 # width done\n\t3\n255\n" + pixels
+    w, h, data = decode_pnm(buf)
+    assert (w, h, data) == (4, 3, pixels)
+
+
+def test_decode_pnm_ascii_and_rgb():
+    from slurm2sql_spark.operators.multimodal import decode_pnm
+
+    w, h, data = decode_pnm(b"P2\n3 2\n255\n0 10 20\n30 40 50\n")
+    assert (w, h, data) == (3, 2, bytes([0, 10, 20, 30, 40, 50]))
+    rgb = bytes(range(2 * 1 * 3))
+    w, h, data = decode_pnm(b"P6 2 1 255\n" + rgb)
+    assert (w, h, data) == (2, 1, rgb)
+
+
+def test_decode_pnm_rejects_malformed():
+    import pytest as _pytest
+
+    from slurm2sql_spark.operators.multimodal import decode_pnm
+
+    with _pytest.raises(ValueError, match="not a PGM"):
+        decode_pnm(b"\x89PNG....")
+    with _pytest.raises(ValueError, match="payload"):
+        decode_pnm(b"P5 2 2 255\nabc")  # 3 bytes != 4
+    with _pytest.raises(ValueError, match="8-bit"):
+        decode_pnm(b"P5 1 1 65535\n\x00\x00")
+    with _pytest.raises(ValueError, match="ASCII samples"):
+        decode_pnm(b"P2 2 2 255\n1 2 3")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_pnm(b"P5 4")
+
+
+def test_decode_images_strict_real_pgm_branch(spark):
+    """The strict path must RUN the netpbm decoder (not raise) and
+    digest the decoded sample stream, not the raw buffer."""
+    import hashlib
+
+    from slurm2sql_spark.operators.multimodal import (
+        decode_images,
+        media_table,
+    )
+
+    pixels = bytes([7] * 6)
+    buf = b"P5 3 2 255\n" + pixels
+    docs = spark.createDataFrame([(1, buf)], "doc_id long, blob binary")
+    media = media_table(docs, "doc_id", "blob", "image")
+    row = decode_images(media, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (3, 2)
+    assert row["pixel_digest"] == hashlib.sha256(pixels).hexdigest()[:16]
