@@ -50,6 +50,14 @@ def get_spark(
         # co-partitioning keeps the child's coarser partition count —
         # acceptable here because bucket counts are chosen ~cores.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # Cost-based optimization ON by default (r10): free when no
+        # catalog stats exist (parquet scans fall back to sizeInBytes),
+        # and with analyze_table()'d tables it buys stats-driven join
+        # reordering + static broadcast selection (measured: q7 2.47x,
+        # q5 2.0x at the 100x corpus — CBO_r10.json; the q7 order was
+        # also hand-applied so the statless path gets it).
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

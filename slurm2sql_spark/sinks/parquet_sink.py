@@ -385,7 +385,24 @@ def analyze_table(
     catalog_name = f"{name}_tbl"
     spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")
     spark.catalog.createTable(catalog_name, path=path, source="parquet")
-    spark.sql(f"ANALYZE TABLE {catalog_name} COMPUTE STATISTICS FOR ALL COLUMNS")
+    # atomic columns only: ANALYZE FOR COLUMNS rejects array/map/
+    # struct/binary, and TimestampNTZ column stats trip a MatchError
+    # inside Spark 4.1's CBO filter estimation (r10, tools/bench_cbo.py
+    # finding) — leave those columns statless; the join-reorder cost
+    # model only consumes key-column ndv/min/max anyway.
+    atomic = [
+        f"`{f.name}`"
+        for f in spark.table(catalog_name).schema.fields
+        if f.dataType.typeName()
+        not in ("array", "map", "struct", "binary", "timestamp_ntz")
+    ]
+    if atomic:
+        spark.sql(
+            f"ANALYZE TABLE {catalog_name} COMPUTE STATISTICS "
+            f"FOR COLUMNS {', '.join(atomic)}"
+        )
+    else:
+        spark.sql(f"ANALYZE TABLE {catalog_name} COMPUTE STATISTICS")
     read_table(spark, path).createOrReplaceTempView(name)
 
 
