@@ -6,7 +6,11 @@ Two gaps this closes (VERDICT/ADVICE r8):
    entries rotated to ``catalog._GATE_TAIL`` would otherwise rely
    entirely on the judge's external ``tools/check_oracle.py`` re-run.
    ``test_gate_tail_oracle_parity`` runs the same compare here at
-   sf0.001 so a tail regression fails the suite, not just the re-run.
+   **sf0.01 — the driver's own scale and data regime** (r10, VERDICT
+   r9 #8: the sf0.001 corpus has shipped different timestamp physical
+   types, exactly where a silent divergence would hide) — so a tail
+   regression fails the suite, not just the re-run. Parametrized per
+   entry so one failure doesn't mask the rest.
 
 2. The testdata corpus contains no carriage returns, so a whitespace-
    class mismatch between the Spark tokenizer (``WS_RE2 =
@@ -79,25 +83,41 @@ def _duck(sf_dir):
     return con
 
 
-def test_gate_tail_oracle_parity(spark):
-    """Every _GATE_TAIL entry (rotated outside the driver's 50-row
-    window) keeps automated oracle-parity coverage in-repo."""
+def _tail_names():
     from slurm2sql_spark import catalog
 
-    sf_dir = "/root/testdata/sf0.001"
-    con = _duck(sf_dir)
-    missing_oracle = []
-    for name in catalog._GATE_TAIL:
-        spec = catalog.QUERIES.get(name)
-        if spec is None:
-            continue
-        if spec.oracle is None:
-            missing_oracle.append(name)
-            continue
-        _compare(spec.spark(spark, sf_dir), con, spec.oracle, name)
+    return [n for n in catalog._GATE_TAIL if n in catalog.QUERIES]
+
+
+def test_gate_tail_entries_are_oracle_expressible():
     # tail entries must all be oracle-expressible: rows-only entries
     # don't belong outside the driver window
-    assert not missing_oracle
+    from slurm2sql_spark import catalog
+
+    missing = [
+        n for n in _tail_names() if catalog.QUERIES[n].oracle is None
+    ]
+    assert not missing
+
+
+@pytest.fixture(scope="module")
+def duck_sf001():
+    con = _duck("/root/testdata/sf0.01")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _tail_names())
+def test_gate_tail_oracle_parity(spark, duck_sf001, name):
+    """Every _GATE_TAIL entry (rotated outside the driver's 50-row
+    window) keeps automated oracle-parity coverage in-repo, at the
+    driver's own sf0.01 scale."""
+    from slurm2sql_spark import catalog
+
+    spec = catalog.QUERIES[name]
+    _compare(
+        spec.spark(spark, "/root/testdata/sf0.01"), duck_sf001, spec.oracle, name
+    )
 
 
 def test_quality_filter_oracle_parity_cr_docs(spark, tmp_path):
