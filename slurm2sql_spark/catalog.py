@@ -3972,12 +3972,18 @@ def dsir_selection(spark, sf_dir):
 def lm_perplexity_buckets(spark, sf_dir):
     from slurm2sql_spark.operators.sampling import lm_perplexity
 
-    docs = _t(spark, sf_dir, "documents")
-    ref = docs.filter(F.col("source") == "src0")
-    raw = docs.filter(F.col("source") != "src0")
-    scored = lm_perplexity(
-        raw, ref, "doc_id", "text", m=1024, salt="p1"
-    ).select("doc_id", _q6(F.col("logppl")).alias("lq"))
+    def build():
+        docs = _t(spark, sf_dir, "documents")
+        ref = docs.filter(F.col("source") == "src0")
+        raw = docs.filter(F.col("source") != "src0")
+        return lm_perplexity(
+            raw, ref, "doc_id", "text", m=1024, salt="p1"
+        ).select("doc_id", _q6(F.col("logppl")).alias("lq"))
+
+    # persisted: BOTH consumers below (the tercile aggregate and the
+    # labeling pass) read the per-doc scores — without this the whole
+    # explode+join scoring pipeline runs twice (was 16 exchanges)
+    scored = _memo(spark, sf_dir, "lm_scored", build)
     cuts = (
         scored.agg(
             F.expr(
