@@ -4780,10 +4780,13 @@ def dedup_winnow_fast(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_exact_substring",
-    r"""
-    WITH t AS (
+#: shared by `dedup_exact_substring` and `scrub_exact_substrings`
+#: (VERDICT r8 #8 discipline — one source of truth for the span
+#: semantics): positional winnowing (k=24, w=8, leftmost-argmin),
+#: repeated-hash flag (>= 2 docs), gap-32 sessionized span merge,
+#: min-100-char spans. `big` ends with 1-based INCLUSIVE char bounds
+#: [a, bend] in the whitespace-collapsed lowercased text `s`.
+_EXACT_SUBSTR_SPAN_CTES = r"""t AS (
       SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
       FROM documents
     ), h AS (
@@ -4829,8 +4832,15 @@ def dedup_winnow_fast(spark, sf_dir):
       SELECT doc_id, L, min(pos) AS a, max(pos) AS b
       FROM sp GROUP BY doc_id, L, sid
     ), big AS (
-      SELECT doc_id, L, b - a + 24 AS len FROM spans WHERE b - a + 24 >= 100
-    )
+      SELECT doc_id, L, a, b + 24 - 1 AS bend, b - a + 24 AS len
+      FROM spans WHERE b - a + 24 >= 100
+    )"""
+
+
+@register(
+    "dedup_exact_substring",
+    f"""
+    WITH {_EXACT_SUBSTR_SPAN_CTES}
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
            CAST(sum(len) AS BIGINT) AS span_chars,
            CAST(max(L) AS BIGINT) AS doc_chars,
@@ -4858,6 +4868,58 @@ def dedup_exact_substring(spark, sf_dir):
         docs, "doc_id", "text", k=24, w=8, min_len=100, min_docs=2, gap=32
     )
     return out.withColumn("span_share", _q6(F.col("span_share")))
+
+
+@register(
+    "scrub_exact_substrings",
+    f"""
+    WITH {_EXACT_SUBSTR_SPAN_CTES},
+    per AS (
+      SELECT doc_id, list_sort(list(a)) AS sa, list_sort(list(bend)) AS sb,
+             count(*) AS n, CAST(sum(len) AS BIGINT) AS removed_chars
+      FROM big GROUP BY doc_id
+    ),
+    segs AS (
+      SELECT p.doc_id, i,
+             CASE WHEN i = 0 THEN 1 ELSE sb[i] + 1 END AS gs,
+             CASE WHEN i = n THEN length(t.s) ELSE sa[i + 1] - 1 END AS ge
+      FROM per p JOIN t USING (doc_id),
+           LATERAL unnest(range(0, n + 1)) AS u(i)
+    ),
+    stitched AS (
+      SELECT s2.doc_id,
+             string_agg(
+               CASE WHEN ge >= gs
+                    THEN substr(t.s, gs::INT, (ge - gs + 1)::INT)
+                    ELSE '' END, '' ORDER BY i) AS text
+      FROM segs s2 JOIN t USING (doc_id) GROUP BY s2.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(st.text, t.s) AS text,
+           CAST(coalesce(p.n, 0) AS BIGINT) AS n_spans_removed,
+           coalesce(p.removed_chars, 0) AS removed_chars
+    FROM t LEFT JOIN stitched st USING (doc_id)
+           LEFT JOIN per p USING (doc_id)
+    """,
+    doc="ExactSubstr SCRUB (the removal half of Lee et al. 2022, "
+    "operators/dedup.py:scrub_exact_substrings): excise every "
+    "cross-doc repeated span dedup_exact_substring flags — all "
+    "occurrences, the C4-boilerplate posture — and return EVERY "
+    "document in the normalized (whitespace-collapsed, lowercased) "
+    "coordinate space the spans index, with removal counts. The gap "
+    "stitching is ONE whole-stage transform/substring expression over "
+    "the sorted span array, no UDF; spans ride the shared "
+    "_EXACT_SUBSTR_SPAN_CTES fragment so engine and oracle can never "
+    "disagree on span semantics. Byte-parity oracle (full text "
+    "hash-compared).",
+)
+def scrub_exact_substrings_q(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import scrub_exact_substrings
+
+    docs = _t(spark, sf_dir, "documents")
+    return scrub_exact_substrings(
+        docs, "doc_id", "text", k=24, w=8, min_len=100, min_docs=2, gap=32
+    )
 
 
 #: shared by the `decontaminate` and `decontaminate_bloom` entries:
@@ -5296,6 +5358,7 @@ _GATE_WINDOW = 50
 _GATE_PRIORITY = [
     # new this round (r10):
     "dedup_exact_substring",
+    "scrub_exact_substrings",
     "lm_perplexity_buckets",
     "transitions_stream_parity",
     # changed this round (r10), must re-gate: q21 re-aggregates on

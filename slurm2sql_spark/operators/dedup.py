@@ -51,6 +51,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "winnow_overlap_pairs",
     "exact_substring_spans",
+    "scrub_exact_substrings",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_band_rows",
@@ -785,6 +786,67 @@ def winnow_overlap_pairs(
     )
 
 
+def _repeated_span_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    min_len: int,
+    min_docs: int,
+    gap: int,
+) -> DataFrame:
+    """Shared span detector for ``exact_substring_spans`` (rollup) and
+    ``scrub_exact_substrings`` (removal): one row per qualifying span —
+    ``(id, _a, _b, span_len)`` where [_a, _b] are 1-based inclusive
+    char bounds in the whitespace-collapsed lowercased text. See
+    ``exact_substring_spans`` for the method and scale notes."""
+    from slurm2sql_spark.operators.textstats import (
+        winnow_fingerprint_positions,
+    )
+
+    from pyspark.sql import Window
+
+    narrow = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+        min_bytes=4 << 20,
+    )
+    fped = winnow_fingerprint_positions(narrow, "_t", out_col="_pf", k=k, w=w)
+    sel = _persist(
+        fped.select("id", F.explode("_pf").alias("_s")).select(
+            "id", F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp")
+        )
+    )
+    repeated = (
+        sel.select("fp", "id")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .select("fp")
+    )
+    matched = sel.join(repeated, "fp").select("id", "pos")
+    wdoc = Window.partitionBy("id").orderBy("pos")
+    return (
+        matched.withColumn(
+            "_brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(wdoc) > F.lit(int(gap)), 1
+            ).otherwise(0),
+        )
+        .withColumn("_sid", F.sum("_brk").over(wdoc))
+        .groupBy("id", "_sid")
+        .agg(F.min("pos").alias("_a"), F.max("pos").alias("_mx"))
+        .select(
+            "id",
+            "_a",
+            (F.col("_mx") + F.lit(int(k)) - 1).alias("_b"),
+            (F.col("_mx") - F.col("_a") + F.lit(int(k))).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= int(min_len))
+    )
+
+
 def exact_substring_spans(
     df: DataFrame,
     id_col: str,
@@ -834,46 +896,10 @@ def exact_substring_spans(
     selected-positions frame is persisted (two consumers) via the
     module ``_persist`` registry.
     """
-    from slurm2sql_spark.operators.textstats import (
-        winnow_fingerprint_positions,
-    )
-
     if gap is None:
         gap = w + k
-    from pyspark.sql import Window
-
-    narrow = fan_out(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
-        min_bytes=4 << 20,
-    )
-    fped = winnow_fingerprint_positions(narrow, "_t", out_col="_pf", k=k, w=w)
-    sel = _persist(
-        fped.select("id", F.explode("_pf").alias("_s")).select(
-            "id", F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp")
-        )
-    )
-    repeated = (
-        sel.select("fp", "id")
-        .distinct()
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_nd"))
-        .filter(F.col("_nd") >= int(min_docs))
-        .select("fp")
-    )
-    matched = sel.join(repeated, "fp").select("id", "pos")
-    wdoc = Window.partitionBy("id").orderBy("pos")
-    spans = (
-        matched.withColumn(
-            "_brk",
-            F.when(
-                F.col("pos") - F.lag("pos").over(wdoc) > F.lit(int(gap)), 1
-            ).otherwise(0),
-        )
-        .withColumn("_sid", F.sum("_brk").over(wdoc))
-        .groupBy("id", "_sid")
-        .agg(F.min("pos").alias("_a"), F.max("pos").alias("_b"))
-        .withColumn("span_len", F.col("_b") - F.col("_a") + F.lit(int(k)))
-        .filter(F.col("span_len") >= int(min_len))
+    spans = _repeated_span_frame(
+        df, id_col, text_col, k, w, min_len, min_docs, gap
     )
     per_doc = spans.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_spans"),
@@ -881,11 +907,7 @@ def exact_substring_spans(
     )
     lens = df.select(
         F.col(id_col).alias("id"),
-        F.length(
-            F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\r\f]+", " ")
-        )
-        .cast("long")
-        .alias("doc_chars"),
+        F.length(_ws_collapsed(text_col)).cast("long").alias("doc_chars"),
     )
     return (
         per_doc.join(lens, "id")
@@ -896,6 +918,87 @@ def exact_substring_spans(
             "doc_chars",
             (F.col("span_chars") / F.col("doc_chars")).alias("span_share"),
         )
+    )
+
+
+def _ws_collapsed(text_col: str):
+    """The coordinate system the winnowing positions index into:
+    lowercased, whitespace runs collapsed to one space (same explicit
+    class as the Arrow kernels — RE2 ``\\s`` parity)."""
+    return F.regexp_replace(
+        F.lower(F.col(text_col)), r"[ \t\n\r\f]+", " "
+    )
+
+
+def scrub_exact_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_len: int = 50,
+    min_docs: int = 2,
+    gap: int | None = None,
+) -> DataFrame:
+    """REMOVE every cross-doc repeated span found by
+    ``exact_substring_spans`` — the scrub half of ExactSubstr (Lee et
+    al. 2022 remove all-but-one occurrence; this removes EVERY
+    occurrence, the C4-boilerplate posture, which is the right default
+    when repeated spans are navigation/licence chrome rather than
+    quotable content — both policies are one keep-rule apart).
+
+    Returns every input document: ``(id, text, n_spans_removed,
+    removed_chars)`` where ``text`` is the WHITESPACE-COLLAPSED
+    LOWERCASED form with flagged spans excised (span coordinates live
+    in that normalized space — surgery on the raw text would need a
+    position map through the collapse; normalized output is what a
+    tokenizer consumes anyway). Docs with no flagged span pass through
+    with the same normalization and zeros.
+
+    Scale: everything in ``exact_substring_spans`` plus one
+    doc-length-bounded span collect (``collect_list`` per doc is
+    bounded by doc length / min_len spans) and a left join back to the
+    corpus — the ``scrub_paragraphs`` reassembly shape.
+    """
+    if gap is None:
+        gap = w + k
+    spans = _repeated_span_frame(
+        df, id_col, text_col, k, w, min_len, min_docs, gap
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_a").alias("a"), F.col("_b").alias("b")))
+        ).alias("_sp"),
+        F.count(F.lit(1)).alias("n_spans_removed"),
+        F.sum("span_len").cast("long").alias("removed_chars"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), _ws_collapsed(text_col).alias("_s")
+    )
+    j = base.join(per_doc, "id", "left").withColumn(
+        "_sp",
+        F.coalesce(
+            F.col("_sp"), F.expr("CAST(array() AS array<struct<a:int,b:int>>)")
+        ),
+    )
+    # kept text = the n+1 gaps around the sorted spans, stitched in
+    # order: gap i runs from (i==0 ? 1 : b[i-1]+1) to (i==n ? len :
+    # a[i]-1) — _sp[] is 0-indexed; one whole-stage expression, no UDF
+    gaps = F.expr(
+        "transform(sequence(0, size(_sp)), i0 -> substring(_s,"
+        " CASE WHEN i0 = 0 THEN 1 ELSE _sp[i0 - 1].b + 1 END,"
+        " (CASE WHEN i0 = size(_sp) THEN length(_s)"
+        "       ELSE _sp[i0].a - 1 END)"
+        " - (CASE WHEN i0 = 0 THEN 1 ELSE _sp[i0 - 1].b + 1 END) + 1))"
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        # NULL text stays NULL (concat_ws would fold it to '')
+        F.when(F.col("_s").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("", gaps))
+        .alias(text_col),
+        F.coalesce("n_spans_removed", F.lit(0)).alias("n_spans_removed"),
+        F.coalesce("removed_chars", F.lit(0)).alias("removed_chars"),
     )
 
 

@@ -721,3 +721,54 @@ def test_exact_substring_spans_gap_split_and_min_len(spark):
     # docs 3/4 share only 15 chars < min_len -> absent
     assert set(rows) == {1, 2}
     assert rows[1]["n_spans"] == 2 and rows[2]["n_spans"] == 2
+
+
+def test_scrub_exact_substrings_removes_spans_everywhere(spark):
+    """The scrub twin excises each flagged span from EVERY carrier and
+    passes clean docs through (normalized), with exact byte
+    accounting: len(out) == len(normalized) - removed_chars."""
+    from slurm2sql_spark.operators.dedup import scrub_exact_substrings
+
+    shared = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo"
+    )
+    clean = "zulu yankee xray whiskey victor uniform tango sierra"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one unique\n\n{shared}\n\ncoda one unique"),
+            (
+                2,
+                "prefix two other\n\n"
+                + shared.replace(" hotel ", " hotel\n\n", 1)
+                + " tail two other",
+            ),
+            (3, clean),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    import re as _re
+
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = {
+        r["doc_id"]: r
+        for r in scrub_exact_substrings(
+            docs, "doc_id", "text", k=8, w=4, min_len=50, min_docs=2
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    for d in (1, 2):
+        r = rows[d]
+        assert r["n_spans_removed"] == 1
+        assert shared not in r["text"]  # the repeated region is gone
+        # conservative bounds: a few edge chars may survive, the core
+        # cannot
+        assert "charlie delta echo" not in r["text"]
+        norm_len = len(_re.sub(r"[ \t\n\r\f]+", " ", raw[d].lower()))
+        assert len(r["text"]) == norm_len - r["removed_chars"]
+    # intact doc: normalized passthrough, zero accounting
+    assert rows[3]["text"] == clean
+    assert rows[3]["n_spans_removed"] == 0 and rows[3]["removed_chars"] == 0
+    # NULL text stays NULL
+    assert rows[4]["text"] is None and rows[4]["n_spans_removed"] == 0
