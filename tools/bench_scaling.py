@@ -94,6 +94,13 @@ DUCK_QUERIES = [
     "q7_nation_volume",
     "q10_returned_items",
     "q18_large_orders",
+    # r10: exact-substring family (linear oracles — the positional
+    # winnow + repeated-hash flag is the same no-pair-join shape in
+    # both engines) and the CCNet perplexity bucketing (m-bounded,
+    # the DSIR shape)
+    "dedup_exact_substring",
+    "scrub_exact_substrings",
+    "lm_perplexity_buckets",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -167,6 +174,11 @@ X100_QUERIES = [
     "q7_nation_volume",
     "q10_returned_items",
     "q18_large_orders",
+    # r10: perplexity bucketing at 100x (m-bounded bin shuffles — the
+    # dsir_selection scale shape); the exact-substring family follows
+    # dedup_winnow's precedent (1x/10x only: the oracle's in-SQL
+    # winnow recompute is the same cost class)
+    "lm_perplexity_buckets",
 ]
 X100_DUCK_SKIP: set[str] = set()
 # r9 (VERDICT r8 #5): sacct_eff's oracle SELECTs every per-job row, so
