@@ -4871,6 +4871,31 @@ def dedup_exact_substring(spark, sf_dir):
 
 
 @register(
+    "dedup_exact_substring_fast",
+    None,  # the numpy multilinear gram hash isn't reproducible in ANSI
+    # SQL; dedup_exact_substring above is the hash-checked md5 twin,
+    # and test_dedup.py pins that both kernels recover the planted
+    # cross-boundary spans (winnowing's match guarantee is hash-
+    # independent; only span EDGES may differ by < w+k chars).
+    doc="Production path for L52 (operators/textstats.py:"
+    "winnow_fingerprint_positions_fast): identical span machinery to "
+    "dedup_exact_substring but per-gram hashing is a numpy-vectorized "
+    "multilinear hash + windowed argmin (three array ops per doc) "
+    "instead of per-position Python md5. Rows-only by design — this "
+    "entry exists so the bench measures the production kernel.",
+)
+def dedup_exact_substring_fast(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import exact_substring_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_substring_spans(
+        docs, "doc_id", "text",
+        k=24, w=8, min_len=100, min_docs=2, gap=32, kernel="fast",
+    )
+    return out.withColumn("span_share", _q6(F.col("span_share")))
+
+
+@register(
     "scrub_exact_substrings",
     f"""
     WITH {_EXACT_SUBSTR_SPAN_CTES},
@@ -5358,6 +5383,7 @@ _GATE_WINDOW = 50
 _GATE_PRIORITY = [
     # new this round (r10):
     "dedup_exact_substring",
+    "dedup_exact_substring_fast",
     "scrub_exact_substrings",
     "lm_perplexity_buckets",
     "transitions_stream_parity",

@@ -795,23 +795,34 @@ def _repeated_span_frame(
     min_len: int,
     min_docs: int,
     gap: int,
+    kernel: str = "md5",
 ) -> DataFrame:
     """Shared span detector for ``exact_substring_spans`` (rollup) and
     ``scrub_exact_substrings`` (removal): one row per qualifying span —
     ``(id, _a, _b, span_len)`` where [_a, _b] are 1-based inclusive
     char bounds in the whitespace-collapsed lowercased text. See
-    ``exact_substring_spans`` for the method and scale notes."""
+    ``exact_substring_spans`` for the method and scale notes.
+    ``kernel``: ``"md5"`` (oracle-portable) or ``"fast"`` (numpy
+    multilinear — the production path, rows-only at the gate)."""
     from slurm2sql_spark.operators.textstats import (
         winnow_fingerprint_positions,
+        winnow_fingerprint_positions_fast,
     )
 
     from pyspark.sql import Window
 
+    if kernel not in ("md5", "fast"):
+        raise ValueError(f"kernel must be 'md5' or 'fast', got {kernel!r}")
+    fp_fn = (
+        winnow_fingerprint_positions
+        if kernel == "md5"
+        else winnow_fingerprint_positions_fast
+    )
     narrow = fan_out(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
         min_bytes=4 << 20,
     )
-    fped = winnow_fingerprint_positions(narrow, "_t", out_col="_pf", k=k, w=w)
+    fped = fp_fn(narrow, "_t", out_col="_pf", k=k, w=w)
     sel = _persist(
         fped.select("id", F.explode("_pf").alias("_s")).select(
             "id", F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp")
@@ -856,6 +867,7 @@ def exact_substring_spans(
     min_len: int = 50,
     min_docs: int = 2,
     gap: int | None = None,
+    kernel: str = "md5",
 ) -> DataFrame:
     """Cross-boundary exact-substring duplication report — the
     ExactSubstr half of Lee et al. 2022 (the half ``repeated_
@@ -899,7 +911,7 @@ def exact_substring_spans(
     if gap is None:
         gap = w + k
     spans = _repeated_span_frame(
-        df, id_col, text_col, k, w, min_len, min_docs, gap
+        df, id_col, text_col, k, w, min_len, min_docs, gap, kernel
     )
     per_doc = spans.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_spans"),
@@ -939,6 +951,7 @@ def scrub_exact_substrings(
     min_len: int = 50,
     min_docs: int = 2,
     gap: int | None = None,
+    kernel: str = "md5",
 ) -> DataFrame:
     """REMOVE every cross-doc repeated span found by
     ``exact_substring_spans`` — the scrub half of ExactSubstr (Lee et
@@ -963,7 +976,7 @@ def scrub_exact_substrings(
     if gap is None:
         gap = w + k
     spans = _repeated_span_frame(
-        df, id_col, text_col, k, w, min_len, min_docs, gap
+        df, id_col, text_col, k, w, min_len, min_docs, gap, kernel
     )
     per_doc = spans.groupBy("id").agg(
         F.sort_array(

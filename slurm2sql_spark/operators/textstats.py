@@ -23,6 +23,7 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_fingerprints_fast",
     "winnow_fingerprint_positions",
+    "winnow_fingerprint_positions_fast",
     "doc_frequency_topk",
     "tfidf_top_terms",
     "text_profile",
@@ -371,6 +372,71 @@ def winnow_fingerprint_positions(
                 window = hashes[j : j + w]
                 picked.add(j + window.index(min(window)))
             return sorted((i + 1, hashes[i]) for i in picked)
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, _kernel(F.col(text_col)))
+
+
+def winnow_fingerprint_positions_fast(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "fingerprints",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Production fast path for :func:`winnow_fingerprint_positions`:
+    identical positional winnowing scheme (leftmost-argmin per
+    w-window, distinct selected positions) but the per-gram hash is
+    the numpy-vectorized multilinear hash of
+    :func:`winnow_fingerprints_fast` — the whole document hashes and
+    window-argmins in a handful of array ops, no interpreter loop.
+
+    ``numpy.argmin`` returns the FIRST index of the minimum, so the
+    leftmost tie-break matches the md5 kernel exactly; selected
+    POSITIONS differ between kernels only because the hash values
+    differ (different minima win). The winnowing guarantee — any
+    cross-doc match >= w+k-1 chars shares selected hashes at the same
+    relative offsets — holds for any gram hash, so span DETECTION is
+    kernel-independent up to edge effects; pytest pins that planted
+    spans are recovered by both kernels. Grams are byte-grams of the
+    UTF-8 encoding (ASCII corpora: identical windows to char-grams).
+    """
+    import re as _re
+
+    @F.pandas_udf("array<struct<pos:int,fp:bigint>>")
+    def _kernel(texts: pd.Series) -> pd.Series:
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ws = _re.compile(r"[ \t\n\r\f]+")
+        rng = np.random.default_rng(_WINNOW_FAST_SEED)
+        weights = rng.integers(0, 2**63, size=k, dtype=np.uint64) * 2 + 1
+
+        def one(text):
+            if text is None:
+                return None
+            b = np.frombuffer(
+                ws.sub(" ", text.lower()).encode("utf-8"), dtype=np.uint8
+            )
+            ng = len(b) - k + 1
+            if ng < 1:
+                return []
+            grams = sliding_window_view(b, k).astype(np.uint64)
+            h = (grams * weights).sum(axis=1)
+            # argmin in UNSIGNED order — the same order the value twin
+            # (winnow_fingerprints_fast) takes its window minima in —
+            # then report values through the int64 view (bigint
+            # contract)
+            hi = h.view(np.int64)
+            if ng < w:
+                i = int(np.argmin(h))
+                return [(i + 1, int(hi[i]))]
+            picked = np.unique(
+                sliding_window_view(h, w).argmin(axis=1)
+                + np.arange(ng - w + 1)
+            )
+            return [(int(i) + 1, int(hi[i])) for i in picked]
 
         return texts.map(one)
 

@@ -772,3 +772,45 @@ def test_scrub_exact_substrings_removes_spans_everywhere(spark):
     assert rows[3]["n_spans_removed"] == 0 and rows[3]["removed_chars"] == 0
     # NULL text stays NULL
     assert rows[4]["text"] is None and rows[4]["n_spans_removed"] == 0
+
+
+def test_exact_substring_fast_kernel_recovers_planted_spans(spark):
+    """The winnowing guarantee is hash-independent: the numpy
+    multilinear positional kernel must recover the same planted
+    cross-boundary spans as the md5 kernel (same carriers, same span
+    count; bounds may differ by < w+k edge chars)."""
+    from slurm2sql_spark.operators.dedup import exact_substring_spans
+
+    shared = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one unique\n\n{shared}\n\ncoda one unique"),
+            (
+                2,
+                "prefix two other\n\n"
+                + shared.replace(" hotel ", " hotel\n\n", 1)
+                + " tail two other",
+            ),
+            (3, "zulu yankee xray whiskey victor uniform tango sierra"),
+        ],
+        "doc_id int, text string",
+    )
+    results = {}
+    for kernel in ("md5", "fast"):
+        results[kernel] = {
+            r["doc_id"]: r
+            for r in exact_substring_spans(
+                docs, "doc_id", "text",
+                k=8, w=4, min_len=50, min_docs=2, kernel=kernel,
+            ).collect()
+        }
+    assert set(results["fast"]) == set(results["md5"]) == {1, 2}
+    for d in (1, 2):
+        assert results["fast"][d]["n_spans"] == results["md5"][d]["n_spans"]
+        # same span up to edge effects: coverage within w+k chars
+        assert abs(
+            results["fast"][d]["span_chars"] - results["md5"][d]["span_chars"]
+        ) <= 12
