@@ -116,6 +116,8 @@ SPARK_ONLY = [
     "pack_sequences",
     "dedup_winnow_fast",
     "dedup_keep_best",
+    # r10: production positional-winnow kernel (rows-only twin)
+    "dedup_exact_substring_fast",
 ]
 
 # floor-bound micro-queries (VERDICT r6 #4): correct minimal plans that
