@@ -2910,6 +2910,127 @@ def _ivf_oracle_sql(nlist: int = 16, nprobe: int = 6, dim: int = 64) -> str:
 """
 
 
+def _semdedup_oracle_sql(nlist: int = 16, dim: int = 64) -> str:
+    """SemDeDup as DuckDB SQL: the corpus is embeddings UNION 50
+    planted near-identical copies (the dedup_embedding construction);
+    centroid training re-uses the _ivf_oracle_sql recipe (lowest-id
+    seeds, one Lloyd step) on the UNIONED corpus; within-cell pairs at
+    quantized cosine >= 0.95 become an undirected edge list, and
+    connected components are a recursive min-label closure (WITH
+    RECURSIVE — SQL's equivalent of the engine's min-label rounds)."""
+    avgs = ", ".join(f"avg(e.v[{p + 1}])" for p in range(dim))
+    return f"""
+    WITH RECURSIVE emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_concat([CAST(embedding[1] AS DOUBLE) + 0.01],
+                         CAST(embedding[2:] AS DOUBLE[]))
+      FROM embeddings WHERE vec_id < 50
+    ),
+    embn AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> x / greatest(
+               sqrt(list_dot_product(v, v)), 1e-12)) AS vn
+      FROM emb
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {nlist})
+    ),
+    sn AS (
+      SELECT cell, list_transform(v, x -> x / greatest(
+               sqrt(list_dot_product(v, v)), 1e-12)) AS c
+      FROM seeds
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell, row_number() OVER (
+          PARTITION BY e.vec_id
+          ORDER BY list_dot_product(e.vn, s.c) DESC, s.cell ASC) AS rn
+        FROM embn e CROSS JOIN sn s
+      ) WHERE rn = 1
+    ),
+    means AS (
+      SELECT a1.cell, [{avgs}] AS m
+      FROM a1 JOIN emb e USING (vec_id) GROUP BY a1.cell
+    ),
+    cents AS (
+      SELECT s.cell, coalesce(m.m, s.v) AS v
+      FROM seeds s LEFT JOIN means m ON s.cell = m.cell
+    ),
+    cn AS (
+      SELECT cell, list_transform(v, x -> x / greatest(
+               sqrt(list_dot_product(v, v)), 1e-12)) AS c
+      FROM cents
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, n.cell, row_number() OVER (
+          PARTITION BY e.vec_id
+          ORDER BY list_dot_product(e.vn, n.c) DESC, n.cell ASC) AS rn
+        FROM embn e CROSS JOIN cn n
+      ) WHERE rn = 1
+    ),
+    edges AS (
+      SELECT a.vec_id AS s, b.vec_id AS t
+      FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN emb ea ON ea.vec_id = a.vec_id
+      JOIN emb eb ON eb.vec_id = b.vec_id
+      WHERE floor(list_cosine_similarity(ea.v, eb.v) * 10000) / 10000
+            >= 0.95
+    ),
+    und AS (
+      SELECT s, t FROM edges UNION ALL SELECT t, s FROM edges
+    ),
+    rr(id, lbl) AS (
+      SELECT vec_id, vec_id FROM emb
+      UNION
+      SELECT u.t, rr.lbl FROM rr JOIN und u ON u.s = rr.id
+    ),
+    comp AS (SELECT id, min(lbl) AS component FROM rr GROUP BY id)
+    SELECT comp.id AS vec_id, a2.cell, comp.component,
+           comp.id = comp.component AS keep
+    FROM comp JOIN a2 ON a2.vec_id = comp.id
+"""
+
+
+@register(
+    "dedup_semantic",
+    _semdedup_oracle_sql(),
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023, "
+    "operators/similarity.py:semdedup): cluster the embedding corpus "
+    "with the deterministic IVF machinery, compare pairs ONLY within "
+    "a cell (the paper's design point — pair cost bounded by the "
+    "largest cluster, never the corpus; nlist ~ N/cell_target at "
+    "scale), flag quantized cosine >= 0.95, connected-components the "
+    "pair graph, keep the min-id member per semantic-duplicate group. "
+    "Corpus = embeddings + 50 planted near-identical copies (the "
+    "dedup_embedding construction), so exactly the planted copies "
+    "must come back keep=false. The oracle retrains the centroids in "
+    "SQL (the sim_ivf recipe) and closes components with WITH "
+    "RECURSIVE min-label propagation.",
+)
+def dedup_semantic(spark, sf_dir):
+    from slurm2sql_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
+            F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    return semdedup(
+        corpus, "vec_id", "embedding",
+        nlist=16, iters=1, threshold=0.95, quantize=10000,
+    )
+
+
 @register(
     "sim_ivf_topk",
     _ivf_oracle_sql(),
@@ -5387,6 +5508,7 @@ _GATE_PRIORITY = [
     "scrub_exact_substrings",
     "lm_perplexity_buckets",
     "transitions_stream_parity",
+    "dedup_semantic",
     # changed this round (r10), must re-gate: q21 re-aggregates on
     # s_name (ADVICE r9), c4_clean regex-escapes bad_words,
     # curation_pipeline hint-None forwarding, multimodal_pipeline now

@@ -45,6 +45,7 @@ __all__ = [
     "quantize_embeddings",
     "dequantize_embeddings",
     "quantized_topk",
+    "semdedup",
 ]
 
 #: centroid-matrix broadcasts, keyed by (sparkContext id, sha1 of the
@@ -823,4 +824,71 @@ def quantized_topk(
     ).withColumnRenamed("id", c_id)
     return cosine_topk(
         queries, qc, k=k, q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec="c_vec_dq"
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    iters: int = 1,
+    threshold: float = 0.95,
+    quantize: int = 10000,
+    max_cell_share: float | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication" — public paper):
+    cluster the embedding corpus, compare pairs ONLY within a cluster,
+    and keep one representative per semantic-duplicate group.
+
+    Pipeline: deterministic IVF centroids (:func:`ivf_centroids` —
+    lowest-id seeding + Lloyd steps, the sim_ivf machinery) ->
+    per-vector cell assignment (narrow Arrow matmul) -> within-cell
+    pair cosine (quantized ``floor(sim*quantize)/quantize >=
+    threshold`` so engines can't disagree at the boundary) ->
+    :func:`~slurm2sql_spark.operators.dedup.connected_components`
+    over the pair graph -> ``keep`` = min-id member per component.
+    Returns one row per input vector: ``(id, cell, component, keep)``.
+
+    Scale contract: the paper's design point — pair generation is
+    bounded by the largest CELL, never the corpus (O(sum cell^2));
+    pick ``nlist ~ N / target_cell_size`` so cells stay executor-
+    sized (SemDeDup uses 50k clusters for 100M+ embeddings), and pass
+    ``max_cell_share`` to re-seed degenerate clusterings (the
+    ivf_centroids guard). The centroid matrix is the only driver
+    materialization (model state, nlist x dim floats); components
+    converge in duplicate-group diameter rounds (shallow).
+    """
+    from slurm2sql_spark.operators.dedup import connected_components
+
+    cents = ivf_centroids(
+        corpus, id_col, vec_col, nlist, iters, max_cell_share
+    )
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"), "cell"
+    )
+    sim_q = F.floor(cosine(F.col("_va"), F.col("_vb")) * quantize) / quantize
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .filter(sim_q >= F.lit(float(threshold)))
+        .select(F.col("_ia").alias("id_a"), F.col("_ib").alias("id_b"))
+    )
+    comp = connected_components(
+        edges, nodes=corpus.select(F.col(id_col).alias("id"))
+    )
+    return (
+        comp.join(
+            assigned.select(F.col(id_col).alias("id"), "cell"), "id"
+        ).select(
+            F.col("id").alias(id_col),
+            "cell",
+            "component",
+            (F.col("id") == F.col("component")).alias("keep"),
+        )
     )

@@ -401,3 +401,42 @@ def test_train_centroids_arrow_path_matches_expression_path(spark, monkeypatch):
     monkeypatch.setattr(S, "_EXPR_MEANS_MAX_DIM", 0)
     arrow = np.array(S.ivf_centroids(emb, nlist=4, iters=2))
     assert np.allclose(expr, arrow, atol=1e-12)
+
+
+def test_semdedup_keeps_one_per_semantic_group(spark):
+    """SemDeDup contract: a group of near-identical vectors collapses
+    to its min-id member; distinct vectors all survive; every input
+    row comes back exactly once with its cell and component."""
+    import numpy as np
+
+    from slurm2sql_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 20 well-separated random vectors
+    base = {}
+    for i in range(20):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        base[i] = v
+        rows.append((i, [float(x) for x in v]))
+    # ids 100/101: near-copies of vector 3 (tiny nudge)
+    for j, eps in ((100, 1e-3), (101, 2e-3)):
+        v = base[3] + eps
+        rows.append((j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(
+            df, "vec_id", "embedding", nlist=4, threshold=0.99
+        ).collect()
+    }
+    assert len(out) == 22  # every row exactly once
+    # the group {3, 100, 101} collapses onto 3
+    for j in (3, 100, 101):
+        assert out[j]["component"] == 3
+    assert out[3]["keep"] and not out[100]["keep"] and not out[101]["keep"]
+    # all other vectors are their own component and kept
+    for i in range(20):
+        if i != 3:
+            assert out[i]["component"] == i and out[i]["keep"]

@@ -101,6 +101,10 @@ DUCK_QUERIES = [
     "dedup_exact_substring",
     "scrub_exact_substrings",
     "lm_perplexity_buckets",
+    # r10: SemDeDup — pair cost bounded by the largest cell in both
+    # engines (within-cell joins only), components close in
+    # group-diameter rounds / one recursive CTE
+    "dedup_semantic",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
