@@ -187,7 +187,49 @@ def test_analyze_table_computes_catalog_stats(spark, tmp_path):
         ).collect()
     }
     assert "Statistics" in desc and "rows" in desc["Statistics"]
+    # column-level stats too (the CBO join-reorder inputs)
+    cdesc = {
+        r.info_name: r.info_value
+        for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED slurm_stats_test_tbl JobID"
+        ).collect()
+    }
+    assert cdesc.get("distinct_count") not in (None, "NULL")
     spark.sql("DROP TABLE IF EXISTS slurm_stats_test_tbl")
+
+
+def test_analyze_table_skips_types_cbo_cannot_estimate(spark, tmp_path):
+    """r10: ANALYZE FOR COLUMNS rejects array/map/struct/binary, and
+    TimestampNTZ column stats trip a MatchError inside Spark 4.1's CBO
+    estimation — analyze_table must stats the atomic columns and leave
+    those columns statless instead of failing (or worse, poisoning the
+    optimizer)."""
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.sinks.parquet_sink import analyze_table, write_overwrite
+
+    df = spark.range(20).select(
+        F.col("id"),
+        F.array(F.col("id").cast("double")).alias("vec"),
+        F.to_timestamp_ntz(F.lit("2024-01-01 00:00:00")).alias("ts_ntz"),
+    )
+    path = str(tmp_path / "mixed")
+    write_overwrite(df, path)
+    analyze_table(spark, path, name="mixed_stats_test")  # must not raise
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED mixed_stats_test_tbl"
+        ).collect()
+    }
+    assert "Statistics" in desc and "rows" in desc["Statistics"]
+    # the analyzed table is USABLE under the session's CBO-on defaults
+    # (a poisoned NTZ stat would MatchError in optimization here)
+    joined = spark.table("mixed_stats_test_tbl").join(
+        spark.table("mixed_stats_test_tbl").select("id"), "id"
+    )
+    assert joined.count() == 20
+    spark.sql("DROP TABLE IF EXISTS mixed_stats_test_tbl")
 
 
 def test_hive_part_dir_matches_spark_escaping(spark, tmp_path):
