@@ -200,6 +200,9 @@ _AGG_WRAP_SQL = "SELECT count(*) AS n, sum(hash(t)) AS h FROM ({sql}) t"
 # correctness check (50k docs -> 2.5e9 candidate pairs), not a baseline.
 X100_SPARK_ONLY = [
     "dedup_minhash_lsh",
+    # r10: production positional-winnow kernel at 100x (rows-only twin;
+    # the md5 oracle kernel follows dedup_winnow's 1x/10x precedent)
+    "dedup_exact_substring_fast",
 ]
 DST100 = os.environ.get("SPARK_GRAFT_SCALE_DST100", "/tmp/spark_graft_x100")
 K100 = int(os.environ.get("SPARK_GRAFT_SCALE_K100", "100"))
