@@ -133,6 +133,54 @@ def main() -> None:
         payload["metric"] = "catalog_total_wall_partial"
     print(json.dumps(payload))
 
+    # The driver records only the LAST ~2000 bytes of stdout, so the
+    # verbose payload above truncates mid-dict once the catalog passed
+    # ~75 entries (VERDICT r10 "What's wrong" #3: BENCH_r10.json has
+    # parsed=null and mixes min/median fragments). Two mitigations:
+    #
+    # 1. the full payload is written to BENCH_FULL.json next to this
+    #    script (a committed, always-complete artifact);
+    # 2. the FINAL stdout line is a self-contained compact JSON that
+    #    fits the 2000-byte tail whole: top-level stats in the clear,
+    #    plus the complete min-walls dict zlib+base64'd under
+    #    "queries_z" (the names alone exceed 1.8 KB uncompressed —
+    #    no plaintext encoding of ~95 walls can fit the tail).
+    #    Decode: json.loads(zlib.decompress(base64.b64decode(qz))).
+    import base64
+    import zlib
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+            json.dump(payload, fh)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line below still carries all
+    qz = base64.b64encode(
+        zlib.compress(json.dumps(times, separators=(",", ":")).encode(), 9)
+    ).decode()
+    compact = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(times),
+        "value_median": payload["value_median"],
+        "iterations": iters,
+        "queries_z": qz,
+        "full": "BENCH_FULL.json",
+    }
+    if errors:
+        compact["queries_failed"] = len(errors)
+        compact["partial"] = True
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:  # never let the safety line itself truncate
+        compact.pop("queries_z")
+        compact["queries_dropped"] = "line>1950B, see BENCH_FULL.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line)
+
 
 if __name__ == "__main__":
     sys.exit(main())
