@@ -803,7 +803,17 @@ def _repeated_span_frame(
     char bounds in the whitespace-collapsed lowercased text. See
     ``exact_substring_spans`` for the method and scale notes.
     ``kernel``: ``"md5"`` (oracle-portable) or ``"fast"`` (numpy
-    multilinear — the production path, rows-only at the gate)."""
+    multilinear — the production path, rows-only at the gate).
+
+    The effective session gap is clamped to ``max(gap, k-1)``: each
+    span's end extends ``k-1`` chars past its last selected gram
+    start, so a caller-supplied gap below ``k-1`` could let session i
+    end AFTER session i+1 starts — overlapping spans, which the scrub
+    consumer's gap stitching turns into negative-length substrings
+    (silently dropped text) and double-counted ``removed_chars``
+    (ADVICE r10). With the clamp, a break only fires when the next
+    start exceeds prev_start + gap >= prev_start + k - 1 = prev span
+    end, so emitted spans are strictly disjoint."""
     from slurm2sql_spark.operators.textstats import (
         winnow_fingerprint_positions,
         winnow_fingerprint_positions_fast,
@@ -818,6 +828,7 @@ def _repeated_span_frame(
         if kernel == "md5"
         else winnow_fingerprint_positions_fast
     )
+    gap = max(int(gap), int(k) - 1)  # disjoint-span invariant, see above
     narrow = fan_out(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
         min_bytes=4 << 20,

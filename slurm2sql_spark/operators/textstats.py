@@ -281,9 +281,13 @@ def winnow_fingerprints_fast(
     through ``dedup.winnow_overlap_pairs`` (the winnowing guarantee —
     any match of length >= w+k-1 shares a fingerprint — holds for any
     gram hash). Same NULL/short-doc degradation contract as the md5
-    kernel. Grams are byte-grams of the NFC-as-stored UTF-8 encoding;
-    for ASCII corpora this selects the same windows a char-gram
-    variant would.
+    kernel. Grams are CHAR k-grams: the kernel hashes the UTF-32
+    codepoint array (ADVICE r10: the former UTF-8 byte-gram form made
+    gram COUNT — and, in the positional twin, gram POSITIONS — a
+    byte-space quantity that consumers interpret in char space; on a
+    non-ASCII doc that skewed every offset). For pure-ASCII text the
+    codepoint array equals the byte array value-for-value, so hash
+    values and selected windows are unchanged there.
     """
     import re as _re
 
@@ -300,7 +304,8 @@ def winnow_fingerprints_fast(
             if text is None:
                 return None
             b = np.frombuffer(
-                ws.sub(" ", text.lower()).encode("utf-8"), dtype=np.uint8
+                ws.sub(" ", text.lower()).encode("utf-32-le"),
+                dtype=np.uint32,
             )
             ng = len(b) - k + 1
             if ng < 1:
@@ -399,8 +404,17 @@ def winnow_fingerprint_positions_fast(
     cross-doc match >= w+k-1 chars shares selected hashes at the same
     relative offsets — holds for any gram hash, so span DETECTION is
     kernel-independent up to edge effects; pytest pins that planted
-    spans are recovered by both kernels. Grams are byte-grams of the
-    UTF-8 encoding (ASCII corpora: identical windows to char-grams).
+    spans are recovered by both kernels. Grams are CHAR k-grams over
+    the UTF-32 codepoint array, so ``pos`` is a true 1-based CHAR
+    offset in the collapsed string — the coordinate space every
+    consumer (``dedup._repeated_span_frame``'s span merge,
+    ``exact_substring_spans``'s ``doc_chars``,
+    ``scrub_exact_substrings``'s substring stitching) indexes in.
+    (ADVICE r10 medium: the former UTF-8 byte-gram form emitted BYTE
+    offsets here, so on any non-ASCII document kernel="fast" produced
+    misplaced spans, possible span_share > 1, and wrong scrub
+    excisions. ASCII text is unaffected by the change: codepoints
+    equal bytes value-for-value, so hashes and positions coincide.)
     """
     import re as _re
 
@@ -417,7 +431,8 @@ def winnow_fingerprint_positions_fast(
             if text is None:
                 return None
             b = np.frombuffer(
-                ws.sub(" ", text.lower()).encode("utf-8"), dtype=np.uint8
+                ws.sub(" ", text.lower()).encode("utf-32-le"),
+                dtype=np.uint32,
             )
             ng = len(b) - k + 1
             if ng < 1:

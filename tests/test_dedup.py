@@ -814,3 +814,113 @@ def test_exact_substring_fast_kernel_recovers_planted_spans(spark):
         assert abs(
             results["fast"][d]["span_chars"] - results["md5"][d]["span_chars"]
         ) <= 12
+
+
+def test_exact_substring_fast_kernel_char_positions_non_ascii(spark):
+    """ADVICE r10 (medium): the fast positional kernel used to emit
+    BYTE offsets into the UTF-8 encoding while every consumer indexes
+    CHAR offsets — on non-ASCII text spans were misplaced, span_share
+    could exceed 1.0, and the scrub excised the wrong ranges. The
+    kernel now works on the UTF-32 codepoint array, so on a corpus
+    where every char is 2-3 UTF-8 bytes the fast kernel must agree
+    with the (always char-space) md5 kernel and keep every invariant."""
+    import re as _re
+
+    from slurm2sql_spark.operators.dedup import (
+        exact_substring_spans,
+        scrub_exact_substrings,
+    )
+
+    shared = (
+        "émilie gréât çhàngé détails prüfung überall größe straße "
+        "日本語 の 重複 テキスト ブロック désastre œuvre cœur naïve"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"début un ünique\n\n{shared}\n\nfin un ünique"),
+            (2, f"präfix zwei anders\n\n{shared} schluß zwei anders"),
+            (3, "ωμέγα ύψιλον ταυ σίγμα ρω πι όμικρον κσι"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    spans = {}
+    for kernel in ("md5", "fast"):
+        spans[kernel] = {
+            r["doc_id"]: r
+            for r in exact_substring_spans(
+                docs, "doc_id", "text",
+                k=8, w=4, min_len=40, min_docs=2, kernel=kernel,
+            ).collect()
+        }
+    assert set(spans["fast"]) == set(spans["md5"]) == {1, 2}
+    for d in (1, 2):
+        f, m = spans["fast"][d], spans["md5"][d]
+        assert f["n_spans"] == m["n_spans"] == 1
+        assert abs(f["span_chars"] - m["span_chars"]) <= 12
+        # doc_chars counts CHARS on both kernels; the byte-offset bug
+        # made fast spans run past doc_chars on multibyte text
+        assert 0.0 < f["span_share"] <= 1.0
+        assert f["doc_chars"] == m["doc_chars"]
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    scrub = {
+        r["doc_id"]: r
+        for r in scrub_exact_substrings(
+            docs, "doc_id", "text",
+            k=8, w=4, min_len=40, min_docs=2, kernel="fast",
+        ).collect()
+    }
+    for d in (1, 2):
+        r = scrub[d]
+        assert "重複" not in r["text"] and "çhàngé" not in r["text"]
+        norm_len = len(_re.sub(r"[ \t\n\r\f]+", " ", raw[d].lower()))
+        assert len(r["text"]) == norm_len - r["removed_chars"]
+    assert scrub[4]["text"] is None
+
+
+@pytest.mark.parametrize("kernel", ["md5", "fast"])
+def test_repeated_span_gap_clamp_keeps_spans_disjoint(spark, kernel):
+    """ADVICE r10: a caller-supplied gap < k-1 could sessionize two
+    spans whose extended ends overlap, so the scrub's gap stitching
+    produced negative-length substrings (silently dropped text) and
+    removed_chars double-counted the overlap. The effective gap is now
+    clamped to k-1: spans stay disjoint and the char-accounting
+    invariant holds even at gap=0."""
+    import re as _re
+
+    from slurm2sql_spark.operators.dedup import (
+        exact_substring_spans,
+        scrub_exact_substrings,
+    )
+
+    shared = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one unique {shared} coda one unique"),
+            (2, f"prefix two other {shared} tail two other"),
+        ],
+        "doc_id int, text string",
+    )
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    # gap=0 < k-1=7: without the clamp this overlaps adjacent sessions
+    rows = {
+        r["doc_id"]: r
+        for r in scrub_exact_substrings(
+            docs, "doc_id", "text",
+            k=8, w=4, min_len=20, min_docs=2, gap=0, kernel=kernel,
+        ).collect()
+    }
+    for d in (1, 2):
+        r = rows[d]
+        norm_len = len(_re.sub(r"[ \t\n\r\f]+", " ", raw[d].lower()))
+        assert len(r["text"]) == norm_len - r["removed_chars"]
+        assert r["removed_chars"] > 0
+    report = exact_substring_spans(
+        docs, "doc_id", "text",
+        k=8, w=4, min_len=20, min_docs=2, gap=0, kernel=kernel,
+    ).collect()
+    for r in report:
+        assert 0.0 < r["span_share"] <= 1.0
