@@ -3294,6 +3294,26 @@ def quality_filter_q(spark, sf_dir):
     return _qf_project(qf)
 
 
+def _parity_workdir(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-(entry, sf_dir) scratch dir for the stream
+    parity gates, wiped and recreated on every invocation — repeated
+    bench/gate runs REUSE one path instead of leaking a fresh mkdtemp
+    pair per run (ADVICE r10)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"s2s_parity_{prefix}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
 @register(
     "quality_stream_parity",
     _QUALITY_FILTER_ORACLE,
@@ -3311,14 +3331,15 @@ def quality_filter_q(spark, sf_dir):
 )
 def quality_stream_parity(spark, sf_dir):
     import os
-    import tempfile
 
     from slurm2sql_spark.streaming.stream import quality_stream
 
     batch = _t(spark, sf_dir, "documents")
     # FileStreamSource requires a directory; expose the single parquet
     # file through a symlink dir rather than copying the data.
-    src_dir = tempfile.mkdtemp(prefix="quality_stream_src_")
+    work = _parity_workdir("quality", sf_dir)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
     os.symlink(
         f"{sf_dir}/documents.parquet", f"{src_dir}/documents.parquet"
     )
@@ -3326,17 +3347,16 @@ def quality_stream_parity(spark, sf_dir):
     out = quality_stream(
         stream, "doc_id", "text", min_words=30, min_stop_hits=1
     )
-    sink = tempfile.mkdtemp(prefix="quality_stream_parity_")
     q = (
         out.writeStream.format("parquet")
-        .option("path", f"{sink}/data")
-        .option("checkpointLocation", f"{sink}/ckpt")
+        .option("path", f"{work}/data")
+        .option("checkpointLocation", f"{work}/ckpt")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return _qf_project(spark.read.parquet(f"{sink}/data"))
+    return _qf_project(spark.read.parquet(f"{work}/data"))
 
 
 @register(
@@ -3357,27 +3377,60 @@ def quality_stream_parity(spark, sf_dir):
     doc="Driver-gated STATEFUL streaming row (VERDICT r9 missing #5: "
     "quality_stream_parity gates only the stateless twin; "
     "job_state_transitions — applyInPandasWithState, per-key state "
-    "store — was pytest-only). The events table replays availableNow "
-    "as a job-state stream (user_id -> JobID, event_type -> State, "
-    "zero-padded epoch-micros -> the operator's in-batch sort key) "
-    "through streaming/stream.py:job_state_transitions into a parquet "
-    "sink; the landed transitions must hash-match the batch "
-    "lag-over-window SQL, because per-key state carried across "
-    "micro-batches is exactly 'previous row's state' under a "
-    "deterministic replay order. The stateful analog of the "
+    "store — was pytest-only). The events table is split into THREE "
+    "ascending time-range files replayed availableNow with "
+    "maxFilesPerTrigger=1 (ADVICE r10: a single symlinked file landed "
+    "the whole corpus in one micro-batch, so per-key state carried "
+    "ACROSS batches was never exercised at the gate; three disjoint "
+    "ascending ranges make batches 2 and 3 read batch 1's state "
+    "store) as a job-state stream (user_id -> JobID, event_type -> "
+    "State, zero-padded epoch-micros -> the operator's in-batch sort "
+    "key) through streaming/stream.py:job_state_transitions into a "
+    "parquet sink; the landed transitions must hash-match the batch "
+    "lag-over-window SQL, because state across a time-ordered replay "
+    "is exactly 'previous row's state'. The stateful analog of the "
     "reference's incremental-vs-batch equivalence protocol "
     "(test.py:329-357).",
 )
 def transitions_stream_parity(spark, sf_dir):
+    import glob
     import os
-    import tempfile
+    import time
 
     from slurm2sql_spark.streaming.stream import job_state_transitions
 
     batch = _t(spark, sf_dir, "events")
-    src_dir = tempfile.mkdtemp(prefix="transitions_stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    work = _parity_workdir("transitions", sf_dir)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    # Exact ts-percentile cuts; half-open ranges keep equal-ts rows in
+    # one batch, and each file's range is disjoint and ascending, so
+    # the cross-batch replay order per key equals the batch window
+    # order (the operator sorts (End, Start, State) WITHIN a batch).
+    b2 = batch.withColumn("_tsu", _ts_us(batch))
+    c1, c2 = b2.agg(
+        F.expr("percentile(_tsu, array(0.34D, 0.67D))").alias("c")
+    ).first()["c"]
+    now = time.time()
+    for i, (lo, hi) in enumerate([(None, c1), (c1, c2), (c2, None)]):
+        part = b2
+        if lo is not None:
+            part = part.filter(F.col("_tsu") >= F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.col("_tsu") < F.lit(hi))
+        stage = os.path.join(work, f"stage{i}")
+        part.drop("_tsu").coalesce(1).write.mode("overwrite").parquet(stage)
+        [pf] = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        os.rename(pf, dst)
+        # FileStreamSource orders new files by modification time:
+        # stagger mtimes so file i is micro-batch i deterministically
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
     ts_key = F.lpad(_ts_us(stream).cast("string"), 20, "0")
     jobs = stream.select(
         F.col("user_id").cast("string").alias("JobID"),
@@ -3386,17 +3439,22 @@ def transitions_stream_parity(spark, sf_dir):
         ts_key.alias("End"),
     )
     out = job_state_transitions(jobs)
-    sink = tempfile.mkdtemp(prefix="transitions_stream_parity_")
     q = (
         out.writeStream.format("parquet")
-        .option("path", f"{sink}/data")
-        .option("checkpointLocation", f"{sink}/ckpt")
+        .option("path", f"{work}/data")
+        .option("checkpointLocation", f"{work}/ckpt")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(f"{sink}/data")
+    n_batches = len(q.recentProgress)
+    if n_batches < 3:
+        raise AssertionError(
+            f"stateful parity replay ran {n_batches} micro-batches; "
+            "the gate requires cross-batch state (>= 3)"
+        )
+    return spark.read.parquet(f"{work}/data")
 
 
 @register(

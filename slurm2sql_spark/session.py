@@ -56,6 +56,13 @@ def get_spark(
         # reordering + static broadcast selection (measured: q7 2.47x,
         # q5 2.0x at the 100x corpus — CBO_r10.json; the q7 order was
         # also hand-applied so the statless path gets it).
+        # UPGRADE HAZARD (ADVICE r10): a persistent metastore carrying
+        # column stats computed by a pre-r10 deployment may include
+        # TimestampNTZ column stats, which Spark 4.1's CBO
+        # FilterEstimation MatchErrors on AT QUERY TIME once this flag
+        # is on. Re-run sinks.parquet_sink.analyze_table (it drops and
+        # recreates, clearing stale stats; new analyzes skip NTZ
+        # columns) for every stats-bearing table on upgrade.
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.session.timeZone", tz)

@@ -381,6 +381,17 @@ def analyze_table(
     row counts and column NDV/min/max for join reordering and broadcast
     decisions. Also registers a ``name`` temp view hiding the internal
     batch column, which is what queries should use.
+
+    Upgrade hazard (ADVICE r10): this function DROPs and recreates its
+    own table, which discards any stale statistics — but a PERSISTENT
+    metastore can hold OTHER tables that an older deployment ANALYZEd
+    ``FOR ALL COLUMNS``, including TimestampNTZ column stats. With
+    ``spark.sql.cbo.enabled=true`` (the session default since r10)
+    those stale NTZ stats trip Spark 4.1's FilterEstimation MatchError
+    at QUERY time. On upgrade, re-run :func:`analyze_table` (or ``DROP
+    TABLE`` + re-ANALYZE) for every stats-bearing table the engine did
+    not create this session; see the matching note at the
+    ``cbo.enabled`` config in ``session.py``.
     """
     catalog_name = f"{name}_tbl"
     spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")

@@ -135,7 +135,7 @@ def main() -> None:
         sf_dir, scale = BS.DST, "10x"
 
     # external stats-bearing tables over the SAME parquet files
-    analyze_s: dict[str, float] = {}
+    analyze_s: dict[str, dict] = {}
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if not os.path.exists(path):
@@ -155,6 +155,11 @@ def main() -> None:
             not in ("array", "map", "struct", "binary", "timestamp_ntz")
         ]
         t0 = time.perf_counter()
+        # Record per table whether COLUMN stats actually landed: a
+        # silent downgrade to table-level stats would make a regime's
+        # plan_changed=false read as "CBO had full evidence and chose
+        # the same plan" when it never saw column NDVs (ADVICE r10).
+        column_stats = bool(atomic)
         if atomic:
             try:
                 spark.sql(
@@ -163,10 +168,14 @@ def main() -> None:
                 )
             except Exception as exc:  # noqa: BLE001 - fall back to table-level
                 print(f"analyze {t}: column stats failed ({exc}); table-level only")
+                column_stats = False
                 spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS")
         else:
             spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS")
-        analyze_s[t] = round(time.perf_counter() - t0, 2)
+        analyze_s[t] = {
+            "s": round(time.perf_counter() - t0, 2),
+            "column_stats": column_stats,
+        }
 
     def run(names, on: bool):
         _set_confs(spark, on)
@@ -213,6 +222,10 @@ def main() -> None:
             "plan_changed": off_fp[n] != on_fp[n],
             "fp_off": off_fp[n],
             "fp_on": on_fp[n],
+            # an unidentified scan ("scan:?") means the fingerprint
+            # could miss a real plan change — mark the row degraded
+            # rather than letting plan_changed=false overclaim
+            "fp_degraded": "scan:?" in off_fp[n] or "scan:?" in on_fp[n],
         }
     payload = {
         "scale": scale,
