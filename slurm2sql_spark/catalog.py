@@ -3113,16 +3113,19 @@ len(list_intersect(dl, ['the','a','of','and','to','in','is','that'])) AS h_en,
         len(list_intersect(dl, ['le','la','les','et','de','un','est','que'])) AS h_fr"""
 
 
-def _text_base_sql(id_col: str) -> str:
+def _text_base_sql(id_col: str, rel: str = "documents") -> str:
     """Shared t-stage: raw text + RE2-tokenized words + physical lines
-    + distinct lowercased tokens, all on the escaped class."""
+    + distinct lowercased tokens, all on the escaped class. ``rel`` is
+    the input relation — a table name or a parenthesized subquery
+    exposing ``text`` (the html_clean composition feeds the
+    ground-truth extraction here)."""
     return f"""SELECT {id_col},
              coalesce(text, '') AS tx,
              string_split_regex(trim(coalesce(text, '')), {_WS_SQL}) AS w,
              string_split(coalesce(text, ''), chr(10)) AS ln,
              list_distinct(string_split_regex(trim(lower(coalesce(text, ''))),
                                               {_WS_SQL})) AS dl
-      FROM documents"""
+      FROM {rel}"""
 
 
 #: The seven Gopher curation signals over the t-stage columns.
@@ -3217,13 +3220,15 @@ def text_profile_q(spark, sf_dir):
 
 
 
-#: One oracle, two gate entries: the batch quality_filter row and the
-#: quality_stream_parity row (the stateless streaming twin must land
-#: the exact batch decision, so batch SQL IS its oracle — VERDICT r8
-#: #4: batch/stream parity as a driver-verified row).
-_QUALITY_FILTER_ORACLE = rf"""
+def _quality_filter_oracle_sql(rel: str = "documents") -> str:
+    """The Gopher quality-filter oracle over any relation exposing
+    (doc_id, text) — parameterized so the html_clean composition can
+    run the IDENTICAL rule SQL over the ground-truth extraction
+    instead of duplicating the fragment (the r8 shared-fragment
+    discipline)."""
+    return rf"""
     WITH t AS (
-      {_text_base_sql("doc_id")}
+      {_text_base_sql("doc_id", rel)}
     ), s AS (
       SELECT doc_id,
         {_GOPHER_SIGNALS_SQL}
@@ -3248,6 +3253,12 @@ _QUALITY_FILTER_ORACLE = rf"""
     FROM r
     """
 
+
+#: One oracle, two gate entries: the batch quality_filter row and the
+#: quality_stream_parity row (the stateless streaming twin must land
+#: the exact batch decision, so batch SQL IS its oracle — VERDICT r8
+#: #4: batch/stream parity as a driver-verified row).
+_QUALITY_FILTER_ORACLE = _quality_filter_oracle_sql("documents")
 
 def _qf_project(qf: DataFrame) -> DataFrame:
     """Gate projection over a quality_filter output frame (shared by
@@ -3290,6 +3301,134 @@ def quality_filter_q(spark, sf_dir):
         "text",
         min_words=30,
         min_stop_hits=1,
+    )
+    return _qf_project(qf)
+
+
+def _synth_html_col() -> Column:
+    """Deterministic HTML page synthesized from (doc_id, text) — the
+    L39/L52 planted-corpus pattern: the template is known to both
+    sides, so the ORACLE can state the exact expected extraction while
+    the ENGINE must recover it through the real ``html.parser`` Arrow
+    kernel (tag stripping, subtree drops, entity decoding all
+    exercised on every row). The document text is entity-ESCAPED into
+    the page body, so the parser's charref decoding must round-trip it
+    exactly; head/style/script/nav subtrees carry planted boilerplate
+    the extraction must kill."""
+    esc = F.replace(
+        F.replace(
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("&"),
+                F.lit("&amp;"),
+            ),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    i = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        i,
+        F.lit(
+            "</title><style>p{color:red}</style></head><body>"
+            "<script>if (x &lt; 1 &amp;&amp; y > 0) load();</script>"
+            "<h1>Doc "
+        ),
+        i,
+        F.lit(" &amp; friends</h1><p>"),
+        esc,
+        F.lit(
+            '</p><nav><a href="/home">Home</a> '
+            '<a href="/about">About</a></nav>'
+            "<div>Tail <b>bold</b> note "
+        ),
+        i,
+        F.lit(".</div></body></html>"),
+    )
+
+
+#: The template's known extraction, as SQL over (doc_id, text) — the
+#: shared ground-truth fragment for BOTH html entries (shared-fragment
+#: discipline: engine and oracle can never disagree on the expected
+#: text). Blocks: the h1, the body paragraph (edge-stripped on the
+#: pinned class, dropped when empty), the trailing div; head/style/
+#: script/nav contribute nothing; the escaped body text decodes back
+#: to the original exactly.
+_HTML_GT_TEXT_SQL = (
+    "concat_ws(chr(10), 'Doc ' || doc_id || ' & friends', "
+    "nullif(trim(coalesce(text, ''), "
+    "' ' || chr(9) || chr(10) || chr(13) || chr(12)), ''), "
+    "'Tail bold note ' || doc_id || '.')"
+)
+
+
+def _html_extracted(spark, sf_dir) -> DataFrame:
+    from slurm2sql_spark.operators.htmltext import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = fan_out(
+        docs.select("doc_id", "text").withColumn(
+            "html", _synth_html_col()
+        ).select("doc_id", "html"),
+        min_bytes=4 << 20,
+    )
+    return html_to_text(pages, "doc_id", "html")
+
+
+@register(
+    "html_extract",
+    rf"""
+    SELECT doc_id,
+           {_HTML_GT_TEXT_SQL} AS text,
+           CAST(13 AS INT) AS n_tags,
+           CAST(3 AS INT) AS n_dropped,
+           CAST(2 AS INT) AS n_links,
+           CAST(2 + CASE WHEN trim(coalesce(text, ''),
+                  ' ' || chr(9) || chr(10) || chr(13) || chr(12)) = ''
+                THEN 0 ELSE 1 END AS INT) AS n_blocks
+    FROM documents
+    """,
+    doc="HTML -> text extraction (operators/htmltext.py, VERDICT r10 "
+    "#1 — the first stage of every web-corpus pipeline): each "
+    "document is wrapped in a deterministic HTML page (title/style/"
+    "script/nav boilerplate, entity-escaped body, inline tags) and "
+    "the pure-stdlib html.parser Arrow kernel must recover the exact "
+    "known extraction: subtree drops, block segmentation, charref "
+    "round-trip, per-doc tag stats. Oracle states the template's "
+    "ground truth from (doc_id, text) directly — any parser defect "
+    "(kept nav text, missed entity, glued blocks, wrong stats) breaks "
+    "the hash. Scale: one narrow Arrow pass behind the fan_out seam, "
+    "zero shuffle; stats are per-row ints.",
+)
+def html_extract_q(spark, sf_dir):
+    return _html_extracted(spark, sf_dir)
+
+
+@register(
+    "html_clean",
+    _quality_filter_oracle_sql(
+        f"(SELECT doc_id, {_HTML_GT_TEXT_SQL} AS text FROM documents)"
+    ),
+    doc="HTML extraction composed with the Gopher quality filter — "
+    "the first two stages of a web-corpus pipeline running as ONE "
+    "optimizer pass (VERDICT r10 #1 'done' criterion: a composition "
+    "entry downstream of html_extract). The oracle runs the "
+    "IDENTICAL parameterized quality-filter SQL over the template's "
+    "ground-truth extraction, so the kernel's output must survive "
+    "tokenization-grade scrutiny (every word boundary, line count "
+    "and stopword hit of the extracted text feeds the decision). "
+    "Scale: the Arrow extraction is narrow; the filter stays a "
+    "single scan-stage projection on top — no shuffle anywhere.",
+)
+def html_clean_q(spark, sf_dir):
+    from slurm2sql_spark.operators.textstats import quality_filter
+
+    extracted = _html_extracted(spark, sf_dir).select("doc_id", "text")
+    qf = quality_filter(
+        extracted, "doc_id", "text", min_words=30, min_stop_hits=1
     )
     return _qf_project(qf)
 
@@ -5560,6 +5699,9 @@ def doc_repetition_q(spark, sf_dir):
 _GATE_WINDOW = 50
 
 _GATE_PRIORITY = [
+    # new this round (r11):
+    "html_extract",
+    "html_clean",
     # new this round (r10):
     "dedup_exact_substring",
     "dedup_exact_substring_fast",
@@ -5576,8 +5718,6 @@ _GATE_PRIORITY = [
     "curation_pipeline",
     "multimodal_pipeline",
     # new r9 (one green round only — keep in-window one more):
-    "q2_min_cost_supplier",
-    "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q8_market_share",
@@ -5676,6 +5816,10 @@ _GATE_TAIL = [
     # both with SCALING evidence at their largest measured scale
     "text_profile",
     "corpus_report",
+    # rotated r11 (first batch, to make room for html_extract/
+    # html_clean): green r9+r10 under unchanged plans
+    "q2_min_cost_supplier",
+    "q13_customer_distribution",
 ]
 
 
