@@ -4226,6 +4226,110 @@ def dsir_selection(spark, sf_dir):
 
 
 @register(
+    "classifier_score",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(coalesce(text, ''))),
+                                '[ \t\n\r\f]+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(w) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    ),
+    occ AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g || 'c1'), 1, 8))::BIGINT % 256 AS b
+      FROM grams
+    ),
+    grain AS (SELECT doc_id, b, count(*) AS n FROM occ GROUP BY 1, 2),
+    tots AS (SELECT doc_id, sum(n) AS t FROM grain GROUP BY 1),
+    feat AS (SELECT g.doc_id, g.b, g.n / CAST(t.t AS DOUBLE) AS x
+             FROM grain g JOIN tots t USING (doc_id)),
+    lab AS (SELECT doc_id,
+                   CASE WHEN source = 'src0'
+                        THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS y
+            FROM documents),
+    nd AS (SELECT count(*) AS n_docs FROM tots),
+    -- epoch 1 from w=0, bias=0: sigmoid(0)=0.5, so resid = 0.5 - y
+    r1 AS (SELECT t.doc_id, 0.5 - l.y AS r
+           FROM tots t JOIN lab l USING (doc_id)),
+    w1 AS (SELECT f.b,
+                  floor((-5.0 * sum(f.x * r.r) / n_docs) * 1000000
+                        + 0.001) / 1000000 AS w
+           FROM feat f JOIN r1 r USING (doc_id), nd
+           GROUP BY f.b, n_docs),
+    bi1 AS (SELECT floor((-5.0 * avg(r)) * 1000000 + 0.001)
+                   / 1000000 AS bias
+            FROM r1),
+    -- epoch 2 at (w1, bi1)
+    s2 AS (SELECT f.doc_id, sum(f.x * w1.w) AS s
+           FROM feat f JOIN w1 USING (b) GROUP BY 1),
+    r2 AS (SELECT s2.doc_id,
+                  1.0 / (1.0 + exp(-(s2.s + bi1.bias))) - l.y AS r
+           FROM s2 JOIN lab l USING (doc_id), bi1),
+    w2 AS (SELECT f.b,
+                  floor((w1.w - 5.0 * sum(f.x * r.r) / n_docs)
+                        * 1000000 + 0.001) / 1000000 AS w
+           FROM feat f JOIN r2 r USING (doc_id) JOIN w1 USING (b), nd
+           GROUP BY f.b, w1.w, n_docs),
+    bi2 AS (SELECT floor((bi1.bias - 5.0 * avg(r.r)) * 1000000 + 0.001)
+                   / 1000000 AS bias
+            FROM r2 r, bi1 GROUP BY bi1.bias),
+    sc AS (SELECT f.doc_id, sum(f.x * w2.w) AS s
+           FROM feat f JOIN w2 USING (b) GROUP BY 1)
+    SELECT sc.doc_id,
+           l.y AS label,
+           floor((1.0 / (1.0 + exp(-(sc.s + bi2.bias)))) * 1000000
+                 + 0.001) / 1000000 AS score,
+           floor((1.0 / (1.0 + exp(-(sc.s + bi2.bias)))) * 1000000
+                 + 0.001) / 1000000 >= 0.5 AS keep
+    FROM sc JOIN lab l USING (doc_id), bi2
+    """,
+    doc="Hashed linear quality-classifier (operators/classifier.py, "
+    "VERDICT r10 #2 — the discriminative third scoring family next "
+    "to rule filters and LM perplexity, the CCNet/fastText posture): "
+    "logistic regression over the shared DSIR hashed unigram+bigram "
+    "featurization (m=256 bins, salt c1), trained IN the entry by two "
+    "deterministic full-batch GD epochs (lr=5, labels = source=='src0'"
+    ") with every weight floor-quantized at 1e-6 after each update, "
+    "then scores every document: (doc_id, label, score, keep). The "
+    "oracle replays the identical epochs as chained CTEs — the L21 "
+    "recursive-CTE precedent. Scale: per epoch one map-side-combined "
+    "per-doc sum, one doc-keyed residual join, one m-BOUNDED gradient "
+    "aggregate; the m-row weight table broadcasts; driver traffic is "
+    "m rows per epoch (IVF centroid-collect contract). Quantized "
+    "lockstep makes the fit engine-portable bit-for-bit.",
+)
+def classifier_score_q(spark, sf_dir):
+    from slurm2sql_spark.operators.classifier import (
+        hashed_classifier_fit,
+        hashed_classifier_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        (F.col("source") == "src0").cast("double").alias("label"),
+    )
+    w, b = hashed_classifier_fit(
+        labeled, "doc_id", "text", "label",
+        m=256, epochs=2, lr=5.0, salt="c1",
+    )
+    scored = hashed_classifier_score(
+        labeled, "doc_id", "text", w, b, m=256, salt="c1"
+    )
+    return scored.join(
+        labeled.select("doc_id", "label"), "doc_id"
+    ).select("doc_id", "label", "score", "keep")
+
+
+@register(
     "lm_perplexity_buckets",
     r"""
     WITH tok AS (
@@ -5702,6 +5806,7 @@ _GATE_PRIORITY = [
     # new this round (r11):
     "html_extract",
     "html_clean",
+    "classifier_score",
     # new this round (r10):
     "dedup_exact_substring",
     "dedup_exact_substring_fast",
@@ -5718,7 +5823,6 @@ _GATE_PRIORITY = [
     "curation_pipeline",
     "multimodal_pipeline",
     # new r9 (one green round only — keep in-window one more):
-    "q15_top_supplier",
     "q17_small_qty_revenue",
     "q8_market_share",
     "q9_product_profit",
@@ -5817,9 +5921,10 @@ _GATE_TAIL = [
     "text_profile",
     "corpus_report",
     # rotated r11 (first batch, to make room for html_extract/
-    # html_clean): green r9+r10 under unchanged plans
+    # html_clean/classifier_score): green r9+r10 under unchanged plans
     "q2_min_cost_supplier",
     "q13_customer_distribution",
+    "q15_top_supplier",
 ]
 
 

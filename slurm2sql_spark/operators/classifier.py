@@ -1,0 +1,204 @@
+"""Hashed linear quality-classifier scoring — the DISCRIMINATIVE third
+member of the canonical quality-scoring families (next to rule filters
+— Gopher/C4, ``textstats.quality_filter``/``c4_filter`` — and
+generative LM scoring — CCNet perplexity, ``sampling.lm_perplexity``).
+CCNet (Wenzek et al. 2020) and the fastText-classifier pipelines score
+documents with a LINEAR model over hashed n-gram features; this module
+trains and applies exactly that: logistic regression on the DSIR
+hashed unigram+bigram featurization (``sampling._hashed_ngram_
+occurrences`` — the feature pipeline is shared, not duplicated).
+
+Training is full-batch gradient descent for a FIXED, small number of
+epochs with every weight floor-quantized after each update — the
+``dsir_select`` determinism discipline, so the fit is bit-reproducible
+across engines (a DuckDB oracle replays the same epochs as chained
+CTEs), partitionings, and re-runs.
+
+Scale contract (the ``dsir_weights`` shape, sampling.py:245):
+
+- per epoch: ONE map-side-combined per-doc aggregation (the score
+  sum), one doc-keyed join of the residual back to the feature grain,
+  and one m-BOUNDED gradient aggregation (each map task emits <= m
+  partial rows); the m-row weight table BROADCASTS;
+- the feature grain ``(doc, bin, x)`` is computed once and persisted
+  across epochs + the final scoring pass (one corpus tokenize total);
+- driver traffic is one m-row collect per epoch — bounded by m and
+  epochs, never by corpus size (the IVF centroid-collect precedent).
+
+At 100 TB with m=4096 and 2-5 epochs this is a handful of linear
+passes; the classifier itself (m weights + bias) is a broadcast
+scalar. No reference-repo analog; VERDICT r10 "next round" #2.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hashed_classifier_fit", "hashed_classifier_score"]
+
+
+def _q(v: float, quantize: int) -> float:
+    """Driver-side twin of the catalog's floor quantizer (``_q6``):
+    floor(v*q + 1e-3)/q — the 1e-3 nudge absorbs summation-order FP
+    noise identically on both engines."""
+    return math.floor(v * quantize + 1e-3) / quantize
+
+
+def _features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int,
+    salt: str,
+    bigrams: bool,
+) -> DataFrame:
+    """Per-(doc, bin) normalized counts ``x = n / t_doc`` (fastText's
+    mean-of-feature-vectors input scaling: per-doc features sum to 1,
+    so score magnitudes and gradients are document-length-invariant).
+    Docs with zero tokens contribute no rows (and get no score)."""
+    from .sampling import _hashed_ngram_occurrences
+
+    grain = (
+        _hashed_ngram_occurrences(df, id_col, text_col, m, salt, bigrams)
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    tot = grain.groupBy(id_col).agg(F.sum("_n").alias("_t"))
+    return grain.join(tot, id_col).select(
+        id_col, "b", (F.col("_n") / F.col("_t").cast("double")).alias("x")
+    )
+
+
+def hashed_classifier_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    m: int = 1024,
+    epochs: int = 2,
+    lr: float = 5.0,
+    salt: str = "",
+    bigrams: bool = True,
+    quantize: int = 1_000_000,
+) -> tuple[dict[int, float], float]:
+    """Fit logistic weights on hashed n-gram features: ``epochs``
+    full-batch GD steps from w=0, b=0 with learning rate ``lr``.
+
+    ``label_col`` must be 0/1 (castable to double). Returns
+    ``({bin: weight}, bias)`` with every value floor-quantized at
+    ``1/quantize`` after each update — the cross-engine lockstep that
+    lets a SQL oracle replay the fit as chained CTEs. Gradients are
+    mean log-loss gradients: ``g_b = sum_d x_db (p_d - y_d) / N``,
+    ``g_bias = mean_d (p_d - y_d)`` over the N docs with >= 1 token.
+    """
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    from .dedup import _persist
+
+    spark = df.sparkSession
+    feat = _persist(_features(df, id_col, text_col, m, salt, bigrams))
+    labels = df.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("_y")
+    )
+    n_docs = feat.select(id_col).distinct().count()
+    if n_docs == 0:
+        return {}, 0.0
+
+    w: dict[int, float] = {}
+    bias = 0.0
+    for _ in range(int(epochs)):
+        if w:
+            wdf = F.broadcast(
+                spark.createDataFrame(
+                    sorted(w.items()), "b int, _w double"
+                )
+            )
+            scored = (
+                feat.join(wdf, "b", "left")
+                .groupBy(id_col)
+                .agg(
+                    F.sum(
+                        F.col("x") * F.coalesce(F.col("_w"), F.lit(0.0))
+                    ).alias("_s")
+                )
+            )
+        else:
+            # first epoch: w=0 -> score is just the bias (0)
+            scored = feat.groupBy(id_col).agg(F.lit(0.0).alias("_s"))
+        resid = scored.join(labels, id_col).select(
+            id_col,
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_s") + F.lit(bias))))
+                - F.col("_y")
+            ).alias("_r"),
+        )
+        grad_rows = (
+            feat.join(resid, id_col)
+            .groupBy("b")
+            .agg((F.sum(F.col("x") * F.col("_r")) / F.lit(n_docs)).alias("g"))
+            .collect()
+        )
+        gb = resid.agg(F.avg("_r").alias("g")).collect()[0]["g"]
+        for row in grad_rows:
+            w[row["b"]] = _q(
+                w.get(row["b"], 0.0) - lr * row["g"], quantize
+            )
+        bias = _q(bias - lr * gb, quantize)
+    return w, bias
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[int, float],
+    bias: float,
+    m: int = 1024,
+    salt: str = "",
+    bigrams: bool = True,
+    quantize: int = 1_000_000,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score documents under a fitted (or externally supplied) hashed
+    linear classifier: ``(id, score, keep)`` with
+    ``score = sigmoid(w . x + bias)`` floor-quantized at
+    ``1/quantize`` and ``keep = score >= threshold``.
+
+    ``weights`` is the bin->weight mapping from
+    :func:`hashed_classifier_fit` (or any external fastText-style
+    export rehashed into the same m bins). The weight table is <= m
+    rows and BROADCASTS; the only corpus-sized shuffle is the per-doc
+    score aggregation (map-side combined). Docs with zero tokens are
+    absent from the output (no features, no score).
+    """
+    spark = df.sparkSession
+    feat = _features(df, id_col, text_col, m, salt, bigrams)
+    if weights:
+        wdf = F.broadcast(
+            spark.createDataFrame(sorted(weights.items()), "b int, _w double")
+        )
+        summed = (
+            feat.join(wdf, "b", "left")
+            .groupBy(id_col)
+            .agg(
+                F.sum(
+                    F.col("x") * F.coalesce(F.col("_w"), F.lit(0.0))
+                ).alias("_s")
+            )
+        )
+    else:
+        summed = feat.groupBy(id_col).agg(F.lit(0.0).alias("_s"))
+    q = F.lit(float(quantize))
+    score = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_s") + F.lit(bias)))))
+        * q
+        + F.lit(1e-3)
+    ) / q
+    return summed.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -1,0 +1,101 @@
+"""Hashed linear quality classifier (operators/classifier.py):
+rank separation on planted labels, quantized-lockstep determinism
+under repartitioning, and the external-weights scoring path."""
+
+from __future__ import annotations
+
+
+def _planted(spark, reps=20):
+    """Two clearly separable vocabularies: 'good' docs talk about
+    science, 'bad' docs are keyboard mash."""
+    rows = []
+    for i in range(reps):
+        rows.append(
+            (i, 1.0, f"the careful study of stellar physics result {i} "
+                     "shows that measured data and theory agree")
+        )
+        rows.append(
+            (100 + i, 0.0, f"zzz qqq xxx buy now click here spam {i} "
+                           "win prize casino deal deal deal")
+        )
+    return spark.createDataFrame(rows, "doc_id int, label double, text string")
+
+
+def test_fit_separates_planted_labels(spark):
+    from slurm2sql_spark.operators.classifier import (
+        hashed_classifier_fit,
+        hashed_classifier_score,
+    )
+
+    docs = _planted(spark)
+    w, b = hashed_classifier_fit(
+        docs, "doc_id", "text", "label", m=256, epochs=2, lr=5.0, salt="t"
+    )
+    assert w and any(v != 0.0 for v in w.values())
+    scored = {
+        r["doc_id"]: r
+        for r in hashed_classifier_score(
+            docs, "doc_id", "text", w, b, m=256, salt="t"
+        ).collect()
+    }
+    pos = [scored[i]["score"] for i in range(20)]
+    neg = [scored[100 + i]["score"] for i in range(20)]
+    # rank separation: every positive outscores every negative
+    assert min(pos) > max(neg)
+
+
+def test_fit_deterministic_under_repartition(spark):
+    from slurm2sql_spark.operators.classifier import (
+        hashed_classifier_fit,
+        hashed_classifier_score,
+    )
+
+    docs = _planted(spark)
+    outs = []
+    for frame in (docs, docs.repartition(7)):
+        w, b = hashed_classifier_fit(
+            frame, "doc_id", "text", "label", m=128, epochs=2, lr=5.0
+        )
+        rows = sorted(
+            map(
+                tuple,
+                hashed_classifier_score(
+                    frame, "doc_id", "text", w, b, m=128
+                ).collect(),
+            )
+        )
+        outs.append((sorted(w.items()), b, rows))
+    # quantized-lockstep: identical weights, bias, and scores
+    assert outs[0] == outs[1]
+
+
+def test_score_with_external_weights_and_threshold(spark):
+    from slurm2sql_spark.operators.classifier import hashed_classifier_score
+    from slurm2sql_spark.operators.sampling import hash_bucket  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id int, text string"
+    )
+    # empty weights: score = sigmoid(bias) for every doc with features
+    out = {
+        r["doc_id"]: r
+        for r in hashed_classifier_score(
+            docs, "doc_id", "text", {}, 0.0, m=64, threshold=0.4
+        ).collect()
+    }
+    assert out[1]["score"] == 0.5 and out[1]["keep"]
+    # NULL text coalesces to '' (one empty-token gram) — still scored,
+    # matching the DSIR featurization contract
+    assert out[2]["score"] == 0.5
+
+
+def test_epochs_validation(spark):
+    import pytest
+
+    from slurm2sql_spark.operators.classifier import hashed_classifier_fit
+
+    docs = _planted(spark, reps=2)
+    with pytest.raises(ValueError, match="epochs"):
+        hashed_classifier_fit(
+            docs, "doc_id", "text", "label", epochs=0
+        )
