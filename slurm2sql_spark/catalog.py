@@ -4329,6 +4329,88 @@ def classifier_score_q(spark, sf_dir):
     ).select("doc_id", "label", "score", "keep")
 
 
+def _bpe_oracle_sql(k: int) -> str:
+    """DuckDB replay of ``merges=k`` BPE training rounds as chained
+    CTEs (generated — the L21 recursive-CTE precedent for oracles the
+    builder composes programmatically). Per round: pair counts via a
+    LATERAL position unnest, the (cnt DESC, l, r) argmax, and the
+    greedy-leftmost merge expressed POSITIONALLY: selected(i) =
+    match(i) AND the run of consecutive matches immediately before i
+    has even length (equivalent to the engine's one-pass accumulator —
+    overlaps only exist when lhs == rhs, and the parity rule pairs a
+    run off left-to-right exactly like the greedy scan)."""
+    rounds = []
+    for r in range(1, k + 1):
+        prev = f"s{r - 1}"
+        rounds.append(f"""
+    p{r} AS (
+      SELECT syms[i] AS l, syms[i+1] AS r2,
+             CAST(sum(c) AS BIGINT) AS cnt
+      FROM {prev}, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+      GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT l, r2, cnt FROM p{r}
+             ORDER BY cnt DESC, l, r2 LIMIT 1),
+    s{r} AS (
+      SELECT c, list_filter(
+        list_transform(range(1, len(syms)+1), i ->
+          CASE WHEN i < len(syms) AND sel[i] THEN syms[i] || syms[i+1]
+               WHEN i > 1 AND sel[i-1] THEN NULL
+               ELSE syms[i] END),
+        x -> x IS NOT NULL) AS syms
+      FROM (
+        SELECT c, syms,
+          list_transform(range(1, len(syms)), i ->
+            syms[i] = b.l AND syms[i+1] = b.r2 AND
+            ((i - 1 - coalesce(list_max(list_filter(range(1, i), j ->
+                 NOT (syms[j] = b.l AND syms[j+1] = b.r2))), 0)) % 2 = 0)
+          ) AS sel
+        FROM {prev}, b{r} b)
+    )""")
+    union = "\n    UNION ALL\n".join(
+        f"    SELECT {r} AS merge_round, l AS lhs, r2 AS rhs, "
+        f"l || r2 AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+    WITH w AS (
+      SELECT g AS word, count(*) AS c FROM (
+        SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                                         {_WS_SQL})) AS g
+        FROM documents) WHERE g <> '' GROUP BY 1
+    ),
+    s0 AS (
+      SELECT c, list_append(list_transform(range(1, length(word)+1),
+                 i -> substr(word, i, 1)), '</w>') AS syms
+      FROM w
+    ),{",".join(rounds)}
+{union}
+    """
+
+
+@register(
+    "bpe_train",
+    _bpe_oracle_sql(8),
+    doc="BPE vocabulary training (operators/bpe.py, VERDICT r10 #3 — "
+    "Sennrich et al. 2016): 8 merge-learning rounds over the corpus "
+    "word counts, emitting the merge table (merge_round, lhs, rhs, "
+    "merged, pair_count) that bpe_apply / the L12 token counters "
+    "consume. Round = pair counts weighted by word frequency, "
+    "(cnt DESC, lhs, rhs) argmax, greedy-leftmost merge across the "
+    "distributed vocabulary as ONE aggregate expression. Scale: one "
+    "corpus-sized word-count pass total; every round after is "
+    "vocabulary-sized with a map-side-combined pair aggregation and "
+    "a 1-ROW TakeOrdered collect (driver traffic = k rows); the "
+    "symbol frame re-persists per round so round r never replays "
+    "rounds 1..r-1. Oracle replays all 8 rounds as generated chained "
+    "CTEs with the positional-parity merge formula.",
+)
+def bpe_train_q(spark, sf_dir):
+    from slurm2sql_spark.operators.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), "text", merges=8)
+
+
 @register(
     "lm_perplexity_buckets",
     r"""
@@ -5807,6 +5889,7 @@ _GATE_PRIORITY = [
     "html_extract",
     "html_clean",
     "classifier_score",
+    "bpe_train",
     # new this round (r10):
     "dedup_exact_substring",
     "dedup_exact_substring_fast",
@@ -5823,7 +5906,6 @@ _GATE_PRIORITY = [
     "curation_pipeline",
     "multimodal_pipeline",
     # new r9 (one green round only — keep in-window one more):
-    "q17_small_qty_revenue",
     "q8_market_share",
     "q9_product_profit",
     "q11_important_stock",
@@ -5925,6 +6007,7 @@ _GATE_TAIL = [
     "q2_min_cost_supplier",
     "q13_customer_distribution",
     "q15_top_supplier",
+    "q17_small_qty_revenue",
 ]
 
 

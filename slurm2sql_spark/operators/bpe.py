@@ -1,0 +1,197 @@
+"""BPE vocabulary training: corpus-scale byte-pair-encoding merge
+learning (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units" — public paper). VERDICT r10 "next round"
+#3: ``textstats.bpe_token_count`` (L12) counts pre-tokenizer segments
+under a FIXED regex; this module LEARNS the merge table those
+tokenizers consume.
+
+Algorithm (the standard word-frequency formulation):
+
+1. corpus -> lowercased whitespace word counts (vocabulary-sized —
+   orders smaller than the corpus; all later rounds run on it);
+2. each distinct word becomes its character-symbol sequence plus an
+   end-of-word marker symbol;
+3. per round: count adjacent symbol pairs weighted by word frequency,
+   pick the argmax (count DESC, then lexicographic (left, right) —
+   the deterministic tie-break), and merge every occurrence
+   greedy-leftmost in every word; repeat ``merges`` times.
+
+Greedy-leftmost semantics: occurrences of a pair can only overlap
+when left == right (s[i]=s[i+1]=s[i+2]); the leftmost-non-overlapping
+rule then pairs off run positions 1-2, 3-4, ... — exactly what the
+``F.aggregate`` accumulator here computes in one pass, and what the
+DuckDB oracle reproduces positionally (selected(i) = match(i) AND the
+run of consecutive matches before i has even length).
+
+Scale shape (100 TB corpus, V-word vocabulary, k merges):
+
+- ONE corpus-sized pass total (the word-count groupBy, map-side
+  combined); every round after that is vocabulary-sized;
+- per round: a narrow pair explode (fan-out bounded by word length),
+  one map-side-combined pair-count aggregation, and a 1-ROW
+  TakeOrdered collect (the argmax) — driver traffic is k rows total;
+- the symbol frame is re-persisted each round (previous round
+  released), so round r does not replay rounds 1..r-1's merges;
+- NO driver loop over words, ever: the merge applies as a single
+  Column expression across the distributed vocabulary.
+
+No reference-repo analog; feeds ``packing.pack_sequences`` (L20) and
+the L12 token counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_train", "bpe_apply", "EOW"]
+
+#: End-of-word marker symbol (Sennrich's '</w>'): distinguishes
+#: word-final merges ('e' + '</w>' learns suffix boundaries).
+EOW = "</w>"
+
+
+def _char_symbols(word: Column, eow: str | None) -> Column:
+    """word -> its character-symbol array (+ optional EOW marker).
+    Guarded for the empty string (Spark's ``sequence(1, 0)`` counts
+    DOWN, not empty)."""
+    chars = F.when(F.length(word) < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: F.substring(word, i, F.lit(1)),
+        )
+    )
+    if eow is None:
+        return chars
+    return F.concat(chars, F.array(F.lit(eow)))
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Greedy-leftmost single-pair merge as ONE aggregate expression:
+    the accumulator carries (emitted symbols, pending previous symbol);
+    when pending == left and current == right the merged symbol is
+    emitted and the pending slot clears (so a merged symbol never
+    re-merges within the same round — the non-overlap rule)."""
+    merged = F.lit(left + right)
+    init = F.struct(
+        F.expr("CAST(array() AS array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc, s):
+        take = (
+            acc["prev"].isNotNull()
+            & (acc["prev"] == F.lit(left))
+            & (s == F.lit(right))
+        )
+        flushed = F.when(
+            acc["prev"].isNotNull(),
+            F.concat(acc["out"], F.array(acc["prev"])),
+        ).otherwise(acc["out"])
+        return F.struct(
+            F.when(take, F.concat(acc["out"], F.array(merged)))
+            .otherwise(flushed)
+            .alias("out"),
+            F.when(take, F.lit(None).cast("string"))
+            .otherwise(s)
+            .alias("prev"),
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["prev"].isNotNull(),
+            F.concat(acc["out"], F.array(acc["prev"])),
+        ).otherwise(acc["out"])
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    merges: int = 8,
+    eow: str | None = EOW,
+) -> DataFrame:
+    """Learn ``merges`` BPE merge rules from a text corpus.
+
+    Returns the merge table as a DataFrame ``(merge_round, lhs, rhs,
+    merged, pair_count)`` — ``merge_round`` starts at 1; apply rules
+    in that order (:func:`bpe_apply`). Training stops early if no
+    adjacent pair remains (tiny corpora); the table then has fewer
+    than ``merges`` rows.
+
+    Deterministic by construction: word counts are exact, the argmax
+    tie-break is total (count DESC, lhs ASC, rhs ASC) and merge
+    application is order-free within a round (greedy leftmost), so
+    the learned table is independent of partitioning and identical
+    across engines — the DuckDB oracle replays every round as chained
+    CTEs.
+    """
+    from .dedup import _persist
+    from .textstats import WS_RE2
+
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.split(
+                    F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    WS_RE2,
+                )
+            ).alias("_w")
+        )
+        .filter(F.col("_w") != "")
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cur = _persist(
+        words.select(
+            "_c", _char_symbols(F.col("_w"), eow).alias("_syms")
+        )
+    )
+    rows = []
+    for rnd in range(1, int(merges) + 1):
+        pair = F.expr(
+            "zip_with(slice(_syms, 1, size(_syms) - 1),"
+            " slice(_syms, 2, size(_syms) - 1),"
+            " (a, b) -> struct(a AS l, b AS r))"
+        )
+        best = (
+            cur.select(F.col("_c"), F.explode(pair).alias("_p"))
+            .groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
+            .agg(F.sum("_c").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        rows.append((rnd, left, right, left + right, cnt))
+        cur = _persist(
+            cur.select("_c", _merge_pair(F.col("_syms"), left, right).alias("_syms"))
+        )
+    return spark.createDataFrame(
+        rows,
+        "merge_round int, lhs string, rhs string, "
+        "merged string, pair_count long",
+    )
+
+
+def bpe_apply(
+    word: Column, merges: list[tuple[str, str]], eow: str | None = EOW
+) -> Column:
+    """Tokenize a single word column under a learned merge table:
+    char symbols (+ EOW) with each merge applied greedy-leftmost in
+    table order. Returns ``array<string>``.
+
+    Each rule is one whole-stage ``aggregate`` expression, so a
+    k-rule table compiles to k nested expressions — fine for the
+    k <= a-few-hundred tables this trains; pipe corpus-scale
+    tokenization through a vocabulary join instead (tokenize the
+    DISTINCT word set once, then broadcast-join words to documents —
+    the ``doc_frequency_topk`` shape)."""
+    out = _char_symbols(word, eow)
+    for left, right in merges:
+        out = _merge_pair(out, left, right)
+    return out

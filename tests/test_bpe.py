@@ -1,0 +1,107 @@
+"""BPE merge learning (operators/bpe.py): the learned table must match
+an independent plain-Python reference implementation on a known corpus
+(the Sennrich toy example), bpe_apply must reproduce the per-word
+segmentations, and both must be partitioning-independent."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+CORPUS = (
+    "low low low lower lower "
+    "newest newest newest newest widest"
+)
+
+
+def _ref_bpe(word_counts: dict[str, int], k: int, eow="</w>"):
+    """Reference trainer: dict arithmetic only, no Spark, no SQL."""
+    vocab = {
+        tuple(list(w) + [eow]): c for w, c in word_counts.items()
+    }
+    table = []
+    for rnd in range(1, k + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        # argmax: count DESC then lexicographic (l, r) ASC
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        table.append((rnd, l, r, l + r, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, prev = [], None
+            for s in syms:
+                if prev == l and s == r:
+                    out.append(l + r)
+                    prev = None
+                else:
+                    if prev is not None:
+                        out.append(prev)
+                    prev = s
+            if prev is not None:
+                out.append(prev)
+            new_vocab[tuple(out)] = c
+        vocab = new_vocab
+    return table, vocab
+
+
+def test_merge_table_matches_reference(spark):
+    from slurm2sql_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(1, CORPUS)], "id int, text string")
+    got = [
+        tuple(r)
+        for r in bpe_train(df, "text", merges=6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    counts = Counter(CORPUS.split())
+    want, _ = _ref_bpe(counts, 6)
+    assert got == want
+    # sanity on the known corpus: the first merge is (w, e) x6
+    assert got[0][1:] == ("w", "e", "we", 6)
+
+
+def test_bpe_apply_reproduces_reference_segmentation(spark):
+    from slurm2sql_spark.operators.bpe import bpe_apply, bpe_train
+
+    df = spark.createDataFrame([(1, CORPUS)], "id int, text string")
+    table = bpe_train(df, "text", merges=6).orderBy("merge_round").collect()
+    merges = [(r["lhs"], r["rhs"]) for r in table]
+    counts = Counter(CORPUS.split())
+    _, ref_vocab = _ref_bpe(counts, 6)
+    ref = {"".join(s).replace("</w>", ""): list(s) for s in ref_vocab}
+    words = spark.createDataFrame(
+        [(w,) for w in counts], "w string"
+    ).select("w", bpe_apply(F.col("w"), merges).alias("toks"))
+    for r in words.collect():
+        assert list(r["toks"]) == ref[r["w"]], r["w"]
+
+
+def test_training_partitioning_independent(spark):
+    from slurm2sql_spark.operators.bpe import bpe_train
+
+    rows = [(i, f"{CORPUS} extra{i % 3} tokens here") for i in range(12)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    a = [tuple(r) for r in bpe_train(df, "text", merges=5).collect()]
+    b = [
+        tuple(r)
+        for r in bpe_train(df.repartition(7), "text", merges=5).collect()
+    ]
+    assert sorted(a) == sorted(b) and len(a) == 5
+
+
+def test_early_stop_on_exhausted_pairs(spark):
+    from slurm2sql_spark.operators.bpe import bpe_train
+
+    # single 1-char word + EOW: one pair exists, then nothing
+    df = spark.createDataFrame([(1, "a a a")], "id int, text string")
+    got = bpe_train(df, "text", merges=5).collect()
+    assert len(got) == 1
+    assert (got[0]["lhs"], got[0]["rhs"]) == ("a", "</w>")
