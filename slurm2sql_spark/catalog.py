@@ -4329,6 +4329,53 @@ def classifier_score_q(spark, sf_dir):
     ).select("doc_id", "label", "score", "keep")
 
 
+@register(
+    "shard_assign",
+    r"""
+    WITH a AS (
+      SELECT doc_id AS id,
+             CAST(length(coalesce(text, '')) AS BIGINT) AS size,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sh1'),
+              1, 8))::BIGINT % 8 AS grp
+      FROM documents
+    ), r AS (
+      SELECT id, size, grp,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY size DESC, id) - 1 AS rk
+      FROM a
+    )
+    SELECT id, size, grp,
+           CAST(CASE WHEN (rk // 16) % 2 = 0 THEN rk % 16
+                     ELSE 15 - rk % 16 END AS BIGINT) AS shard
+    FROM r
+    """,
+    doc="Deterministic balanced shard assignment (operators/"
+    "sharding.py, VERDICT r10 #4 — the training-data EXPORT stage): "
+    "every document lands in one of 16 output shards, size-balanced "
+    "by serpentine packing (rank by size DESC inside a content-"
+    "addressed md5 group stripe, deal ranks boustrophedon across "
+    "shards) with zero global sort — the ranking window partitions "
+    "on the 8 hash groups, so the only shuffles are bounded-key. "
+    "Pure arithmetic end to end: the oracle mirrors it as one window "
+    "+ CASE expression, and the assignment is reproducible across "
+    "engines/partitionings/re-runs (no RNG, no "
+    "monotonically_increasing_id). write_sharded materializes it as "
+    "partitionBy(shard) parquet — pytest-covered (filesystem side "
+    "effects stay out of the gate).",
+)
+def shard_assign_q(spark, sf_dir):
+    from slurm2sql_spark.operators.sharding import shard_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("sz"),
+    )
+    return shard_assign(
+        sized, "doc_id", "sz", n_shards=16, n_groups=8, salt="sh1"
+    )
+
+
 def _bpe_oracle_sql(k: int) -> str:
     """DuckDB replay of ``merges=k`` BPE training rounds as chained
     CTEs (generated — the L21 recursive-CTE precedent for oracles the
@@ -5890,6 +5937,7 @@ _GATE_PRIORITY = [
     "html_clean",
     "classifier_score",
     "bpe_train",
+    "shard_assign",
     # new this round (r10):
     "dedup_exact_substring",
     "dedup_exact_substring_fast",
@@ -5911,7 +5959,6 @@ _GATE_PRIORITY = [
     "q11_important_stock",
     "q12_late_priority",
     "q16_supplier_cnt",
-    "q19_disjunctive_revenue",
     "q20_heavy_shippers",
     "q21_waiting_supplier",
     "decontaminate_bloom",
@@ -6008,6 +6055,7 @@ _GATE_TAIL = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
 ]
 
 

@@ -1,0 +1,107 @@
+"""Deterministic balanced shard writer — the training-data EXPORT
+stage (VERDICT r10 "next round" #4, the last missing pipeline step
+after ``packing.pack_sequences``): assign every row to one of
+``n_shards`` output files so that (a) per-shard byte/token totals are
+balanced, (b) the assignment is CONTENT-ADDRESSED — reproducible
+across engines, partitionings, and re-runs (the
+``sampling.hash_bucket`` discipline; no RNG, no
+``monotonically_increasing_id``), and (c) no global sort exists
+anywhere.
+
+Scheme (two levels, both SQL-expressible):
+
+1. **group**: ``grp = md5-bucket(id, salt) % n_groups`` — a narrow
+   content-addressed stripe, no shuffle;
+2. **serpentine pack within each group**: rank rows by (size DESC,
+   id) inside the group — a PARTITIONED window, parallel across
+   groups — then deal rank k to shard ``pos`` boustrophedon
+   (left-to-right, then right-to-left), so each consecutive
+   n_shards-sized pass places its largest remainder against the
+   previous pass's smallest load.
+
+Balance bound: within one group each serpentine pass adds items that
+differ by at most that pass's size spread, so per-group shard loads
+differ by at most max_item; summing G independent groups keeps the
+total spread <= G * max_item — negligible against shard totals of
+(corpus / n_shards) whenever items are small relative to shards
+(documents vs multi-GB files). More groups = more parallelism, same
+bound per group.
+
+Scale shape: one shuffle on ``grp`` (the window), one on ``shard``
+(the write repartition) — both bounded-cardinality keys with skew
+bounded by the hash stripe; at 100 TB pick n_groups ~ cores and
+n_shards ~ target file count (thousands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["shard_assign", "write_sharded"]
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    n_shards: int,
+    n_groups: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Add ``(grp, shard)`` to every row (plus ``id``/``size``
+    passthrough): the deterministic serpentine assignment described in
+    the module doc. NULL sizes sort as 0 (smallest — they cannot
+    unbalance anything)."""
+    if n_shards < 1 or n_groups < 1:
+        raise ValueError("n_shards and n_groups must be >= 1")
+    from .sampling import hash_bucket
+
+    grp = (hash_bucket(id_col, salt) % F.lit(int(n_groups))).alias("grp")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(size_col).cast("long"), F.lit(0)).alias("size"),
+        grp,
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("size").desc(), F.col("id").asc_nulls_last()
+    )
+    rk = F.row_number().over(w) - 1
+    pos = rk % F.lit(int(n_shards))
+    swing = (rk / F.lit(int(n_shards))).cast("long") % 2
+    shard = F.when(swing == 0, pos).otherwise(
+        F.lit(int(n_shards) - 1) - pos
+    )
+    return base.select(
+        "id", "size", "grp", shard.cast("long").alias("shard")
+    )
+
+
+def write_sharded(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    path: str,
+    n_shards: int,
+    n_groups: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Materialize ``df`` as ``n_shards`` size-balanced parquet
+    partitions: ``shard_assign`` + one repartition on ``shard`` +
+    ``partitionBy("shard")`` (each output dir holds exactly one
+    shard's rows; the repartition makes file count per dir one task's
+    worth, not one per input partition). Returns the assignment frame
+    (re-readable: the assignment is pure arithmetic, so a re-run
+    reproduces it bit-for-bit)."""
+    assign = shard_assign(df, id_col, size_col, n_shards, n_groups, salt)
+    out = df.join(
+        assign.select("id", "shard").withColumnRenamed("id", id_col),
+        id_col,
+    )
+    (
+        out.repartition(int(n_shards), "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return assign

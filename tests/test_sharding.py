@@ -1,0 +1,84 @@
+"""Balanced shard writer (operators/sharding.py): byte-budget balance,
+partitioning-independent reproducibility, and the partitionBy write."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _sized(spark, n=400):
+    # deterministic 'sizes': content-addressed spread over [50, 5050)
+    df = spark.range(n).select(F.col("id").cast("int").alias("doc_id"))
+    size = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 5000 + 50
+    )
+    return df.select("doc_id", size.alias("nbytes"))
+
+
+def test_shard_balance_bound(spark):
+    from slurm2sql_spark.operators.sharding import shard_assign
+
+    df = _sized(spark)
+    n_shards, n_groups = 16, 8
+    a = shard_assign(df, "doc_id", "nbytes", n_shards, n_groups)
+    per = {
+        r["shard"]: r["tot"]
+        for r in a.groupBy("shard").agg(F.sum("size").alias("tot")).collect()
+    }
+    assert sorted(per) == list(range(n_shards))
+    max_item = max(r["nbytes"] for r in df.collect())
+    spread = max(per.values()) - min(per.values())
+    # module contract: per-group serpentine spread <= max item, summed
+    # over groups
+    assert spread <= n_groups * max_item
+    # and it must actually balance: spread far below one shard's load
+    assert spread < sum(per.values()) / n_shards
+
+
+def test_assignment_reproducible_and_partitioning_independent(spark):
+    from slurm2sql_spark.operators.sharding import shard_assign
+
+    df = _sized(spark)
+    a = sorted(map(tuple, shard_assign(df, "doc_id", "nbytes", 16).collect()))
+    b = sorted(
+        map(
+            tuple,
+            shard_assign(
+                df.repartition(13), "doc_id", "nbytes", 16
+            ).collect(),
+        )
+    )
+    c = sorted(map(tuple, shard_assign(df, "doc_id", "nbytes", 16).collect()))
+    assert a == b == c
+
+
+def test_write_sharded_partition_dirs(spark, tmp_path):
+    from slurm2sql_spark.operators.sharding import write_sharded
+
+    df = _sized(spark, n=120)
+    path = str(tmp_path / "shards")
+    n_shards = 4
+    assign = write_sharded(df, "doc_id", "nbytes", path, n_shards, n_groups=4)
+    back = spark.read.parquet(path)
+    # every row landed exactly once, with its assigned shard
+    assert back.count() == 120
+    got = {
+        (r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()
+    }
+    want = {(r["id"], r["shard"]) for r in assign.collect()}
+    assert got == want
+    # one partition directory per shard
+    dirs = sorted(
+        p.name for p in (tmp_path / "shards").iterdir()
+        if p.name.startswith("shard=")
+    )
+    assert dirs == [f"shard={i}" for i in range(n_shards)]
+
+
+def test_validation(spark):
+    from slurm2sql_spark.operators.sharding import shard_assign
+
+    with pytest.raises(ValueError):
+        shard_assign(_sized(spark, 5), "doc_id", "nbytes", 0)
