@@ -568,34 +568,94 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 #: PII patterns restricted to the regex syntax shared by Java (Spark)
 #: and RE2 (DuckDB) — no lookarounds/backrefs, so the oracle replicates
-#: the scrub bit-for-bit. Ordered: emails before phones (an email's
-#: digits must not half-match as a phone).
+#: the scrub bit-for-bit. ORDER IS THE SCRUB CHAIN: emails first (their
+#: digits must not half-match as cards/phones), shapes with letters or
+#: colons next (IBAN, IPv6 — disjoint from the digit-run families),
+#: then dotted quads, then Luhn-gated card numbers, then the greedy
+#: phone fallback (which would otherwise swallow card digits).
+#:
+#: IPv6 covers a DEFINED SUBSET (full 8-group form, or '::' compression
+#: with >= 1 group on each side — no dotted-quad tails, no bare
+#: leading/trailing '::', whose endings a word-boundary anchor cannot
+#: delimit portably). IBAN is the SHAPE check only (country code + 2
+#: check digits + 11-30 alphanumerics); credit_card candidates (13-19
+#: digits, optional single space/dash separators) must additionally
+#: pass the Luhn checksum — see ``luhn_valid`` — before redaction.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("iban", r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"),
+    (
+        "ipv6",
+        r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+        r"|\b(?:[0-9A-Fa-f]{1,4}:){1,6}:"
+        r"(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5})\b",
+    ),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("credit_card", r"\b(?:[0-9][ -]?){12,18}[0-9]\b"),
     # no spaces in the class: "1995 2000 2010"-style number lists in
     # prose must not be swallowed as one phone
     ("phone", r"\+?[0-9][0-9()-]{7,}[0-9]"),
 ]
 
+#: Types whose regex only nominates CANDIDATES; a checksum decides.
+LUHN_GATED = frozenset(["credit_card"])
+
+
+def luhn_valid(s: Column) -> Column:
+    """Luhn checksum over a candidate card number (separators ``[ -]``
+    stripped): from the RIGHT, double every second digit (subtracting
+    9 past 9) and require the total to divide by 10, with 13-19
+    digits. Pure integer expression arithmetic — no UDF, and the
+    DuckDB oracle mirrors it term for term."""
+    d = F.regexp_replace(s, r"[ -]", "")
+    n = F.length(d)
+
+    def term(acc, i):
+        digit = F.substring(d, i, F.lit(1)).cast("int")
+        doubled = digit * 2
+        dval = F.when(doubled > 9, doubled - 9).otherwise(doubled)
+        return acc + F.when(((n - i) % 2) == 1, dval).otherwise(digit)
+
+    total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
 
 def scrub_pii(c: Column) -> Column:
-    """Redact emails, IPv4 addresses, and phone-like digit runs with
-    ``[TYPE]`` placeholders. One chained ``regexp_replace`` — JVM-side,
-    zero shuffles, and each pattern is RE2-compatible so any engine can
-    reproduce the output exactly."""
+    """Redact emails, IBANs, IPv6/IPv4 addresses, Luhn-valid card
+    numbers, and phone-like digit runs with ``[TYPE]`` placeholders.
+    Regex types are one chained ``regexp_replace``; the Luhn-gated
+    card stage extracts candidates from the partially-scrubbed text,
+    keeps the checksum survivors, and replaces each via an aggregate
+    fold — all JVM-side expressions, zero shuffles, RE2-portable so
+    any engine reproduces the output exactly."""
     out = c
     for name, pat in PII_PATTERNS:
-        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+        tag = f"[{name.upper()}]"
+        if name in LUHN_GATED:
+            valid = F.filter(
+                F.regexp_extract_all(out, F.lit(pat), F.lit(0)), luhn_valid
+            )
+            out = F.aggregate(
+                valid, out, lambda acc, s: F.replace(acc, s, F.lit(tag))
+            )
+        else:
+            out = F.regexp_replace(out, pat, tag)
     return out
 
 
 def pii_counts(c: Column) -> list[Column]:
-    """Per-type match counts (aliased ``n_<type>``) for audit columns."""
-    return [
-        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}")
-        for name, pat in PII_PATTERNS
-    ]
+    """Per-type match counts (aliased ``n_<type>``) for audit columns.
+    Each count is INDEPENDENT over the original text (Luhn-gated types
+    count checksum survivors only) — an audit inventory, not a replay
+    of the scrub chain, so e.g. a card number also counts toward
+    ``n_phone`` even though the chain redacts it as a card first."""
+    cols = []
+    for name, pat in PII_PATTERNS:
+        matches = F.regexp_extract_all(c, F.lit(pat), F.lit(0))
+        if name in LUHN_GATED:
+            matches = F.filter(matches, luhn_valid)
+        cols.append(F.size(matches).alias(f"n_{name}"))
+    return cols
 
 
 def chunk_spans(

@@ -159,3 +159,54 @@ def test_quality_filter_oracle_parity_cr_docs(spark, tmp_path):
     row1 = {r["doc_id"]: r for r in out.collect()}[1]
     assert row1["n_words"] > 30  # \r split words, so the doc clears min
     _compare(out, con, spec.oracle, "quality_filter[cr-docs]")
+
+
+def test_text_transforms_oracle_parity_planted_pii(spark, tmp_path):
+    """The sf corpus carries almost no IBAN/IPv6/card matches, so the
+    driver gate cannot exercise the r11 PII families on real hits
+    (the same blind spot as the CR docs above). Both engines run the
+    text_transforms entry on a corpus PLANTED with every family —
+    including Luhn-valid vs Luhn-invalid cards and the card-vs-phone
+    precedence — and must match row-for-row."""
+    import pandas as pd
+
+    from slurm2sql_spark import catalog
+
+    texts = [
+        "write to alice.b+test@mail.example.org about invoice "
+        "DE89370400440532013000 or GB82WEST12345698765432 today",
+        "nodes 2001:0db8:85a3:0000:0000:8a2e:0370:7334 and fe80::1 "
+        "behind 10.0.0.1 answered",
+        "charge 4111 1111 1111 1111 then 5500-0000-0000-0004 at "
+        "the desk",
+        "typo 4111 1111 1111 1112 and 5500-0000-0000-0005 stay; "
+        "call +1(555)123-4567 instead",
+        " ".join(f"w{i}" for i in range(130)),  # multi-chunk doc
+        "plain words only here",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["pii-test"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf_dir = str(tmp_path)
+    docs.to_parquet(tmp_path / "documents.parquet")
+    spec = catalog.QUERIES["text_transforms"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    out = spec.spark(spark, sf_dir)
+    rows = {r["id"]: r for r in out.collect()}
+    # every planted family redacted (and only the Luhn-valid cards)
+    assert rows[0]["n_iban"] == 2 and "[IBAN]" in rows[0]["chunk_text"]
+    assert rows[1]["n_ipv6"] == 2 and rows[1]["n_ipv4"] == 1
+    assert rows[2]["n_credit_card"] == 2
+    assert "[CREDIT_CARD]" not in rows[3]["chunk_text"]
+    assert "[PHONE]" in rows[3]["chunk_text"]
+    _compare(out, con, spec.oracle, "text_transforms[planted-pii]")

@@ -96,21 +96,43 @@ def test_scrub_pii_redacts_and_counts(spark):
         (3, "call +1(555)123-4567 or 0123456789 today"),
         (4, "years 1995 2000 2010 are fine"),
         (5, "no pii here"),
+        (6, "iban DE89370400440532013000 paid"),
+        (7, "host 2001:0db8:85a3:0000:0000:8a2e:0370:7334 or fe80::1 up"),
+        (8, "card 4111 1111 1111 1111 charged"),
+        # Luhn-INVALID candidates survive (space form can't be a phone;
+        # the dashed form falls through to the greedy phone pattern)
+        (9, "bad 4111 1111 1111 1112 fails"),
+        (10, "card 5500-0000-0000-0004 ok"),
+        (11, "bad 5500-0000-0000-0005 here"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     out = {
-        r.id: (r.clean, r.n_email, r.n_ipv4, r.n_phone)
+        r.id: (
+            r.clean, r.n_email, r.n_iban, r.n_ipv6, r.n_ipv4,
+            r.n_credit_card, r.n_phone,
+        )
         for r in df.select(
             "id", scrub_pii(F.col("text")).alias("clean"),
             *pii_counts(F.col("text")),
         ).collect()
     }
-    assert out[1] == ("mail [EMAIL] now", 1, 0, 0)
-    assert out[2] == ("server at [IPV4] port", 0, 1, 0)
-    assert out[3] == ("call [PHONE] or [PHONE] today", 0, 0, 2)
+    assert out[1] == ("mail [EMAIL] now", 1, 0, 0, 0, 0, 0)
+    assert out[2] == ("server at [IPV4] port", 0, 0, 0, 1, 0, 0)
+    assert out[3] == ("call [PHONE] or [PHONE] today", 0, 0, 0, 0, 0, 2)
     # number lists in prose are NOT phones
-    assert out[4] == ("years 1995 2000 2010 are fine", 0, 0, 0)
-    assert out[5] == ("no pii here", 0, 0, 0)
+    assert out[4] == ("years 1995 2000 2010 are fine", 0, 0, 0, 0, 0, 0)
+    assert out[5] == ("no pii here", 0, 0, 0, 0, 0, 0)
+    # n_phone=1: the greedy (unanchored) phone shape also counts the
+    # IBAN's digit run on the ORIGINAL text; the chain redacts the
+    # IBAN first, so the scrub output never shows a phone
+    assert out[6] == ("iban [IBAN] paid", 0, 1, 0, 0, 0, 1)
+    assert out[7] == ("host [IPV6] or [IPV6] up", 0, 0, 2, 0, 0, 0)
+    assert out[8] == ("card [CREDIT_CARD] charged", 0, 0, 0, 0, 1, 0)
+    assert out[9] == ("bad 4111 1111 1111 1112 fails", 0, 0, 0, 0, 0, 0)
+    # audit counts are independent: the dashed card ALSO matches the
+    # phone shape, but the scrub chain redacts it as a card first
+    assert out[10] == ("card [CREDIT_CARD] ok", 0, 0, 0, 0, 1, 1)
+    assert out[11] == ("bad [PHONE] here", 0, 0, 0, 0, 0, 1)
 
 
 def test_chunk_spans_windows(spark):
