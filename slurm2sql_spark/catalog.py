@@ -5988,6 +5988,21 @@ _GATE_PRIORITY = [
     "classifier_score",
     "bpe_train",
     "shard_assign",
+    # r11 window-staleness rotation (VERDICT r10 #8): the 11 tail
+    # entries last driver-checked in r7 come back into the window for
+    # a fresh CORRECTNESS row (all judge-green at sf0.01 in r10, so
+    # this is evidence hygiene, not risk)
+    "conditional_first",
+    "deidentify",
+    "distinct_values",
+    "group_concat",
+    "json_props",
+    "latest_event_per_user",
+    "q5_nation_revenue",
+    "sample_stratified",
+    "sessionize",
+    "setops_users",
+    "windowed_event_counts",
     # new this round (r10):
     "dedup_exact_substring",
     "dedup_exact_substring_fast",
@@ -6004,25 +6019,14 @@ _GATE_PRIORITY = [
     "curation_pipeline",
     "multimodal_pipeline",
     # new r9 (one green round only — keep in-window one more):
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_late_priority",
-    "q16_supplier_cnt",
-    "q20_heavy_shippers",
     "q21_waiting_supplier",
-    "decontaminate_bloom",
     "quality_stream_parity",
     # consolidated this round (VERDICT r8 #3): new merged entries,
     # never driver-gated under these names
-    "converters_roundtrip",
     "text_transforms",
-    "grouping_sets_counts",
     # re-gated r9 after oracle recomposition; kept in-window one more
     # round (q6/q14/text_profile/corpus_report rotated to tail in r10
     # after their second green round)
-    "quality_filter",
-    "dedup_paragraph",
 ]
 
 _GATE_TAIL = [
@@ -6035,17 +6039,6 @@ _GATE_TAIL = [
     # (q3 r1-r8, q5/deidentify/sample_stratified r5-r8, the Group-A
     # micros r1-r8):
     "q3_top_revenue",
-    "sample_stratified",
-    "q5_nation_revenue",
-    "deidentify",
-    "group_concat",
-    "setops_users",
-    "distinct_values",
-    "json_props",
-    "sessionize",
-    "latest_event_per_user",
-    "conditional_first",
-    "windowed_event_counts",
     # rotated r9 to make room for the q13/q15/q17 + stream-parity
     # additions: all multi-round green (r6+r8 or r1-r8) with no churn
     # since their last gate row
@@ -6106,6 +6099,19 @@ _GATE_TAIL = [
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
+    # rotated r11 (second batch, to make room for the staleness
+    # rotation above): all green r9+r10 under unchanged plans
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_late_priority",
+    "q16_supplier_cnt",
+    "q20_heavy_shippers",
+    "decontaminate_bloom",
+    "converters_roundtrip",
+    "grouping_sets_counts",
+    "quality_filter",
+    "dedup_paragraph",
 ]
 
 
