@@ -2910,7 +2910,9 @@ def _ivf_oracle_sql(nlist: int = 16, nprobe: int = 6, dim: int = 64) -> str:
 """
 
 
-def _semdedup_oracle_sql(nlist: int = 16, dim: int = 64) -> str:
+def _semdedup_oracle_sql(
+    nlist: int = 16, dim: int = 64, planted_shift: int = 100000
+) -> str:
     """SemDeDup as DuckDB SQL: the corpus is embeddings UNION 50
     planted near-identical copies (the dedup_embedding construction);
     centroid training re-uses the _ivf_oracle_sql recipe (lowest-id
@@ -2923,7 +2925,7 @@ def _semdedup_oracle_sql(nlist: int = 16, dim: int = 64) -> str:
     WITH RECURSIVE emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       UNION ALL
-      SELECT vec_id + 100000,
+      SELECT vec_id + {planted_shift},
              list_concat([CAST(embedding[1] AS DOUBLE) + 0.01],
                          CAST(embedding[2:] AS DOUBLE[]))
       FROM embeddings WHERE vec_id < 50
@@ -3012,22 +3014,43 @@ def _semdedup_oracle_sql(nlist: int = 16, dim: int = 64) -> str:
     "RECURSIVE min-label propagation.",
 )
 def dedup_semantic(spark, sf_dir):
-    from slurm2sql_spark.operators.similarity import semdedup
+    return semdedup_spec(nlist=16).spark(spark, sf_dir)
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    planted = emb.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
-            F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
-        ).alias("embedding"),
-    )
-    corpus = emb.unionByName(planted)
-    return semdedup(
-        corpus, "vec_id", "embedding",
-        nlist=16, iters=1, threshold=0.95, quantize=10000,
+
+def semdedup_spec(nlist: int, planted_shift: int = 100000) -> QuerySpec:
+    """Parameterized (spark, oracle) pair for the SemDeDup entry.
+    ``nlist ~ N/cell_target`` is the paper's production scale knob —
+    the gate pins nlist=16 for oracle determinism, and
+    ``tools/bench_scaling.py --x100`` measures the 100x corpus through
+    THIS builder at nlist=1600 (constant cell size, so the within-cell
+    pair cost stays bounded) with a planted-id shift clear of the
+    grown vec_id range."""
+
+    def fn(spark, sf_dir):
+        from slurm2sql_spark.operators.similarity import semdedup
+
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        planted = emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + F.lit(int(planted_shift))).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("embedding", 1) + F.lit(0.01)),
+                F.slice(F.col("embedding"), 2, F.size("embedding") - 1),
+            ).alias("embedding"),
+        )
+        corpus = emb.unionByName(planted)
+        return semdedup(
+            corpus, "vec_id", "embedding",
+            nlist=nlist, iters=1, threshold=0.95, quantize=10000,
+        )
+
+    return QuerySpec(
+        spark=fn,
+        oracle=_semdedup_oracle_sql(
+            nlist=nlist, planted_shift=planted_shift
+        ),
     )
 
 

@@ -181,10 +181,17 @@ X100_QUERIES = [
     "q10_returned_items",
     "q18_large_orders",
     # r10: perplexity bucketing at 100x (m-bounded bin shuffles — the
-    # dsir_selection scale shape); the exact-substring family follows
-    # dedup_winnow's precedent (1x/10x only: the oracle's in-SQL
-    # winnow recompute is the same cost class)
+    # dsir_selection scale shape)
     "lm_perplexity_buckets",
+    # r11 (VERDICT r10 #6): 100x rows for the r10 oracle entries that
+    # lacked them. The exact-substring pair is dual-measured (linear
+    # oracles — the in-SQL winnow recompute costs the same class as
+    # the engine kernel); their oracles return per-doc rows/full text,
+    # so both wrap in the engine-only aggregate. dedup_semantic is
+    # dual-measured through the nlist-scaled spec (see main()).
+    "dedup_exact_substring",
+    "scrub_exact_substrings",
+    "dedup_semantic",
 ]
 X100_DUCK_SKIP: set[str] = set()
 # r9 (VERDICT r8 #5): sacct_eff's oracle SELECTs every per-job row, so
@@ -193,7 +200,15 @@ X100_DUCK_SKIP: set[str] = set()
 # region is engine-only (forces full evaluation of every output column,
 # returns one row). The Spark side is symmetric already: noop-sink
 # writes materialize every row without driver transfer.
-X100_DUCK_AGG_WRAP = {"sacct_eff"}
+X100_DUCK_AGG_WRAP = {
+    "sacct_eff",
+    # r11: per-doc span stats (~500k rows) and full scrubbed text
+    # (~corpus-sized bytes) — both would measure fetchall, not the
+    # engine, at 100x
+    "dedup_exact_substring",
+    "scrub_exact_substrings",
+    "dedup_semantic",
+}
 _AGG_WRAP_SQL = "SELECT count(*) AS n, sum(hash(t)) AS h FROM ({sql}) t"
 # r8 (VERDICT #4): prove subquadratic LSH growth at 100x. Spark-only —
 # the minhash DuckDB oracle is a deliberately all-pairs-quadratic
@@ -460,6 +475,52 @@ def _build_x100_docs(spark) -> None:
         fh.write("ok\n")
 
 
+def _build_x100_embeddings(spark) -> None:
+    """embeddings at 100x: vec_id shift + per-replica random SIGN
+    vector (orthogonal reflection — the exact x10 methodology:
+    intra-replica cosines preserved, cross-replica cosines collapse
+    to noise; replica 0 is the identity so the planted/query id
+    ranges stay fixed). Own marker: shipped r11, backfills existing
+    100x dirs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(DST100, "_BUILT_EMB")
+    if os.path.exists(marker) and "--rebuild" not in sys.argv:
+        return
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    vshift = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    vec_type = emb.schema["embedding"].dataType
+    rng = np.random.default_rng(42)
+    sign_rows = []
+    for i in range(K100):
+        sign_rows.append(
+            [1.0] * dim if i == 0
+            else (rng.integers(0, 2, dim) * 2.0 - 1.0).tolist()
+        )
+    signs = F.array(
+        *[F.array(*[F.lit(float(s)) for s in row]) for row in sign_rows]
+    )
+    (
+        emb.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(K100 - 1)))
+        )
+        .withColumn("_s", F.element_at(signs, F.col("_r") + 1))
+        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * F.lit(vshift))
+        .withColumn(
+            "embedding",
+            F.zip_with("embedding", "_s", lambda x, s: x * s).cast(vec_type),
+        )
+        .drop("_r", "_s")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{DST100}/embeddings.parquet")
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+
+
 DST100_LSH = os.environ.get(
     "SPARK_GRAFT_SCALE_DST100_LSH", "/tmp/spark_graft_x100_lshdocs"
 )
@@ -600,6 +661,7 @@ def main() -> None:
 
     if "--x100" in sys.argv:
         build_x100_dir(spark)
+        _build_x100_embeddings(spark)
         x100_names = X100_QUERIES + X100_SPARK_ONLY
         if "--only" in sys.argv:
             only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
@@ -614,10 +676,27 @@ def main() -> None:
             if n in x100_names and n not in X100_DUCK_SKIP
         ]
         spark100_names = list(x100_names)
+        # dedup_semantic's gate entry pins nlist=16 for oracle
+        # determinism; at 100x that fixed nlist makes within-cell pair
+        # cost quadratic in corpus size (N^2 / nlist) on BOTH engines
+        # — hours, and not the paper's posture. Measure through the
+        # production knob instead: nlist ~ N/cell_target (16 -> 1600,
+        # constant cell size), planted ids shifted clear of the grown
+        # vec_id range. Recorded as nlist_100x on the row.
+        SEMDEDUP_NLIST_100X = 16 * K100
+        Q100 = dict(QUERIES)
+        if "dedup_semantic" in x100_names:
+            from slurm2sql_spark.catalog import semdedup_spec
+
+            Q100["dedup_semantic"] = semdedup_spec(
+                nlist=SEMDEDUP_NLIST_100X, planted_shift=10_000_000
+            )
+        # warmup on the DEFAULT specs (nlist=1600 > sf0.01's corpus
+        # would starve the seed LIMIT; JIT warmth carries either way)
         time_spark(QUERIES, spark, spark100_names, "/root/testdata/sf0.01", passes=1)
-        s100, s100_med = time_spark(QUERIES, spark, spark100_names, DST100, passes=3)
+        s100, s100_med = time_spark(Q100, spark, spark100_names, DST100, passes=3)
         d100, d100_med = time_duck(
-            QUERIES, duck100_names, DST100, passes=3,
+            Q100, duck100_names, DST100, passes=3,
             agg_wrap=X100_DUCK_AGG_WRAP,
         )
         # guarded merge: a missing/renamed row or absent SCALING.json
@@ -631,6 +710,10 @@ def main() -> None:
         for n in spark100_names:
             row = out["queries"].setdefault(n, {})
             row.update(spark_100x=s100[n], spark_100x_med=s100_med[n])
+            if n == "dedup_semantic":
+                # measured through the production-scaled spec, both
+                # engines — NOT the gate's fixed nlist=16 (see above)
+                row["nlist_100x"] = SEMDEDUP_NLIST_100X
             if n in d100:
                 row.update(
                     duck_100x=d100[n],
