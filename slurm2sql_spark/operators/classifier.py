@@ -135,18 +135,30 @@ def hashed_classifier_fit(
                 - F.col("_y")
             ).alias("_r"),
         )
+        # ONE aggregation + ONE m-row collect per epoch: the bias
+        # gradient rides as pseudo-bin -1 with x=1 (sum(1*resid)/N is
+        # exactly mean residual), instead of a second driver job
+        base = feat.select(id_col, "b", "x").unionByName(
+            resid.select(
+                F.col(id_col),
+                F.lit(-1).alias("b"),
+                F.lit(1.0).alias("x"),
+            )
+        )
         grad_rows = (
-            feat.join(resid, id_col)
+            base.join(resid, id_col)
             .groupBy("b")
             .agg((F.sum(F.col("x") * F.col("_r")) / F.lit(n_docs)).alias("g"))
             .collect()
         )
-        gb = resid.agg(F.avg("_r").alias("g")).collect()[0]["g"]
         for row in grad_rows:
-            w[row["b"]] = _q(
-                w.get(row["b"], 0.0) - lr * row["g"], quantize
-            )
-        bias = _q(bias - lr * gb, quantize)
+            if row["b"] == -1:
+                # pseudo-bin: sum(resid)/N == avg(resid)
+                bias = _q(bias - lr * row["g"], quantize)
+            else:
+                w[row["b"]] = _q(
+                    w.get(row["b"], 0.0) - lr * row["g"], quantize
+                )
     return w, bias
 
 

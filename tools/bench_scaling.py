@@ -101,6 +101,16 @@ DUCK_QUERIES = [
     "dedup_exact_substring",
     "scrub_exact_substrings",
     "lm_perplexity_buckets",
+    # r11 (new operator families land with dual-measured scaling rows;
+    # all linear oracles: template ground truth, chained-CTE epochs,
+    # chained-CTE merge rounds, window arithmetic). text_transforms is
+    # deliberately NOT here: its gate entry is a FIXED-SIZE workload
+    # (doc_id < 200 on every corpus), so scale ratios don't apply.
+    "html_extract",
+    "html_clean",
+    "classifier_score",
+    "bpe_train",
+    "shard_assign",
     # r10: SemDeDup — pair cost bounded by the largest cell in both
     # engines (within-cell joins only), components close in
     # group-diameter rounds / one recursive CTE
@@ -183,6 +193,10 @@ X100_QUERIES = [
     # r10: perplexity bucketing at 100x (m-bounded bin shuffles — the
     # dsir_selection scale shape)
     "lm_perplexity_buckets",
+    # r11: the two floor-bound new micros (gap 9.5x / 1.4x at 10x on
+    # sub-second walls) get the standard 100x cross-documentation
+    "shard_assign",
+    "html_extract",
     # r11 (VERDICT r10 #6): 100x rows for the r10 oracle entries that
     # lacked them. The exact-substring pair is dual-measured (linear
     # oracles — the in-SQL winnow recompute costs the same class as
