@@ -4399,6 +4399,101 @@ def shard_assign_q(spark, sf_dir):
     )
 
 
+@register(
+    "export_pipeline",
+    rf"""
+    WITH t AS (
+      {_text_base_sql("doc_id, source")}
+    ), s AS (
+      SELECT doc_id, source,
+        {_GOPHER_SIGNALS_SQL}
+      FROM t
+    ),
+    kept AS (
+      SELECT doc_id, source, n_words FROM s
+      WHERE {_GOPHER_KEEP_SQL}
+    ),
+    packed AS (
+      SELECT source, doc_id, n_words,
+             coalesce(sum(n_words) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM kept
+    ),
+    bins AS (
+      SELECT source, CAST(floor(off / 2048.0) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS bin_tokens
+      FROM packed GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT source, bin, n_docs, bin_tokens,
+             source || ':' || bin AS bk,
+             ('0x' || substr(md5(source || ':' || bin || 'ex1'),
+              1, 8))::BIGINT % 4 AS grp
+      FROM bins
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY grp
+                 ORDER BY bin_tokens DESC, bk) - 1 AS rn
+      FROM a
+    )
+    SELECT source, bin, n_docs, bin_tokens,
+           CAST(CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8
+                     ELSE 7 - rn % 8 END AS BIGINT) AS file_shard
+    FROM rk
+    """,
+    doc="End-to-end training-data EXPORT pipeline as ONE declarative "
+    "plan (the export half of the story L47 tells for curation): "
+    "Gopher quality filter (L41, keep decision inline) -> sequence "
+    "packing into 2048-token bins per source shard (L20, one running-"
+    "sum window) -> bin rollup -> deterministic serpentine assignment "
+    "of bins to 8 size-balanced output files (L60). Catalyst fuses "
+    "the filter into the scan and pipelines the two windows; the "
+    "only shuffles are the source-keyed packing window, the bin "
+    "rollup, and the group-striped ranking window — all bounded "
+    "keys. Output: (source, bin, n_docs, bin_tokens, file_shard). "
+    "The oracle mirrors every stage (shared Gopher fragments, the "
+    "pack_sequences window arithmetic, the shard_assign serpentine "
+    "CASE) so the composition is value-hash gated end to end.",
+)
+def export_pipeline_q(spark, sf_dir):
+    from slurm2sql_spark.operators.packing import pack_sequences
+    from slurm2sql_spark.operators.sharding import shard_assign
+    from slurm2sql_spark.operators.textstats import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    qf = quality_filter(
+        docs, "doc_id", "text",
+        keep_cols=("source",), min_words=30, min_stop_hits=1,
+    )
+    kept = qf.filter(F.col("keep")).select("doc_id", "source", "n_words")
+    packed = pack_sequences(
+        kept, "doc_id", "n_words", budget=2048, shard_col="source"
+    )
+    bins = (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .withColumn("bk", F.concat_ws(":", "shard", "bin"))
+    )
+    bins = bins.withColumnRenamed("shard", "src")
+    assign = shard_assign(
+        bins, "bk", "bin_tokens", n_shards=8, n_groups=4, salt="ex1",
+        keep_cols=("src", "bin", "n_docs"),
+    )
+    return assign.select(
+        F.col("src").alias("source"),
+        "bin",
+        "n_docs",
+        F.col("size").alias("bin_tokens"),
+        F.col("shard").alias("file_shard"),
+    )
+
+
 def _bpe_oracle_sql(k: int) -> str:
     """DuckDB replay of ``merges=k`` BPE training rounds as chained
     CTEs (generated — the L21 recursive-CTE precedent for oracles the
@@ -6011,6 +6106,7 @@ _GATE_PRIORITY = [
     "classifier_score",
     "bpe_train",
     "shard_assign",
+    "export_pipeline",
     # r11 window-staleness rotation (VERDICT r10 #8): the 11 tail
     # entries last driver-checked in r7 come back into the window for
     # a fresh CORRECTNESS row (all judge-green at sf0.01 in r10, so
@@ -6139,8 +6235,10 @@ _GATE_TAIL = [
 
 
 def _apply_gate_order() -> None:
-    front = [n for n in _GATE_PRIORITY if n in QUERIES]
-    tail = [n for n in _GATE_TAIL if n in QUERIES]
+    # dict.fromkeys: a name listed twice (e.g. both the new-this-round
+    # and re-gate stanzas) must not double-count against the window
+    front = list(dict.fromkeys(n for n in _GATE_PRIORITY if n in QUERIES))
+    tail = list(dict.fromkeys(n for n in _GATE_TAIL if n in QUERIES))
     mid = [n for n in QUERIES if n not in set(front) | set(tail)]
     ordered = front + mid + tail
     if len(ordered) - len(tail) > _GATE_WINDOW:

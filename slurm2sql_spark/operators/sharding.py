@@ -48,11 +48,15 @@ def shard_assign(
     n_shards: int,
     n_groups: int = 64,
     salt: str = "",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Add ``(grp, shard)`` to every row (plus ``id``/``size``
     passthrough): the deterministic serpentine assignment described in
     the module doc. NULL sizes sort as 0 (smallest — they cannot
-    unbalance anything)."""
+    unbalance anything). ``keep_cols`` are carried through onto every
+    output row — same-pass pass-through, so consumers (export
+    compositions, the writer) never join back into a recomputed
+    window subtree."""
     if n_shards < 1 or n_groups < 1:
         raise ValueError("n_shards and n_groups must be >= 1")
     from .sampling import hash_bucket
@@ -62,6 +66,7 @@ def shard_assign(
         F.col(id_col).alias("id"),
         F.coalesce(F.col(size_col).cast("long"), F.lit(0)).alias("size"),
         grp,
+        *[F.col(c) for c in keep_cols],
     )
     w = Window.partitionBy("grp").orderBy(
         F.col("size").desc(), F.col("id").asc_nulls_last()
@@ -73,7 +78,8 @@ def shard_assign(
         F.lit(int(n_shards) - 1) - pos
     )
     return base.select(
-        "id", "size", "grp", shard.cast("long").alias("shard")
+        "id", "size", "grp", shard.cast("long").alias("shard"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
