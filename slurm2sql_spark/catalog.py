@@ -4494,7 +4494,7 @@ def export_pipeline_q(spark, sf_dir):
     )
 
 
-def _bpe_oracle_sql(k: int) -> str:
+def _bpe_oracle_sql(k: int, final: str | None = None) -> str:
     """DuckDB replay of ``merges=k`` BPE training rounds as chained
     CTEs (generated — the L21 recursive-CTE precedent for oracles the
     builder composes programmatically). Per round: pair counts via a
@@ -4517,14 +4517,14 @@ def _bpe_oracle_sql(k: int) -> str:
     b{r} AS (SELECT l, r2, cnt FROM p{r}
              ORDER BY cnt DESC, l, r2 LIMIT 1),
     s{r} AS (
-      SELECT c, list_filter(
+      SELECT word, c, list_filter(
         list_transform(range(1, len(syms)+1), i ->
           CASE WHEN i < len(syms) AND sel[i] THEN syms[i] || syms[i+1]
                WHEN i > 1 AND sel[i-1] THEN NULL
                ELSE syms[i] END),
         x -> x IS NOT NULL) AS syms
       FROM (
-        SELECT c, syms,
+        SELECT word, c, syms,
           list_transform(range(1, len(syms)), i ->
             syms[i] = b.l AND syms[i+1] = b.r2 AND
             ((i - 1 - coalesce(list_max(list_filter(range(1, i), j ->
@@ -4545,11 +4545,11 @@ def _bpe_oracle_sql(k: int) -> str:
         FROM documents) WHERE g <> '' GROUP BY 1
     ),
     s0 AS (
-      SELECT c, list_append(list_transform(range(1, length(word)+1),
+      SELECT word, c, list_append(list_transform(range(1, length(word)+1),
                  i -> substr(word, i, 1)), '</w>') AS syms
       FROM w
     ),{",".join(rounds)}
-{union}
+{final if final is not None else union}
     """
 
 
@@ -4574,6 +4574,43 @@ def bpe_train_q(spark, sf_dir):
     from slurm2sql_spark.operators.bpe import bpe_train
 
     return bpe_train(_t(spark, sf_dir, "documents"), "text", merges=8)
+
+
+@register(
+    "bpe_token_counts",
+    _bpe_oracle_sql(
+        8,
+        final="""    , docw AS (
+      SELECT doc_id, g AS word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                                         '[ \\t\\n\\r\\f]+')) AS g
+        FROM documents) WHERE g <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(s8.syms)) AS BIGINT) AS n_bpe_tokens
+    FROM docw JOIN s8 USING (word) GROUP BY 1""",
+    ),
+    doc="Corpus-scale tokenization under the LEARNED vocabulary "
+    "(operators/bpe.py:bpe_token_counts): train 8 merges in-entry, "
+    "then count every document's tokens under them via the "
+    "vocabulary-join shape — the k nested merge expressions run once "
+    "over the DISTINCT word set, the (word -> tokens) map broadcasts "
+    "onto the per-(doc, word) grain, per-doc totals are one map-side-"
+    "combined sum. The corpus never tokenizes per row; all merge work "
+    "is vocabulary-sized. Completes the L59 loop (train -> apply -> "
+    "budget) that feeds L20 packing. Oracle: the same generated "
+    "8-round CTE chain, carrying each word to its final symbol "
+    "sequence, joined back to the per-doc word stream.",
+)
+def bpe_token_counts_q(spark, sf_dir):
+    from slurm2sql_spark.operators.bpe import bpe_token_counts, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    table = bpe_train(docs, "text", merges=8).orderBy("merge_round").collect()
+    merges = [(r["lhs"], r["rhs"]) for r in table]
+    return bpe_token_counts(docs, "doc_id", "text", merges)
 
 
 @register(
@@ -6107,6 +6144,7 @@ _GATE_PRIORITY = [
     "bpe_train",
     "shard_assign",
     "export_pipeline",
+    "bpe_token_counts",
     # r11 window-staleness rotation (VERDICT r10 #8): the 11 tail
     # entries last driver-checked in r7 come back into the window for
     # a fresh CORRECTNESS row (all judge-green at sf0.01 in r10, so
@@ -6231,6 +6269,10 @@ _GATE_TAIL = [
     "grouping_sets_counts",
     "quality_filter",
     "dedup_paragraph",
+    # rotated r11 (third batch, for export_pipeline/bpe_token_counts):
+    # green r1-r10 with no churn since r6; SCALING rows at 10x
+    "moving_avg_events",
+    "unpivot_source_stats",
 ]
 
 

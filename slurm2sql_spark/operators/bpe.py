@@ -178,6 +178,56 @@ def bpe_train(
     )
 
 
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    eow: str | None = EOW,
+) -> DataFrame:
+    """Per-document token counts under a LEARNED merge table, at
+    corpus scale: ``(id, n_words, n_bpe_tokens)``.
+
+    The vocabulary-join shape — never per-row tokenization of the
+    corpus: the k nested merge expressions run once over the DISTINCT
+    word set (V rows), the resulting ``(word, tokens-per-word)`` map
+    BROADCASTS back onto the per-(doc, word) count grain, and per-doc
+    totals are one map-side-combined sum. At 100 TB the corpus pays
+    one tokenize-free scan (word split + count grain); all merge work
+    is vocabulary-sized. Replaces the fixed-regex estimate of
+    ``textstats.bpe_token_count`` (L12) with the trained vocabulary's
+    true segmentation; feeds ``packing.pack_sequences`` budgets.
+
+    Docs with zero words produce no row (consistent with the word
+    grain)."""
+    from .textstats import WS_RE2
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                WS_RE2,
+            )
+        ).alias("_w"),
+    ).filter(F.col("_w") != "")
+    grain = words.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_m"))
+    vocab = grain.select("_w").distinct()
+    vt = vocab.select(
+        "_w", F.size(bpe_apply(F.col("_w"), merges, eow)).alias("_nt")
+    )
+    return (
+        grain.join(F.broadcast(vt), "_w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_m").cast("long").alias("n_words"),
+            F.sum(F.col("_m") * F.col("_nt")).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+
+
 def bpe_apply(
     word: Column, merges: list[tuple[str, str]], eow: str | None = EOW
 ) -> Column:

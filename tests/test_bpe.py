@@ -97,6 +97,31 @@ def test_training_partitioning_independent(spark):
     assert sorted(a) == sorted(b) and len(a) == 5
 
 
+def test_bpe_token_counts_matches_reference(spark):
+    from slurm2sql_spark.operators.bpe import bpe_token_counts, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, CORPUS), (2, "low newest"), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    table = bpe_train(docs, "text", merges=6).orderBy("merge_round").collect()
+    merges = [(r["lhs"], r["rhs"]) for r in table]
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(docs, "doc_id", "text", merges).collect()
+    }
+    # reference: train on the SAME corpus word counts, then count
+    counts = Counter(CORPUS.split())
+    counts.update("low newest".split())
+    _, ref_vocab = _ref_bpe(counts, 6)
+    per_word = {"".join(s).replace("</w>", ""): len(s) for s in ref_vocab}
+    want1 = sum(per_word[w] for w in CORPUS.split())
+    assert out[1] == (len(CORPUS.split()), want1)
+    assert out[2] == (2, per_word["low"] + per_word["newest"])
+    # empty/NULL docs yield no row (no words)
+    assert 3 not in out and 4 not in out
+
+
 def test_early_stop_on_exhausted_pairs(spark):
     from slurm2sql_spark.operators.bpe import bpe_train
 
