@@ -4248,9 +4248,11 @@ def dsir_selection(spark, sf_dir):
     )
 
 
-@register(
-    "classifier_score",
-    r"""
+#: One oracle, two gate entries (the quality_filter precedent): the
+#: batch classifier_score row and classifier_stream_parity (the
+#: stateless inline-scoring streaming twin must land the exact batch
+#: fit + scores, so batch SQL IS its oracle).
+_CLASSIFIER_ORACLE = r"""
     WITH tok AS (
       SELECT doc_id, source,
              string_split_regex(trim(lower(coalesce(text, ''))),
@@ -4312,7 +4314,12 @@ def dsir_selection(spark, sf_dir):
            floor((1.0 / (1.0 + exp(-(sc.s + bi2.bias)))) * 1000000
                  + 0.001) / 1000000 >= 0.5 AS keep
     FROM sc JOIN lab l USING (doc_id), bi2
-    """,
+    """
+
+
+@register(
+    "classifier_score",
+    _CLASSIFIER_ORACLE,
     doc="Hashed linear quality-classifier (operators/classifier.py, "
     "VERDICT r10 #2 — the discriminative third scoring family next "
     "to rule filters and LM perplexity, the CCNet/fastText posture): "
@@ -4611,6 +4618,62 @@ def bpe_token_counts_q(spark, sf_dir):
     table = bpe_train(docs, "text", merges=8).orderBy("merge_round").collect()
     merges = [(r["lhs"], r["rhs"]) for r in table]
     return bpe_token_counts(docs, "doc_id", "text", merges)
+
+
+@register(
+    "classifier_stream_parity",
+    _CLASSIFIER_ORACLE,
+    doc="Driver-gated streaming row for the r11 classifier family "
+    "(the quality_stream_parity protocol): the model trains OFFLINE "
+    "on the batch corpus (identical fit to classifier_score — same "
+    "m/epochs/lr/salt), then the documents table replays as a file "
+    "stream through streaming/stream.py:classifier_stream — the "
+    "ZERO-SHUFFLE inline scorer (weight map as literals, bucket "
+    "lookups + length normalization + sigmoid in ONE stateless "
+    "scan-stage projection, append mode, no state store) — into a "
+    "parquet sink; the landed scores must hash-match the batch "
+    "chained-CTE oracle row-for-row. This is the deployment posture: "
+    "train on a curated snapshot, filter the live crawl at full "
+    "ingest parallelism.",
+)
+def classifier_stream_parity(spark, sf_dir):
+    import os
+
+    from slurm2sql_spark.operators.classifier import hashed_classifier_fit
+    from slurm2sql_spark.streaming.stream import classifier_stream
+
+    batch = _t(spark, sf_dir, "documents")
+    labeled = batch.select(
+        "doc_id",
+        "text",
+        (F.col("source") == "src0").cast("double").alias("label"),
+    )
+    w, b = hashed_classifier_fit(
+        labeled, "doc_id", "text", "label",
+        m=256, epochs=2, lr=5.0, salt="c1",
+    )
+    work = _parity_workdir("classifier", sf_dir)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        f"{sf_dir}/documents.parquet", f"{src_dir}/documents.parquet"
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    out = classifier_stream(stream, w, b, m=256, salt="c1")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{work}/data")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{work}/data")
+        .join(labeled.select("doc_id", "label"), "doc_id")
+        .select("doc_id", "label", "score", "keep")
+    )
 
 
 @register(
@@ -6145,6 +6208,7 @@ _GATE_PRIORITY = [
     "shard_assign",
     "export_pipeline",
     "bpe_token_counts",
+    "classifier_stream_parity",
     # r11 window-staleness rotation (VERDICT r10 #8): the 11 tail
     # entries last driver-checked in r7 come back into the window for
     # a fresh CORRECTNESS row (all judge-green at sf0.01 in r10, so
@@ -6269,10 +6333,11 @@ _GATE_TAIL = [
     "grouping_sets_counts",
     "quality_filter",
     "dedup_paragraph",
-    # rotated r11 (third batch, for export_pipeline/bpe_token_counts):
-    # green r1-r10 with no churn since r6; SCALING rows at 10x
+    # rotated r11 (third batch, for export_pipeline/bpe_token_counts/
+    # classifier_stream_parity): green r1-r10 with no churn since r6
     "moving_avg_events",
     "unpivot_source_stats",
+    "source_lang_mix",
 ]
 
 

@@ -162,6 +162,82 @@ def hashed_classifier_fit(
     return w, bias
 
 
+def hashed_classifier_score_inline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[int, float],
+    bias: float,
+    m: int = 1024,
+    salt: str = "",
+    bigrams: bool = True,
+    quantize: int = 1_000_000,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ZERO-SHUFFLE scoring twin of :func:`hashed_classifier_score`:
+    the weight table inlines as a map literal and the whole score —
+    gram explode-free bucket lookup, length normalization, sigmoid,
+    quantize — folds into ONE scan-stage projection (the L41
+    ``quality_filter`` posture). Identical output to the join form
+    (same featurization, same quantization; summation-order FP noise
+    dies at the 1e-6 floor), pinned by pytest.
+
+    This is the deployment shape: a trained m-entry model is a few KB
+    of literals, so corpus filtering at 100 TB is a predicate-free
+    parallel scan with NO exchange — and it is stream-safe (stateless
+    projection), which the join/aggregation form is not;
+    ``streaming.stream.classifier_stream`` wraps it for micro-batch
+    scoring. Use the join form when m is too large to inline
+    (>> 10^4 bins)."""
+    from .sampling import hash_bucket
+    from .textstats import WS_RE2
+
+    t = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_RE2
+    )
+    grams = t
+    if bigrams:
+        n = F.size(t)
+        bi = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(t, 1, n - 1),
+                F.slice(t, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(t, bi)
+    if weights:
+        wmap = F.create_map(
+            *[
+                F.lit(x)
+                for kv in sorted(weights.items())
+                for x in (int(kv[0]), float(kv[1]))
+            ]
+        )
+        lookup = lambda g: F.coalesce(  # noqa: E731
+            F.element_at(
+                wmap, (hash_bucket(g, salt) % F.lit(int(m))).cast("int")
+            ),
+            F.lit(0.0),
+        )
+        ssum = F.aggregate(
+            grams, F.lit(0.0), lambda acc, g: acc + lookup(g)
+        )
+    else:
+        ssum = F.lit(0.0)
+    s = ssum / F.size(grams).cast("double") + F.lit(float(bias))
+    q = F.lit(float(quantize))
+    score = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-s))) * q + F.lit(1e-3)
+    ) / q
+    return df.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
 def hashed_classifier_score(
     df: DataFrame,
     id_col: str,

@@ -355,6 +355,36 @@ def quality_stream(
     return quality_filter(doc_stream, id_col, text_col, **thresholds)
 
 
+def classifier_stream(
+    doc_stream: DataFrame,
+    weights: dict[int, float],
+    bias: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Streaming quality-classifier scoring: a model trained offline
+    (``classifier.hashed_classifier_fit``) applied to documents as
+    they land — the deployment posture of the CCNet/fastText family
+    (train on a curated snapshot, filter the live crawl).
+
+    STATELESS like :func:`quality_stream`: the inline scorer folds the
+    m-entry weight map, bucket lookups, length normalization and
+    sigmoid into one scan-stage projection (no join, no aggregation,
+    no state store), so it runs in **append** mode with per-row
+    latency and zero shuffle. A document scores identically on the
+    stream and in the batch sweep — the parity gate entry pins that
+    hash-for-hash. Extra kwargs forward to the scorer (m, salt,
+    threshold, ...)."""
+    from slurm2sql_spark.operators.classifier import (
+        hashed_classifier_score_inline,
+    )
+
+    return hashed_classifier_score_inline(
+        doc_stream, id_col, text_col, weights, bias, **kwargs
+    )
+
+
 def scrub_stream(
     doc_stream: DataFrame,
     blocked_hashes: list[str],

@@ -89,6 +89,44 @@ def test_score_with_external_weights_and_threshold(spark):
     assert out[2]["score"] == 0.5
 
 
+def test_inline_scorer_matches_join_form_and_is_exchange_free(spark):
+    """The map-literal inline scorer must produce the IDENTICAL
+    quantized scores as the broadcast-join form (same featurization,
+    FP noise dies at the 1e-6 floor) while planning ZERO exchanges —
+    the stream-safe deployment shape."""
+    from slurm2sql_spark.operators.classifier import (
+        hashed_classifier_fit,
+        hashed_classifier_score,
+        hashed_classifier_score_inline,
+    )
+
+    docs = _planted(spark)
+    w, b = hashed_classifier_fit(
+        docs, "doc_id", "text", "label", m=256, epochs=2, lr=5.0, salt="t"
+    )
+    join_rows = sorted(
+        map(
+            tuple,
+            hashed_classifier_score(
+                docs, "doc_id", "text", w, b, m=256, salt="t"
+            ).collect(),
+        )
+    )
+    inline = hashed_classifier_score_inline(
+        docs, "doc_id", "text", w, b, m=256, salt="t"
+    )
+    assert sorted(map(tuple, inline.collect())) == join_rows
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = inline._jdf.queryExecution().explainString(jmode)
+    assert "Exchange" not in plan
+    # empty-weights degenerate path agrees too
+    a = hashed_classifier_score(docs, "doc_id", "text", {}, 0.25, m=64)
+    c = hashed_classifier_score_inline(docs, "doc_id", "text", {}, 0.25, m=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, c.collect()))
+
+
 def test_epochs_validation(spark):
     import pytest
 
