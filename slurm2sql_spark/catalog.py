@@ -3457,10 +3457,13 @@ def html_clean_q(spark, sf_dir):
 
 
 def _parity_workdir(prefix: str, sf_dir: str) -> str:
-    """Deterministic per-(entry, sf_dir) scratch dir for the stream
-    parity gates, wiped and recreated on every invocation — repeated
-    bench/gate runs REUSE one path instead of leaking a fresh mkdtemp
-    pair per run (ADVICE r10)."""
+    """Deterministic per-(entry, sf_dir, PROCESS) scratch dir for the
+    stream parity gates, wiped and recreated on every invocation —
+    repeated bench/gate runs in one process REUSE one path instead of
+    leaking a fresh mkdtemp pair per run (ADVICE r10). Keyed by pid so
+    a concurrent second process (pytest vs the driver gate) cannot
+    rmtree a live run's checkpoint/sink out from under it; the leak is
+    bounded by process count, not invocation count."""
     import hashlib
     import os
     import shutil
@@ -3469,7 +3472,7 @@ def _parity_workdir(prefix: str, sf_dir: str) -> str:
     d = os.path.join(
         tempfile.gettempdir(),
         f"s2s_parity_{prefix}_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}",
     )
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
@@ -3579,7 +3582,14 @@ def transitions_stream_parity(spark, sf_dir):
         if lo is not None:
             part = part.filter(F.col("_tsu") >= F.lit(lo))
         if hi is not None:
-            part = part.filter(F.col("_tsu") < F.lit(hi))
+            # NULL ts rides in file 0 (a null-rejecting range filter
+            # would silently drop such rows from the replay while the
+            # batch oracle keeps them — r11 review; the corpus has no
+            # NULL ts today, this is schema-robustness)
+            cond = F.col("_tsu") < F.lit(hi)
+            if lo is None:
+                cond = cond | F.col("_tsu").isNull()
+            part = part.filter(cond)
         stage = os.path.join(work, f"stage{i}")
         part.drop("_tsu").coalesce(1).write.mode("overwrite").parquet(stage)
         [pf] = glob.glob(os.path.join(stage, "part-*.parquet"))
@@ -4537,7 +4547,13 @@ def _bpe_oracle_sql(k: int, final: str | None = None) -> str:
             ((i - 1 - coalesce(list_max(list_filter(range(1, i), j ->
                  NOT (syms[j] = b.l AND syms[j+1] = b.r2))), 0)) % 2 = 0)
           ) AS sel
-        FROM {prev}, b{r} b)
+        -- LEFT JOIN ON true, not a comma cross join: when training
+        -- exhausts pairs before round k (empty b) the stage must be an
+        -- IDENTITY pass (NULL sel never selects, CASE keeps syms[i]),
+        -- not wipe the symbol frame — the engine breaks early and a
+        -- consumer joining s{{k}} (bpe_token_counts) would otherwise
+        -- diverge (r11 review)
+        FROM {prev} LEFT JOIN b{r} b ON true)
     )""")
     union = "\n    UNION ALL\n".join(
         f"    SELECT {r} AS merge_round, l AS lhs, r2 AS rhs, "
@@ -5114,7 +5130,12 @@ def _pii_scrub_sql(col: str) -> str:
                 f"list_reduce(list_prepend({out}, "
                 f"list_filter(regexp_extract_all({out}, '{sq}'), "
                 f"{_pii_luhn_lambda_sql()})), "
-                f"(a, b) -> replace(a, b, '{tag}'))"
+                # boundary-guarded, mirroring scrub_pii: an
+                # embedded occurrence inside a longer digit run
+                # must survive (candidates are [0-9 -] only, no
+                # escaping needed)
+                f"(a, b) -> regexp_replace(a, '\\b' || b || '\\b', "
+                f"'{tag}', 'g'))"
             )
         else:
             out = f"regexp_replace({out}, '{sq}', '{tag}', 'g')"

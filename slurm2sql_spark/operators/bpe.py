@@ -150,6 +150,7 @@ def bpe_train(
         )
     )
     rows = []
+    prev = None
     for rnd in range(1, int(merges) + 1):
         pair = F.expr(
             "zip_with(slice(_syms, 1, size(_syms) - 1),"
@@ -164,11 +165,18 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # this collect materialized `cur`, so the frame it was built
+        # FROM is dead — release it now instead of pinning k+1
+        # vocabulary-sized frames for the session (r11 review; only
+        # two frames are ever live)
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not best:
             break
         left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         rows.append((rnd, left, right, left + right, cnt))
-        cur = _persist(
+        prev, cur = cur, _persist(
             cur.select("_c", _merge_pair(F.col("_syms"), left, right).alias("_syms"))
         )
     return spark.createDataFrame(

@@ -37,7 +37,11 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hashed_classifier_fit", "hashed_classifier_score"]
+__all__ = [
+    "hashed_classifier_fit",
+    "hashed_classifier_score",
+    "hashed_classifier_score_inline",
+]
 
 
 def _q(v: float, quantize: int) -> float:
@@ -58,7 +62,10 @@ def _features(
     """Per-(doc, bin) normalized counts ``x = n / t_doc`` (fastText's
     mean-of-feature-vectors input scaling: per-doc features sum to 1,
     so score magnitudes and gradients are document-length-invariant).
-    Docs with zero tokens contribute no rows (and get no score)."""
+    EVERY document has features: an empty/NULL text yields one
+    empty-string unigram (the shared ``gram_array`` contract, matching
+    the DuckDB split twin), so such docs carry that single bin's
+    weight — they are scored, not dropped."""
     from .sampling import _hashed_ngram_occurrences
 
     grain = (
@@ -92,7 +99,8 @@ def hashed_classifier_fit(
     ``1/quantize`` after each update — the cross-engine lockstep that
     lets a SQL oracle replay the fit as chained CTEs. Gradients are
     mean log-loss gradients: ``g_b = sum_d x_db (p_d - y_d) / N``,
-    ``g_bias = mean_d (p_d - y_d)`` over the N docs with >= 1 token.
+    ``g_bias = mean_d (p_d - y_d)`` over all N documents (every doc
+    featurizes — see ``_features``).
     """
     if epochs < 1:
         raise ValueError(f"epochs must be >= 1, got {epochs}")
@@ -188,25 +196,12 @@ def hashed_classifier_score_inline(
     projection), which the join/aggregation form is not;
     ``streaming.stream.classifier_stream`` wraps it for micro-batch
     scoring. Use the join form when m is too large to inline
-    (>> 10^4 bins)."""
-    from .sampling import hash_bucket
-    from .textstats import WS_RE2
+    (>> 10^4 bins). Tokenization is ``sampling.gram_array`` — the
+    SAME expression the join/fit paths explode, so the three scoring
+    paths cannot drift apart."""
+    from .sampling import gram_array, hash_bucket
 
-    t = F.split(
-        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_RE2
-    )
-    grams = t
-    if bigrams:
-        n = F.size(t)
-        bi = F.when(
-            n >= 2,
-            F.zip_with(
-                F.slice(t, 1, n - 1),
-                F.slice(t, 2, n - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        grams = F.concat(t, bi)
+    grams = gram_array(text_col, bigrams)
     if weights:
         wmap = F.create_map(
             *[
@@ -259,8 +254,9 @@ def hashed_classifier_score(
     :func:`hashed_classifier_fit` (or any external fastText-style
     export rehashed into the same m bins). The weight table is <= m
     rows and BROADCASTS; the only corpus-sized shuffle is the per-doc
-    score aggregation (map-side combined). Docs with zero tokens are
-    absent from the output (no features, no score).
+    score aggregation (map-side combined). Every input document is
+    scored — empty/NULL text featurizes as one empty-string unigram
+    (see ``_features``), it is never dropped.
     """
     spark = df.sparkSession
     feat = _features(df, id_col, text_col, m, salt, bigrams)

@@ -200,6 +200,33 @@ def split_assign(
     return df.withColumn("split", expr.otherwise(F.lit(None).cast("string")))
 
 
+def gram_array(text_col: str, bigrams: bool = True) -> Column:
+    """The hashed-featurization GRAM ARRAY as one Column expression:
+    lowercase whitespace unigrams plus adjacent ``w[i] + ' ' + w[i+1]``
+    bigrams. This is the single source of the tokenization every
+    hashed-n-gram consumer shares — DSIR, LM perplexity, and the
+    linear classifier's join AND inline scorers — so their
+    featurizations cannot drift apart (their parity gates depend on
+    bit-identical grams). Note an empty/NULL text yields one
+    empty-string unigram (``split('') = ['']``), matching the DuckDB
+    ``string_split_regex`` twin."""
+    from .textstats import WS_RE2
+
+    t = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_RE2)
+    if not bigrams:
+        return t
+    n = F.size(t)
+    bi = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(t, bi)
+
+
 def _hashed_ngram_occurrences(
     df: DataFrame,
     id_col: str,
@@ -208,9 +235,9 @@ def _hashed_ngram_occurrences(
     salt: str,
     bigrams: bool = True,
 ) -> DataFrame:
-    """One row per (doc, hashed n-gram occurrence): lowercase
-    whitespace unigrams plus adjacent bigrams, md5-bucketed into
-    ``m`` feature bins (DSIR's hashed bag-of-ngrams featurization).
+    """One row per (doc, hashed n-gram occurrence): ``gram_array``
+    md5-bucketed into ``m`` feature bins (DSIR's hashed bag-of-ngrams
+    featurization).
 
     Engine-portable on purpose: the DuckDB twin is
     ``('0x' || substr(md5(gram || salt), 1, 8))::BIGINT % m`` over
@@ -219,22 +246,7 @@ def _hashed_ngram_occurrences(
     explode in the scan stage — no shuffle; the fan-out is bounded by
     2x tokens per doc.
     """
-    from .textstats import WS_RE2
-
-    t = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_RE2)
-    grams = t
-    if bigrams:
-        n = F.size(t)
-        bi = F.when(
-            n >= 2,
-            F.zip_with(
-                F.slice(t, 1, n - 1),
-                F.slice(t, 2, n - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        grams = F.concat(t, bi)
-    g = F.explode(grams).alias("gram")
+    g = F.explode(gram_array(text_col, bigrams)).alias("gram")
     occ = df.select(F.col(id_col), g)
     return occ.select(
         F.col(id_col),

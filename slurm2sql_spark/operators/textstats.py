@@ -635,8 +635,20 @@ def scrub_pii(c: Column) -> Column:
             valid = F.filter(
                 F.regexp_extract_all(out, F.lit(pat), F.lit(0)), luhn_valid
             )
+            # boundary-guarded regexp replace, NOT literal replace: a
+            # candidate like '4111...1111' must not rewrite its
+            # occurrence EMBEDDED in a longer digit run the anchored
+            # extraction never matched (r11 review). Candidates match
+            # [0-9 -]+ only — no regex metacharacters, so the dynamic
+            # pattern needs no escaping.
             out = F.aggregate(
-                valid, out, lambda acc, s: F.replace(acc, s, F.lit(tag))
+                valid,
+                out,
+                lambda acc, s: F.regexp_replace(
+                    acc,
+                    F.concat(F.lit(r"\b"), s, F.lit(r"\b")),
+                    F.lit(tag),
+                ),
             )
         else:
             out = F.regexp_replace(out, pat, tag)

@@ -130,3 +130,42 @@ def test_early_stop_on_exhausted_pairs(spark):
     got = bpe_train(df, "text", merges=5).collect()
     assert len(got) == 1
     assert (got[0]["lhs"], got[0]["rhs"]) == ("a", "</w>")
+
+
+def test_token_counts_oracle_parity_on_exhausted_corpus(spark, tmp_path):
+    """r11 review: the generated oracle's per-round merge stage must be
+    an IDENTITY pass when training exhausts pairs before round k (an
+    empty argmax CTE cross-joined in would wipe the symbol frame and
+    zero the bpe_token_counts join). Both engines on a corpus that
+    dries up after 2 merges, full row compare."""
+    import duckdb
+    import pandas as pd
+
+    from slurm2sql_spark.catalog import QUERIES
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["ab ab ab", "ab b a"],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [8, 6],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    spec = QUERIES["bpe_token_counts"]
+    out = sorted(
+        map(tuple, spec.spark(spark, str(tmp_path)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.sql(spec.oracle).fetchall()))
+    assert out == want
+    # and training really did exhaust early on this corpus
+    from slurm2sql_spark.operators.bpe import bpe_train
+
+    df = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    assert bpe_train(df, "text", merges=8).count() < 8

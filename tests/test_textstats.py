@@ -104,6 +104,10 @@ def test_scrub_pii_redacts_and_counts(spark):
         (9, "bad 4111 1111 1111 1112 fails"),
         (10, "card 5500-0000-0000-0004 ok"),
         (11, "bad 5500-0000-0000-0005 here"),
+        # r11 review: the same digits EMBEDDED in a longer run (no word
+        # boundary -> not a candidate) must survive the fold untouched
+        # while the standalone occurrence is redacted
+        (12, "ref 94111111111111111 card 4111111111111111 end"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     out = {
@@ -133,6 +137,11 @@ def test_scrub_pii_redacts_and_counts(spark):
     # phone shape, but the scrub chain redacts it as a card first
     assert out[10] == ("card [CREDIT_CARD] ok", 0, 0, 0, 0, 1, 1)
     assert out[11] == ("bad [PHONE] here", 0, 0, 0, 0, 0, 1)
+    # the 17-digit reference (n_phone counts it) is NOT mangled by the
+    # redaction of its embedded-lookalike standalone card
+    assert out[12] == (
+        "ref [PHONE] card [CREDIT_CARD] end", 0, 0, 0, 0, 1, 2
+    )
 
 
 def test_chunk_spans_windows(spark):

@@ -110,7 +110,9 @@ DUCK_QUERIES = [
     "html_clean",
     "classifier_score",
     "bpe_train",
+    "bpe_token_counts",
     "shard_assign",
+    "export_pipeline",
     # r10: SemDeDup — pair cost bounded by the largest cell in both
     # engines (within-cell joins only), components close in
     # group-diameter rounds / one recursive CTE
