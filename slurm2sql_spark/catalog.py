@@ -4417,6 +4417,64 @@ def shard_assign_q(spark, sf_dir):
 
 
 @register(
+    "url_normalize",
+    r"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE 'https://www.site' || (doc_id % 7) || '.example.com'
+                     || CASE WHEN doc_id % 3 = 1 THEN ':8080'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN '/'
+                             ELSE '/Docs/Page-' || doc_id END
+                     || '?A=1&b=' || (doc_id % 4)
+           END AS url_norm,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE 'example.com' END AS domain
+    FROM documents
+    """,
+    doc="URL canonicalization + domain extraction (operators/"
+    "urltools.py — the crawl-side stage that precedes every content "
+    "op: URL-level dedup keys and domain-mixing strata). Each doc_id "
+    "synthesizes a deterministic messy URL (upper-cased scheme/host, "
+    "default vs explicit ports, missing paths, tracking params "
+    "utm_*/gclid, fragments, and a malformed variant every 11th row) "
+    "and the expression-only normalizer must land the template's "
+    "exact known canonical form: lowercased scheme/host, :443 "
+    "dropped / :8080 kept, empty path -> '/', fragment gone, "
+    "tracking params dropped and the survivors BYTE-SORTED, "
+    "malformed input -> NULL (never a half-parsed dedup key). One "
+    "scan-stage projection, no UDF, no shuffle; RE2-portable.",
+)
+def url_normalize_q(spark, sf_dir):
+    from slurm2sql_spark.operators.urltools import url_table
+
+    i = F.col("doc_id")
+    url = F.when(
+        i % 11 == 0, F.concat(F.lit("not a url "), i.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("HTTPS://WWW.Site"),
+            (i % 7).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(i % 3 == 0, F.lit(":443"))
+            .when(i % 3 == 1, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.when(i % 5 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("/Docs/Page-"), i.cast("string"))
+            ),
+            F.lit("?utm_source=feed&b="),
+            (i % 4).cast("string"),
+            F.lit("&A=1"),
+            F.when(i % 2 == 0, F.lit("&gclid=xyz")).otherwise(F.lit("")),
+            F.lit("#Sec-"),
+            i.cast("string"),
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return url_table(docs, "doc_id", "url")
+
+
+@register(
     "export_pipeline",
     rf"""
     WITH t AS (
@@ -6230,6 +6288,7 @@ _GATE_PRIORITY = [
     "export_pipeline",
     "bpe_token_counts",
     "classifier_stream_parity",
+    "url_normalize",
     # r11 window-staleness rotation (VERDICT r10 #8): the 11 tail
     # entries last driver-checked in r7 come back into the window for
     # a fresh CORRECTNESS row (all judge-green at sf0.01 in r10, so
@@ -6359,6 +6418,7 @@ _GATE_TAIL = [
     "moving_avg_events",
     "unpivot_source_stats",
     "source_lang_mix",
+    "mix_temperature",
 ]
 
 

@@ -1,0 +1,74 @@
+"""URL canonicalization (operators/urltools.py): planted edge cases
+the template-subset oracle cannot reach, plus the dedup-key contract
+(equal canonical URLs iff content-identical up to tracking noise)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _norm(spark, urls):
+    from slurm2sql_spark.operators.urltools import url_table
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id int, url string"
+    )
+    return {
+        r["id"]: (r["url_norm"], r["domain"])
+        for r in url_table(df, "id", "url").collect()
+    }
+
+
+def test_canonicalization_edges(spark):
+    out = _norm(
+        spark,
+        [
+            "HTTP://Example.COM:80/A/B?z=1&a=2#frag",          # 0
+            "https://example.com:8443/x",                      # 1
+            "https://sub.Example.com",                         # 2
+            "http://example.com/?utm_source=a&utm_medium=b",   # 3
+            "https://example.com/p?ref=x&REF=y&b=1",           # 4
+            "ftp://Files.Example.com:21/pub",                  # 5
+            "http://localhost/health",                         # 6
+            None,                                              # 7
+            "no scheme here",                                  # 8
+            "https://example.com/p?&&a=1",                     # 9
+        ],
+    )
+    # default port drops, path case preserved, params sort, frag gone
+    assert out[0] == ("http://example.com/A/B?a=2&z=1", "example.com")
+    # non-default port survives
+    assert out[1] == ("https://example.com:8443/x", "example.com")
+    # empty path -> '/'
+    assert out[2] == ("https://sub.example.com/", "example.com")
+    # tracking-only query -> no '?'
+    assert out[3] == ("http://example.com/", "example.com")
+    # case-sensitive param names: 'REF=y' is NOT the tracked 'ref'
+    assert out[4] == ("https://example.com/p?REF=y&b=1", "example.com")
+    # unknown scheme passes through; :21 is not a default we drop
+    assert out[5] == ("ftp://files.example.com:21/pub", "example.com")
+    # bare-label host: normalizes, but no registrable domain
+    assert out[6] == ("http://localhost/health", None)
+    assert out[7] == (None, None)
+    assert out[8] == (None, None)
+    # empty params from '&&' are dropped
+    assert out[9] == ("https://example.com/p?a=1", "example.com")
+
+
+def test_canonical_form_is_a_dedup_key(spark):
+    """The variants a crawler sees for ONE resource must collapse to a
+    single canonical key, and distinct resources must not."""
+    from slurm2sql_spark.operators.urltools import url_normalize
+
+    same = [
+        "https://WWW.Example.com/page?b=2&a=1",
+        "https://www.example.com:443/page?a=1&b=2",
+        "https://www.example.com/page?utm_campaign=x&a=1&b=2#top",
+    ]
+    other = ["https://www.example.com/page?a=1&b=3"]
+    df = spark.createDataFrame(
+        [(u,) for u in same + other], "url string"
+    ).select(url_normalize(F.col("url")).alias("n"))
+    keys = [r["n"] for r in df.collect()]
+    assert len(set(keys[:3])) == 1
+    assert keys[3] != keys[0]
