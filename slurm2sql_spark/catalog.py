@@ -4475,6 +4475,77 @@ def url_normalize_q(spark, sf_dir):
 
 
 @register(
+    "crawl_frontier",
+    """
+    WITH u AS (
+      SELECT DISTINCT
+        'https://www.host' || CASE WHEN doc_id % 10 < 6 THEN '0'
+                                   WHEN doc_id % 10 < 9 THEN '1'
+                                   ELSE '2' END
+          || '.com/p/' || (doc_id % 40) || '?b=' || (doc_id % 2)
+          AS url_norm,
+        'host' || CASE WHEN doc_id % 10 < 6 THEN '0'
+                       WHEN doc_id % 10 < 9 THEN '1'
+                       ELSE '2' END || '.com' AS dom
+      FROM documents WHERE doc_id % 11 <> 0
+    ),
+    counts AS (SELECT dom AS stratum, count(*) AS n FROM u GROUP BY 1),
+    p AS (SELECT stratum, n, pow(n, 1.0/2.0) AS pw FROM counts),
+    tots AS (SELECT sum(pw) AS s, sum(n) AS nt FROM p),
+    tgt AS (SELECT stratum, n, pw / s AS prob, nt FROM p, tots),
+    r AS (SELECT min(n / (nt * prob)) AS rr FROM tgt)
+    SELECT stratum, n,
+           floor(prob * 1000000 + 0.001) / 1000000 AS target,
+           floor(least(1.0, prob * rr * nt / n) * 1000000 + 0.001)
+             / 1000000 AS fraction
+    FROM tgt, r
+    """,
+    doc="Crawl-frontier composition: URL canonicalization (L62) -> "
+    "URL-LEVEL dedup (distinct canonical keys — the dedup crawlers "
+    "run before any fetch; tracking noise, case noise, default "
+    "ports and fragments must all collapse first or the 'distinct' "
+    "is wrong) -> temperature-scaled domain mixing (L48, T=2) over "
+    "the survivors, in ONE plan. Every doc_id synthesizes a messy "
+    "URL over a 60/30/10-skewed 3-domain layout with ~4 docs per "
+    "canonical URL and a malformed variant every 11th row (dropped "
+    "as NULL). Shuffles: the distinct on the canonical key and the "
+    "|domains|-bounded count — the mixing math is broadcast-scalar "
+    "arithmetic. The oracle states the ground-truth canonical set "
+    "and replays the mix_temperature math.",
+)
+def crawl_frontier_q(spark, sf_dir):
+    from slurm2sql_spark.operators.sampling import mix_temperature
+    from slurm2sql_spark.operators.urltools import url_table
+
+    i = F.col("doc_id")
+    k = i % 10
+    idx = (
+        F.when(k < 6, F.lit("0")).when(k < 9, F.lit("1")).otherwise(F.lit("2"))
+    )
+    url = F.when(i % 11 == 0, F.lit("bogus")).otherwise(
+        F.concat(
+            F.lit("https://WWW.Host"),
+            idx,
+            F.lit(".COM"),
+            F.when(i % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            (i % 40).cast("string"),
+            F.lit("?utm_x=1&b="),
+            (i % 2).cast("string"),
+            F.lit("#f"),
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    survivors = (
+        url_table(docs, "doc_id", "url")
+        .filter(F.col("url_norm").isNotNull())
+        .select("url_norm", "domain")
+        .distinct()
+    )
+    return mix_temperature(survivors, "domain", 2.0)
+
+
+@register(
     "export_pipeline",
     rf"""
     WITH t AS (
@@ -6289,6 +6360,7 @@ _GATE_PRIORITY = [
     "bpe_token_counts",
     "classifier_stream_parity",
     "url_normalize",
+    "crawl_frontier",
     # r11 window-staleness rotation (VERDICT r10 #8): the 11 tail
     # entries last driver-checked in r7 come back into the window for
     # a fresh CORRECTNESS row (all judge-green at sf0.01 in r10, so
@@ -6419,6 +6491,7 @@ _GATE_TAIL = [
     "unpivot_source_stats",
     "source_lang_mix",
     "mix_temperature",
+    "dedup_simhash",
 ]
 
 

@@ -476,10 +476,20 @@ def mix_temperature(
     """
     if temperature <= 0:
         raise ValueError(f"temperature must be positive, got {temperature}")
+    from .dedup import _persist
+
     a = 1.0 / float(temperature)
     quant = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.001)) / F.lit(1e6)  # noqa: E731
-    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
-        F.count(F.lit(1)).alias("n")
+    # persist the |strata|-row counts: the scalar crossJoins below
+    # embed this frame on FOUR plan sides, and Spark does not share
+    # subplans across join sides — unpersisted, whatever corpus
+    # pipeline feeds `df` (e.g. crawl_frontier's canonical-key
+    # distinct) executes four times. Released by catalog.drop_caches
+    # -> dedup.release_caches (the tfidf persist contract).
+    counts = _persist(
+        df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
     powed = counts.withColumn("_pw", F.pow(F.col("n"), F.lit(a)))
     tots = powed.agg(

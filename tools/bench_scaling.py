@@ -113,6 +113,7 @@ DUCK_QUERIES = [
     "bpe_token_counts",
     "shard_assign",
     "export_pipeline",
+    "url_normalize",
     # r10: SemDeDup — pair cost bounded by the largest cell in both
     # engines (within-cell joins only), components close in
     # group-diameter rounds / one recursive CTE
@@ -195,10 +196,11 @@ X100_QUERIES = [
     # r10: perplexity bucketing at 100x (m-bounded bin shuffles — the
     # dsir_selection scale shape)
     "lm_perplexity_buckets",
-    # r11: the two floor-bound new micros (gap 9.5x / 1.4x at 10x on
-    # sub-second walls) get the standard 100x cross-documentation
+    # r11: the floor-bound new micros (sub-second walls, big toy-scale
+    # letter gaps) get the standard 100x cross-documentation
     "shard_assign",
     "html_extract",
+    "url_normalize",
     # r11 (VERDICT r10 #6): 100x rows for the r10 oracle entries that
     # lacked them. The exact-substring pair is dual-measured (linear
     # oracles — the in-SQL winnow recompute costs the same class as
