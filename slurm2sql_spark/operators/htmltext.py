@@ -113,6 +113,12 @@ def html_to_text(
                 super().__init__(convert_charrefs=True)
                 self.blocks: list[str] = []
                 self._buf: list[str] = []
+                # stack of OPEN drop tags — a close only pops when it
+                # matches the innermost open drop tag, so a stray
+                # mismatched close (a lone </noscript> inside an open
+                # <nav>, routine in crawled HTML) cannot un-drop the
+                # subtree and leak boilerplate into the extraction
+                self._drop_stack: list[str] = []
                 self._skip = 0
                 self.n_tags = 0
                 self.n_dropped = 0
@@ -133,6 +139,7 @@ def html_to_text(
                 if tag in DROP_TAGS and tag not in _VOID_TAGS:
                     if self._skip == 0:
                         self.n_dropped += 1
+                    self._drop_stack.append(tag)
                     self._skip += 1
 
             def handle_startendtag(self, tag, attrs):
@@ -147,7 +154,12 @@ def html_to_text(
                     self.n_dropped += 1
 
             def handle_endtag(self, tag):
-                if tag in DROP_TAGS and self._skip > 0:
+                if (
+                    tag in DROP_TAGS
+                    and self._drop_stack
+                    and self._drop_stack[-1] == tag
+                ):
+                    self._drop_stack.pop()
                     self._skip -= 1
                 if tag in BLOCK_TAGS:
                     self._flush()

@@ -93,16 +93,30 @@ def write_sharded(
     salt: str = "",
 ) -> DataFrame:
     """Materialize ``df`` as ``n_shards`` size-balanced parquet
-    partitions: ``shard_assign`` + one repartition on ``shard`` +
-    ``partitionBy("shard")`` (each output dir holds exactly one
-    shard's rows; the repartition makes file count per dir one task's
-    worth, not one per input partition). Returns the assignment frame
+    partitions: ``shard_assign`` with every other ``df`` column carried
+    through as ``keep_cols`` (same-pass pass-through — NO join back
+    onto ``df``, so duplicate ids cannot fan rows out and the write is
+    one window + one repartition) + ``partitionBy("shard")`` (each
+    output dir holds exactly one shard's rows; the repartition makes
+    file count per dir one task's worth, not one per input partition).
+    Original column names and values (including NULL sizes) are
+    preserved in the written files. Returns the assignment frame
     (re-readable: the assignment is pure arithmetic, so a re-run
-    reproduces it bit-for-bit)."""
-    assign = shard_assign(df, id_col, size_col, n_shards, n_groups, salt)
-    out = df.join(
-        assign.select("id", "shard").withColumnRenamed("id", id_col),
-        id_col,
+    reproduces it bit-for-bit). ``df`` must not contain columns named
+    ``id``/``size``/``grp``/``shard`` (other than ``id_col`` itself) —
+    they would collide with the assignment columns."""
+    extra = tuple(c for c in df.columns if c != id_col)
+    clash = [c for c in extra if c in ("id", "size", "grp", "shard")]
+    if clash:
+        raise ValueError(
+            f"df columns {clash} collide with assignment columns "
+            "id/size/grp/shard; rename them before write_sharded"
+        )
+    assign = shard_assign(
+        df, id_col, size_col, n_shards, n_groups, salt, keep_cols=extra
+    )
+    out = assign.select(
+        F.col("id").alias(id_col), *extra, "shard"
     )
     (
         out.repartition(int(n_shards), "shard")
@@ -110,4 +124,4 @@ def write_sharded(
         .partitionBy("shard")
         .parquet(path)
     )
-    return assign
+    return assign.select("id", "size", "grp", "shard")

@@ -305,7 +305,11 @@ def winnow_fingerprints_fast(
                 return None
             b = np.frombuffer(
                 ws.sub(" ", text.lower()).encode("utf-32-le"),
-                dtype=np.uint32,
+                # explicit little-endian dtype: the encoding is LE by
+                # name, so a native-endian uint32 would byte-swap the
+                # codepoints on a big-endian executor and silently
+                # diverge the fingerprints across mixed clusters
+                dtype="<u4",
             )
             ng = len(b) - k + 1
             if ng < 1:
@@ -432,7 +436,11 @@ def winnow_fingerprint_positions_fast(
                 return None
             b = np.frombuffer(
                 ws.sub(" ", text.lower()).encode("utf-32-le"),
-                dtype=np.uint32,
+                # explicit little-endian dtype: the encoding is LE by
+                # name, so a native-endian uint32 would byte-swap the
+                # codepoints on a big-endian executor and silently
+                # diverge the fingerprints across mixed clusters
+                dtype="<u4",
             )
             ng = len(b) - k + 1
             if ng < 1:

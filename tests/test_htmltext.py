@@ -101,6 +101,28 @@ def test_nested_drop_tags_balance(spark):
     assert r["n_dropped"] == 2
 
 
+def test_mismatched_drop_close_cannot_undrop(spark):
+    """r11 ADVICE: a stray close of a DIFFERENT drop tag inside an open
+    drop region (a lone </noscript> inside <nav>) must not un-drop the
+    subtree and leak boilerplate; only the matching innermost close
+    pops."""
+    rows = _extract(
+        spark,
+        [
+            (1, "<nav>menu </noscript>still menu</nav><p>body</p>"),
+            # interleaved close order: </nav> inside <script> is CDATA
+            # (no effect); the mismatched </style> inside <nav> is
+            # ignored, the matching </nav> pops
+            (2, "<nav>a</style>b</nav><p>kept</p>"),
+            # a stray close with NO open drop region stays a no-op
+            (3, "</noscript><p>fine</p>"),
+        ],
+    )
+    assert rows[1]["text"] == "body"
+    assert rows[2]["text"] == "kept"
+    assert rows[3]["text"] == "fine"
+
+
 def test_edge_strip_and_empty_blocks(spark):
     rows = _extract(
         spark,
