@@ -15,10 +15,12 @@ so the DuckDB oracle reproduces the canonical form bit-for-bit:
   ``gclid``, ``ref``), the rest SORT bytewise and rejoin — parameter
   order is the #1 source of spurious URL-dedup misses;
 - empty path canonicalizes to ``/``;
-- ``domain`` is the last two host labels (a heuristic, NOT the Public
-  Suffix List — co.uk-style suffixes group one level too coarse; a
-  production deployment swaps in a broadcast PSL lookup, same plan
-  shape).
+- ``domain`` is the PSL registrable domain ("eTLD+1"): a pinned
+  Public Suffix List snapshot compiles into ONE chained-CASE
+  expression of constant-k trailing-label slices (longest rule wins,
+  exception rules beat all, unlisted TLDs fall to the default rule =
+  the old last-two-labels heuristic). ``load_psl(path)`` swaps in the
+  full published list; ``url_domain`` keeps the bare heuristic.
 
 Scale: one scan-stage projection per URL — no UDF, no shuffle; the
 per-domain rollup downstream is a map-side-combined count. No
@@ -30,7 +32,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["url_normalize", "url_domain", "TRACKING_PARAM_RE"]
+__all__ = [
+    "url_normalize",
+    "url_domain",
+    "url_domain_psl",
+    "url_table",
+    "registrable_domain",
+    "registrable_domain_sql",
+    "load_psl",
+    "PSL_SNAPSHOT",
+    "TRACKING_PARAM_RE",
+]
 
 #: Query parameters that never affect content identity (the standard
 #: analytics/click-id families). Anchored NAME match — shared with the
@@ -131,14 +143,279 @@ def url_domain(url: Column) -> Column:
     ).otherwise(dom)
 
 
-def url_table(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+# --------------------------------------------------------------------
+# Public-Suffix-List registrable domains (the r11 verdict's #1 ask:
+# the last-two-labels heuristic collapses every co.uk host into one
+# stratum, corrupting domain mixing on ccTLD-heavy crawls)
+# --------------------------------------------------------------------
+
+#: Pinned snapshot of the Public Suffix List (publicsuffix.org — the
+#: public, community-maintained registry Mozilla publishes; full file
+#: is ~9.5k rules). This subset carries the high-traffic ccTLD
+#: second-level registries, the canonical wildcard/exception rules
+#: (``*.ck`` / ``!www.ck``), multi-label private suffixes
+#: (``s3.amazonaws.com``, ``*.compute.amazonaws.com``) and the common
+#: hosting platforms. Unlisted TLDs fall through to the PSL default
+#: rule ``*`` (public suffix = last label), which is exactly the old
+#: heuristic — so the snapshot only ever *refines* strata, never
+#: coarsens them. Production swap-in: ``load_psl(path)`` on the full
+#: published file, passed as ``rules=`` — same compiled plan shape.
+PSL_SNAPSHOT = (
+    # --- United Kingdom ---
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
+    "sch.uk", "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    # --- Australia ---
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au",
+    "id.au",
+    # --- Japan ---
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    # --- New Zealand ---
+    "ac.nz", "co.nz", "geek.nz", "gen.nz", "govt.nz", "kiwi.nz",
+    "maori.nz", "net.nz", "org.nz", "school.nz",
+    # --- Brazil ---
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br",
+    "blog.br",
+    # --- China ---
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "net.cn", "org.cn",
+    "mil.cn",
+    # --- India ---
+    "co.in", "firm.in", "net.in", "org.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "mil.in",
+    # --- South Korea ---
+    "ac.kr", "co.kr", "go.kr", "mil.kr", "ne.kr", "or.kr", "pe.kr",
+    "re.kr", "sc.kr",
+    # --- South Africa ---
+    "ac.za", "co.za", "edu.za", "gov.za", "law.za", "mil.za",
+    "net.za", "nom.za", "org.za", "school.za", "web.za",
+    # --- Mexico / Argentina ---
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "edu.ar", "gob.ar", "gov.ar", "int.ar", "mil.ar",
+    "net.ar", "org.ar",
+    # --- Turkey ---
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "mil.tr",
+    "av.tr", "web.tr",
+    # --- Taiwan / Hong Kong / Singapore ---
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "mil.tw",
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg", "per.sg",
+    # --- Israel / Thailand / Indonesia / Malaysia ---
+    "ac.il", "co.il", "gov.il", "muni.il", "net.il", "org.il",
+    "ac.th", "co.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    "ac.id", "biz.id", "co.id", "go.id", "mil.id", "my.id",
+    "net.id", "or.id", "sch.id", "web.id",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my",
+    "name.my",
+    # --- Poland / Ukraine / Vietnam / Philippines ---
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    "kiev.ua", "kyiv.ua",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
+    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+    "mil.ph",
+    # --- Egypt / Saudi Arabia / Nigeria / Kenya / Pakistan ---
+    "com.eg", "edu.eg", "gov.eg", "mil.eg", "name.eg", "net.eg",
+    "org.eg", "sci.eg",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "med.sa", "pub.sa",
+    "edu.sa", "sch.sa",
+    "com.ng", "edu.ng", "gov.ng", "mil.ng", "name.ng", "net.ng",
+    "org.ng", "sch.ng",
+    "ac.ke", "co.ke", "go.ke", "info.ke", "me.ke", "mobi.ke",
+    "ne.ke", "or.ke", "sc.ke",
+    "com.pk", "net.pk", "edu.pk", "org.pk", "gov.pk", "biz.pk",
+    "web.pk", "fam.pk",
+    # --- wildcard + exception rules (the PSL's canonical forms) ---
+    "*.ck", "!www.ck",
+    "*.bd",
+    "*.np",
+    # --- private-section platforms (subdomains = distinct owners) ---
+    "github.io", "githubusercontent.com", "gitlab.io",
+    "blogspot.com", "appspot.com", "herokuapp.com", "netlify.app",
+    "vercel.app", "pages.dev", "workers.dev", "web.app",
+    "firebaseapp.com", "azurewebsites.net", "cloudapp.net",
+    "cloudfront.net", "readthedocs.io", "wordpress.com",
+    "s3.amazonaws.com", "*.compute.amazonaws.com",
+)
+
+#: Host shape both engines agree to score: dot-separated non-empty
+#: ASCII labels (IDN hosts must arrive punycoded; trailing dots /
+#: empty labels return NULL rather than diverging).
+_HOST_SHAPE_RE = r"^[A-Za-z0-9_-]+(\.[A-Za-z0-9_-]+)*$"
+
+
+def load_psl(path: str) -> tuple[str, ...]:
+    """Parse a full published Public Suffix List file into the rule
+    tuple ``registrable_domain`` consumes: strips ``//`` comments and
+    blank lines, keeps wildcard (``*.``) and exception (``!``) syntax
+    verbatim. The production swap-in for :data:`PSL_SNAPSHOT`."""
+    rules: list[str] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rules.append(line.lower())
+    return tuple(rules)
+
+
+def _psl_compile(rules):
+    """Parse rules into the ordered branch list BOTH engine backends
+    compile from (shared structure = guaranteed Spark/DuckDB parity).
+
+    Returns ``(branches, max_k)`` where each branch is one of
+    ``("exc", k, values)`` (exception rules of k labels — registrable
+    domain is the matched suffix itself), ``("wild", k, bases)``
+    (wildcard rules: full rule spans k labels, base = rule minus the
+    ``*`` = k-1 labels) or ``("exact", k, values)``; ordered by PSL
+    precedence: all exceptions first, then descending label count
+    (longest rule wins), exact before wildcard within a tier.
+    """
+    exc: dict[int, set] = {}
+    wild: dict[int, set] = {}
+    exact: dict[int, set] = {}
+    for r in rules:
+        r = r.lower()
+        if r.startswith("!"):
+            d = r[1:]
+            exc.setdefault(d.count(".") + 1, set()).add(d)
+        elif r.startswith("*."):
+            base = r[2:]
+            wild.setdefault(base.count(".") + 2, set()).add(base)
+        else:
+            exact.setdefault(r.count(".") + 1, set()).add(r)
+    branches = []
+    for k in sorted(exc, reverse=True):
+        branches.append(("exc", k, tuple(sorted(exc[k]))))
+    ks = sorted(set(exact) | set(wild), reverse=True)
+    for k in ks:
+        if k in exact:
+            branches.append(("exact", k, tuple(sorted(exact[k]))))
+        if k in wild:
+            branches.append(("wild", k, tuple(sorted(wild[k]))))
+    max_k = max([k for _, k, _ in branches], default=1) + 1
+    return branches, max_k
+
+
+def registrable_domain(host: Column, rules=None) -> Column:
+    """PSL registrable domain ("eTLD+1") of a lowercased host, as one
+    chained-CASE Column over constant-``k`` trailing-label slices —
+    zero shuffle, zero join, zero UDF; the rule table is compile-time
+    constant folded into the plan (strictly cheaper at 100 TB than the
+    broadcast-join formulation, and Catalyst turns the large IN lists
+    into hash-set ``InSet`` lookups). NULL when the host IS a public
+    suffix, is a bare label, or fails the host shape gate.
+
+    PSL semantics (publicsuffix.org algorithm): exception rules win
+    outright; otherwise the matching rule with the most labels is the
+    public suffix; unmatched hosts use the default rule ``*``;
+    registrable = public suffix + one preceding label.
+    """
+    branches, max_k = _psl_compile(PSL_SNAPSHOT if rules is None else rules)
+    nl = F.size(F.split(host, r"\."))
+
+    def sfx(k):
+        return F.substring_index(host, ".", -k)
+
+    out = None
+    for kind, k, values in branches:
+        if kind == "exc":
+            cond = sfx(k).isin(*values)
+            val = sfx(k)
+        elif kind == "wild":
+            cond = (nl >= k) & sfx(k - 1).isin(*values)
+            val = F.when(nl > k, sfx(k + 1)).otherwise(
+                F.lit(None).cast("string")
+            )
+        else:
+            cond = sfx(k).isin(*values)
+            val = F.when(nl > k, sfx(k + 1)).otherwise(
+                F.lit(None).cast("string")
+            )
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    default = F.when(nl > 1, sfx(2)).otherwise(F.lit(None).cast("string"))
+    out = default if out is None else out.otherwise(default)
+    return F.when(host.rlike(_HOST_SHAPE_RE), out).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+def registrable_domain_sql(host_sql: str, rules=None) -> str:
+    """The DuckDB twin of :func:`registrable_domain`, generated from
+    the SAME compiled branch list (the ``PII_PATTERNS`` discipline:
+    one constant, two engine renderings). ``host_sql`` must be a
+    lowercased host expression; the result is a scalar SQL expression.
+
+    Trailing-``k``-label slices render as anchored ``regexp_extract``
+    (no ``substring_index`` in DuckDB); a failed extract yields ``''``
+    which matches no rule — the same containment the Spark side gets
+    from ``substring_index``'s whole-host clamp.
+    """
+    branches, max_k = _psl_compile(PSL_SNAPSHOT if rules is None else rules)
+    h = f"lower({host_sql})"
+    nl = f"len(string_split({h}, '.'))"
+
+    def sfx(k):
+        if k == 1:
+            return f"regexp_extract({h}, '([^.]+)$', 1)"
+        return (
+            f"regexp_extract({h}, "
+            f"'(?:^|\\.)((?:[^.]+\\.){{{k - 1}}}[^.]+)$', 1)"
+        )
+
+    def inlist(values):
+        return "(" + ", ".join("'" + v + "'" for v in values) + ")"
+
+    parts = ["CASE"]
+    for kind, k, values in branches:
+        if kind == "exc":
+            parts.append(
+                f"WHEN {sfx(k)} IN {inlist(values)} THEN {sfx(k)}"
+            )
+        elif kind == "wild":
+            parts.append(
+                f"WHEN {nl} >= {k} AND {sfx(k - 1)} IN {inlist(values)} "
+                f"THEN CASE WHEN {nl} > {k} THEN {sfx(k + 1)} END"
+            )
+        else:
+            parts.append(
+                f"WHEN {sfx(k)} IN {inlist(values)} "
+                f"THEN CASE WHEN {nl} > {k} THEN {sfx(k + 1)} END"
+            )
+    parts.append(f"ELSE CASE WHEN {nl} > 1 THEN {sfx(2)} END END")
+    case = "\n      ".join(parts)
+    return (
+        f"CASE WHEN regexp_matches({h}, '{_HOST_SHAPE_RE}') "
+        f"THEN {case} END"
+    )
+
+
+def url_domain_psl(url: Column, rules=None) -> Column:
+    """Registrable domain of the URL's host via the PSL longest-match
+    (the production domain tier; ``url_domain`` is the last-two-labels
+    heuristic it replaces). NULL for malformed URLs and public-suffix
+    hosts."""
+    scheme, host, _, _, _, bad_port = _parts(url)
+    dom = registrable_domain(host, rules=rules)
+    return F.when(
+        (scheme == "") | bad_port, F.lit(None).cast("string")
+    ).otherwise(dom)
+
+
+def url_table(
+    df: DataFrame, id_col: str, url_col: str, psl: bool = True
+) -> DataFrame:
     """Per-row canonicalization frame: ``(id, url_norm, domain)`` —
     the URL-dedup key and the domain-mixing stratum in one projection.
     Feed ``url_norm`` to ``dedup.exact_dedup`` (URL-level dedup) and
-    ``domain`` to ``sampling.mix_temperature`` (domain mixing)."""
+    ``domain`` to ``sampling.mix_temperature`` (domain mixing).
+    ``domain`` is the PSL registrable domain by default (``psl=False``
+    falls back to the last-two-labels heuristic)."""
     u = F.col(url_col)
+    dom = url_domain_psl(u) if psl else url_domain(u)
     return df.select(
         F.col(id_col),
         url_normalize(u).alias("url_norm"),
-        url_domain(u).alias("domain"),
+        dom.alias("domain"),
     )

@@ -83,6 +83,127 @@ def test_fragment_query_userinfo_port_edges(spark):
     assert out[7] == (None, None)
 
 
+_PSL_CASES = {
+    # ccTLD second-level registries (the wrong-by-construction class
+    # the heuristic had: every co.uk host collapsed into 'co.uk')
+    "www.bbc.co.uk": "bbc.co.uk",
+    "news.images.bbc.co.uk": "bbc.co.uk",
+    "bbc.co.uk": "bbc.co.uk",
+    "co.uk": None,                      # host IS a public suffix
+    "uk": None,
+    "example.com.au": "example.com.au",
+    "a.b.example.com.au": "example.com.au",
+    "gov.uk": None,
+    "data.gov.uk": "data.gov.uk",
+    # private-section platforms: each subdomain is its own registrant
+    "user42.github.io": "user42.github.io",
+    "deep.sub.user.github.io": "user.github.io",
+    "github.io": None,
+    "foo.blogspot.com": "foo.blogspot.com",
+    "bucket.s3.amazonaws.com": "bucket.s3.amazonaws.com",
+    "s3.amazonaws.com": None,
+    # wildcard rule *.ck: every direct child of ck is a public suffix
+    "other.ck": None,
+    "a.other.ck": "a.other.ck",
+    "b.a.other.ck": "a.other.ck",
+    "ck": None,
+    # exception rule !www.ck punches through the wildcard
+    "www.ck": "www.ck",
+    "sub.www.ck": "www.ck",
+    # 4-label wildcard *.compute.amazonaws.com
+    "east.compute.amazonaws.com": None,
+    "vm.east.compute.amazonaws.com": "vm.east.compute.amazonaws.com",
+    "x.vm.east.compute.amazonaws.com": "vm.east.compute.amazonaws.com",
+    # unlisted TLD -> default rule * (same answer the heuristic gave)
+    "www.example.com": "example.com",
+    "example.com": "example.com",
+    "com": None,
+    "localhost": None,
+    # shape gate: trailing dots / empty labels are NULL in both engines
+    "example.com.": None,
+    ".example.com": None,
+    "ex..com": None,
+}
+
+
+def test_psl_registrable_domain_planted(spark):
+    """Ground-truth PSL cases (publicsuffix.org algorithm): exception
+    beats wildcard beats longest exact beats default."""
+    from slurm2sql_spark.operators.urltools import registrable_domain
+
+    hosts = list(_PSL_CASES)
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["dom"]
+        for r in df.select(
+            "host", registrable_domain(F.col("host")).alias("dom")
+        ).collect()
+    }
+    assert got == _PSL_CASES
+
+
+def test_psl_sql_twin_engine_parity(spark):
+    """registrable_domain_sql is generated from the SAME compiled rule
+    table — DuckDB must agree with Spark on every planted host."""
+    import duckdb
+
+    from slurm2sql_spark.operators.urltools import registrable_domain_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE h(host VARCHAR)")
+    con.executemany(
+        "INSERT INTO h VALUES (?)", [(h,) for h in _PSL_CASES]
+    )
+    sql = (
+        "SELECT host, "
+        + registrable_domain_sql("host")
+        + " AS dom FROM h"
+    )
+    got = dict(con.execute(sql).fetchall())
+    assert got == _PSL_CASES
+
+
+def test_psl_swap_in_and_url_table_default(spark, tmp_path):
+    """load_psl parses the published file format (comments, sections,
+    wildcard/exception syntax); url_table's domain column is the PSL
+    path by default."""
+    from slurm2sql_spark.operators.urltools import (
+        load_psl,
+        registrable_domain,
+        url_table,
+    )
+
+    p = tmp_path / "psl.dat"
+    p.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "\n"
+        "zz\n"
+        "co.zz\n"
+        "*.wild.zz\n"
+        "!ok.wild.zz\n"
+        "// ===END ICANN DOMAINS===\n"
+    )
+    rules = load_psl(str(p))
+    assert rules == ("zz", "co.zz", "*.wild.zz", "!ok.wild.zz")
+    df = spark.createDataFrame(
+        [("a.co.zz",), ("x.deep.wild.zz",), ("ok.wild.zz",)],
+        "host string",
+    )
+    got = [
+        r["dom"]
+        for r in df.select(
+            registrable_domain(F.col("host"), rules=rules).alias("dom")
+        ).collect()
+    ]
+    assert got == ["a.co.zz", "x.deep.wild.zz", "ok.wild.zz"]
+
+    urls = spark.createDataFrame(
+        [(1, "https://News.BBC.co.uk/story?a=1")], "id int, url string"
+    )
+    row = url_table(urls, "id", "url").collect()[0]
+    assert row["domain"] == "bbc.co.uk"  # NOT 'co.uk'
+
+
 def test_canonical_form_is_a_dedup_key(spark):
     """The variants a crawler sees for ONE resource must collapse to a
     single canonical key, and distinct resources must not."""
