@@ -4766,6 +4766,53 @@ def bpe_token_counts_q(spark, sf_dir):
 
 
 @register(
+    "bpe_frozen_counts",
+    _bpe_oracle_sql(
+        8,
+        final="""    , docw AS (
+      SELECT doc_id, g AS word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                                         '[ \\t\\n\\r\\f]+')) AS g
+        FROM documents) WHERE g <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(s8.syms)) AS BIGINT) AS n_bpe_tokens
+    FROM docw JOIN s8 USING (word) GROUP BY 1""",
+    ),
+    doc="Tokenizer-artifact persistence round-trip (VERDICT r11 #2 — "
+    "the train-once/tokenize-many deployment seam): bpe_train's merge "
+    "table is WRITTEN as a parquet artifact (save_bpe_model: k rows + "
+    "the end-of-word marker, self-describing), RELOADED from disk "
+    "(load_bpe_model — a k-row collect, the same vocabulary-bounded "
+    "driver-traffic contract as training), and the corpus tokenizes "
+    "against the FROZEN table via the vocabulary-join shape. The "
+    "oracle is the in-session 8-round CTE replay, so the row counts "
+    "hash-matching proves the artifact round-trip is lossless — "
+    "frozen-table segmentation == just-trained segmentation. At "
+    "100 TB the artifact is the only thing that moves between the "
+    "training corpus and any number of tokenization corpora.",
+)
+def bpe_frozen_counts_q(spark, sf_dir):
+    import os
+
+    from slurm2sql_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_train,
+        load_bpe_model,
+        save_bpe_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    work = _parity_workdir("bpemodel", sf_dir)
+    model_path = os.path.join(work, "model")
+    save_bpe_model(bpe_train(docs, "text", merges=8), model_path)
+    merges, eow = load_bpe_model(spark, model_path)
+    return bpe_token_counts(docs, "doc_id", "text", merges, eow=eow)
+
+
+@register(
     "classifier_stream_parity",
     _CLASSIFIER_ORACLE,
     doc="Driver-gated streaming row for the r11 classifier family "
@@ -6426,62 +6473,32 @@ _GATE_WINDOW = 50
 _GATE_PRIORITY = [
     # new this round (r12):
     "url_domain_psl",
-    # re-gated r12: url_table's domain column switched to the PSL path
-    # (crawl_frontier/url_normalize consume it) and html_to_text's
-    # drop-tag handling became stack-based (ADVICE r11)
+    "bpe_frozen_counts",
+    # re-gated r12 (operator churn this round): url_table's domain
+    # column switched to the PSL longest-match path (url_normalize and
+    # crawl_frontier consume it); html_to_text's drop-tag handling
+    # became stack-based (ADVICE r11)
     "url_normalize",
     "crawl_frontier",
     "html_extract",
     "html_clean",
-    # new this round (r11):
-    "html_clean",
+    # r12 window-staleness rotation (VERDICT r11 #6): last driver row
+    # r8/r9 — back in-window for a fresh CORRECTNESS row (all were
+    # judge-green at sf0.01 in r11, so this is evidence hygiene)
+    "corpus_report",
+    "source_overlap",
+    "dsir_selection",
+    "decontaminate_bloom",
+    "mix_temperature",
+    "dedup_paragraph",
+    "doc_repetition",
+    # new r11 (one green round only — keep in-window one more):
     "classifier_score",
     "bpe_train",
     "shard_assign",
     "export_pipeline",
     "bpe_token_counts",
     "classifier_stream_parity",
-    "url_normalize",
-    "crawl_frontier",
-    # r11 window-staleness rotation (VERDICT r10 #8): the 11 tail
-    # entries last driver-checked in r7 come back into the window for
-    # a fresh CORRECTNESS row (all judge-green at sf0.01 in r10, so
-    # this is evidence hygiene, not risk)
-    "conditional_first",
-    "deidentify",
-    "distinct_values",
-    "group_concat",
-    "json_props",
-    "latest_event_per_user",
-    "q5_nation_revenue",
-    "sample_stratified",
-    "sessionize",
-    "setops_users",
-    "windowed_event_counts",
-    # new this round (r10):
-    "dedup_exact_substring",
-    "dedup_exact_substring_fast",
-    "scrub_exact_substrings",
-    "lm_perplexity_buckets",
-    "transitions_stream_parity",
-    "dedup_semantic",
-    # changed this round (r10), must re-gate: q21 re-aggregates on
-    # s_name (ADVICE r9), c4_clean regex-escapes bad_words,
-    # curation_pipeline hint-None forwarding, multimodal_pipeline now
-    # exercises the REAL netpbm decode branch
-    "q21_waiting_supplier",
-    "c4_clean",
-    "curation_pipeline",
-    "multimodal_pipeline",
-    # new r9 (one green round only — keep in-window one more):
-    "q21_waiting_supplier",
-    "quality_stream_parity",
-    # consolidated this round (VERDICT r8 #3): new merged entries,
-    # never driver-gated under these names
-    "text_transforms",
-    # re-gated r9 after oracle recomposition; kept in-window one more
-    # round (q6/q14/text_profile/corpus_report rotated to tail in r10
-    # after their second green round)
 ]
 
 _GATE_TAIL = [
@@ -6538,15 +6555,12 @@ _GATE_TAIL = [
     # churn since; q6/q14 are single-shape micros green r9 plus every
     # earlier round under the same plan (the r9 re-gate was an oracle
     # recomposition, not an operator change).
-    "source_overlap",
     "q22_global_sales",
-    "doc_repetition",
     "q6_forecast_revenue",
     "q14_promo_share",
     # rotated r10 (second batch): green r8+r9 under unchanged plans,
     # both with SCALING evidence at their largest measured scale
     "text_profile",
-    "corpus_report",
     # rotated r11 (first batch, to make room for html_extract/
     # html_clean/classifier_score): green r9+r10 under unchanged plans
     "q2_min_cost_supplier",
@@ -6562,18 +6576,46 @@ _GATE_TAIL = [
     "q12_late_priority",
     "q16_supplier_cnt",
     "q20_heavy_shippers",
-    "decontaminate_bloom",
     "converters_roundtrip",
     "grouping_sets_counts",
     "quality_filter",
-    "dedup_paragraph",
     # rotated r11 (third batch, for export_pipeline/bpe_token_counts/
     # classifier_stream_parity): green r1-r10 with no churn since r6
     "moving_avg_events",
     "unpivot_source_stats",
     "source_lang_mix",
-    "mix_temperature",
     "dedup_simhash",
+    # rotated r12 (first batch): the r10-new entries after their
+    # second green round (r10+r11) under unchanged plans, incl. the
+    # rows-only fast twins (pair-equality pytests stay mandatory) and
+    # the two earliest stream-parity gates (the judge tail re-run
+    # replays the full streaming path via check_oracle)
+    "dedup_exact_substring",
+    "dedup_exact_substring_fast",
+    "scrub_exact_substrings",
+    "lm_perplexity_buckets",
+    "transitions_stream_parity",
+    "dedup_semantic",
+    "q21_waiting_supplier",
+    "c4_clean",
+    "curation_pipeline",
+    "multimodal_pipeline",
+    "quality_stream_parity",
+    "text_transforms",
+    # rotated r12 (second batch): the r11 staleness-rotation set got
+    # its fresh driver rows in r11; green r11 + judge-green r10 under
+    # plans unchanged since
+    "conditional_first",
+    "deidentify",
+    "distinct_values",
+    "group_concat",
+    "json_props",
+    "latest_event_per_user",
+    "q5_nation_revenue",
+    "sample_stratified",
+    "sessionize",
+    "setops_users",
+    "windowed_event_counts",
 ]
 
 

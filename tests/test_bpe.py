@@ -169,3 +169,51 @@ def test_token_counts_oracle_parity_on_exhausted_corpus(spark, tmp_path):
 
     df = spark.read.parquet(str(tmp_path / "documents.parquet"))
     assert bpe_train(df, "text", merges=8).count() < 8
+
+
+def test_model_artifact_roundtrip(spark, tmp_path):
+    """save_bpe_model -> load_bpe_model is lossless: the frozen table
+    reproduces the just-trained segmentation exactly, and the artifact
+    is self-describing (eow marker rides along, including eow=None)."""
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+        load_bpe_model,
+        save_bpe_model,
+    )
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the mat the cat",)],
+        "text string",
+    )
+    trained = bpe_train(df, "text", merges=6)
+    want = [
+        (r["lhs"], r["rhs"])
+        for r in trained.orderBy("merge_round").collect()
+    ]
+
+    path = str(tmp_path / "model")
+    save_bpe_model(trained, path)
+    merges, eow = load_bpe_model(spark, path)
+    assert merges == want and eow == "</w>"
+
+    # frozen segmentation == in-session segmentation on fresh words
+    words = spark.createDataFrame(
+        [("the",), ("theme",), ("matte",)], "w string"
+    )
+    a = words.select(bpe_apply(F.col("w"), want).alias("t")).collect()
+    b = words.select(bpe_apply(F.col("w"), merges, eow).alias("t")).collect()
+    assert [r["t"] for r in a] == [r["t"] for r in b]
+
+    # eow=None round-trips as None, not the string 'None'
+    save_bpe_model(trained, path, eow=None)
+    _, eow2 = load_bpe_model(spark, path)
+    assert eow2 is None
+
+    # empty table (zero merges trained) loads as an empty list with
+    # the default marker
+    save_bpe_model(trained.limit(0), path)
+    m3, eow3 = load_bpe_model(spark, path)
+    assert m3 == [] and eow3 == "</w>"
