@@ -4640,6 +4640,115 @@ def export_pipeline_q(spark, sf_dir):
     )
 
 
+@register(
+    "export_stream_parity",
+    rf"""
+    WITH t AS (
+      {_text_base_sql("doc_id, source")}
+    ), s AS (
+      SELECT doc_id, source,
+        {_GOPHER_SIGNALS_SQL}
+      FROM t
+    )
+    SELECT doc_id, source, n_words FROM s
+    WHERE {_GOPHER_KEEP_SQL}
+    """,
+    doc="Streaming sharded EXPORT parity gate (VERDICT r11 #3 — the "
+    "foreachBatch twin of export_pipeline, the last pipeline stage "
+    "with no streaming path). The documents table is split into three "
+    "staggered-mtime files replayed availableNow with "
+    "maxFilesPerTrigger=1; every micro-batch runs quality gate -> "
+    "2048-token packing -> write_sharded into its own "
+    "batch=<id>/shard=<k> parquet directories (overwrite per batch "
+    "dir = idempotent on foreachBatch retry, exactly-once "
+    "end-to-end). The entry re-reads EVERYTHING that landed and must "
+    "hash-match the batch Gopher keep set doc-for-doc (nothing lost, "
+    "nothing duplicated, token counts byte-identical to the batch "
+    "pipeline); in-entry asserts pin >= 3 real micro-batches and the "
+    "writer's per-batch balance bound (shard spread <= n_groups * "
+    "max item). Bin numbering is batch-local by construction (a "
+    "stream cannot know future arrivals), so the parity projection "
+    "is (doc_id, source, n_words) — the packing/serpentine math "
+    "itself is value-hash gated by pack_sequences/shard_assign/"
+    "export_pipeline.",
+)
+def export_stream_parity_q(spark, sf_dir):
+    import glob
+    import os
+    import time
+
+    from slurm2sql_spark.streaming.stream import export_stream
+
+    batch = _t(spark, sf_dir, "documents")
+    work = _parity_workdir("export", sf_dir)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    now = time.time()
+    for i in range(3):
+        stage = os.path.join(work, f"stage{i}")
+        (
+            batch.filter(F.col("doc_id") % 3 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        [pf] = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        os.rename(pf, dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    n_shards, n_groups = 8, 4
+    q = (
+        export_stream(
+            stream,
+            f"{work}/data",
+            n_shards=n_shards,
+            n_groups=n_groups,
+            salt="exs1",
+            min_words=30,
+            min_stop_hits=1,
+        )
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    if n_batches < 3:
+        raise AssertionError(
+            f"streaming export replay ran {n_batches} micro-batches; "
+            "the gate requires >= 3"
+        )
+    landed = spark.read.parquet(f"{work}/data")
+    # the writer's balance contract, checked per micro-batch: shard
+    # token spread <= n_groups * largest item (batches x shards rows)
+    per = (
+        landed.groupBy("batch", "shard")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .groupBy("batch")
+        .agg((F.max("tot") - F.min("tot")).alias("spread"))
+    )
+    mx = landed.groupBy("batch").agg(F.max("n_tokens").alias("mx"))
+    bad = (
+        per.join(mx, "batch")
+        .filter(F.col("spread") > n_groups * F.col("mx"))
+        .count()
+    )
+    if bad:
+        raise AssertionError(
+            f"{bad} micro-batches violate the shard balance bound"
+        )
+    return landed.select(
+        F.col("id").alias("doc_id"),
+        F.col("src").alias("source"),
+        F.col("n_tokens").alias("n_words"),
+    )
+
+
 def _bpe_oracle_sql(k: int, final: str | None = None) -> str:
     """DuckDB replay of ``merges=k`` BPE training rounds as chained
     CTEs (generated — the L21 recursive-CTE precedent for oracles the
@@ -6474,6 +6583,7 @@ _GATE_PRIORITY = [
     # new this round (r12):
     "url_domain_psl",
     "bpe_frozen_counts",
+    "export_stream_parity",
     # re-gated r12 (operator churn this round): url_table's domain
     # column switched to the PSL longest-match path (url_normalize and
     # crawl_frontier consume it); html_to_text's drop-tag handling

@@ -36,6 +36,7 @@ __all__ = [
     "boilerplate_stream",
     "quality_stream",
     "scrub_stream",
+    "export_stream",
 ]
 
 
@@ -411,3 +412,71 @@ def scrub_stream(
     return scrub_paragraphs_inline(
         doc_stream, id_col, text_col, blocked_hashes
     )
+
+
+def export_stream(
+    doc_stream: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    budget: int = 2048,
+    n_shards: int = 8,
+    n_groups: int = 4,
+    salt: str = "",
+    **thresholds: float,
+):
+    """Streaming sharded EXPORT — the foreachBatch twin of the batch
+    ``export_pipeline`` composition (VERDICT r11 #3: the last pipeline
+    stage with no streaming path). Each micro-batch runs the full
+    export tail: Gopher quality gate (L41) -> sequence packing into
+    ``budget``-token bins per source (L20) -> deterministic
+    size-balanced shard write (L60, ``write_sharded``) into
+    ``{path}/batch=<id>/shard=<k>/`` parquet.
+
+    Delivery contract: every kept document lands EXACTLY once.
+    ``foreachBatch`` may re-run a batch on failure, but the sink is a
+    per-batch directory written with mode=overwrite, so a replayed
+    batch id overwrites its own output instead of appending —
+    idempotent per batch, exactly-once end-to-end under availableNow
+    (file-source checkpointing never re-issues a committed batch id on
+    a clean restart).
+
+    Scale shape per micro-batch: the quality gate is a zero-exchange
+    scan projection; packing is one window keyed by ``source_col``;
+    the shard writer is one partitioned window + one repartition —
+    all bounded-key shuffles over batch-sized (not corpus-sized) data.
+    Packing offsets restart per micro-batch by construction (a stream
+    cannot know future arrivals); bin numbering is therefore
+    batch-local while the keep decision and per-doc token counts are
+    byte-identical to the batch pipeline (the parity gate pins those).
+
+    Returns the ``DataStreamWriter`` (caller picks trigger/checkpoint
+    and calls ``start()``).
+    """
+    from slurm2sql_spark.operators.packing import pack_sequences
+    from slurm2sql_spark.operators.sharding import write_sharded
+    from slurm2sql_spark.operators.textstats import quality_filter
+
+    def _export_batch(batch_df: DataFrame, batch_id: int) -> None:
+        qf = quality_filter(
+            batch_df, id_col, text_col,
+            keep_cols=(source_col,), **thresholds,
+        )
+        kept = qf.filter(F.col("keep")).select(
+            id_col, source_col, "n_words"
+        )
+        packed = pack_sequences(
+            kept, id_col, "n_words", budget=budget, shard_col=source_col
+        ).withColumnRenamed("shard", "src")
+        write_sharded(
+            packed,
+            "id",
+            "n_tokens",
+            f"{path}/batch={int(batch_id)}",
+            n_shards=n_shards,
+            n_groups=n_groups,
+            salt=salt,
+        )
+
+    return doc_stream.writeStream.foreachBatch(_export_batch)

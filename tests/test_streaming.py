@@ -452,3 +452,96 @@ def test_scrub_stream_append_mode_matches_batch(spark, tmp_path):
     by_id = dict((t[0], t) for t in got)
     assert by_id[1][1] == "Unique Body ONE" and by_id[1][3] == 1
     assert by_id[2][3] == 2
+
+
+def test_export_stream_exactly_once_and_balanced(spark, tmp_path):
+    """foreachBatch sharded export: every quality-kept doc lands
+    exactly once across batch=*/shard=* dirs, per-batch shard loads
+    respect the balance bound, and a retried batch id overwrites its
+    own directory instead of appending."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.textstats import quality_filter
+    from slurm2sql_spark.streaming.stream import export_stream
+
+    text = " ".join(
+        "the quick brown fox jumps over a lazy dog and then some"
+        .split() * 8
+    )
+    rows = [(i, text if i % 4 else "short", "s" + str(i % 2))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    src = tmp_path / "src"
+    src.mkdir()
+    import glob as _glob
+
+    for name, part in (
+        ("000.parquet", df.filter(F.col("doc_id") < 30)),
+        ("001.parquet", df.filter(F.col("doc_id") >= 30)),
+    ):
+        stage = str(tmp_path / f"stage_{name}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        [pf] = _glob.glob(stage + "/part-*.parquet")
+        os.rename(pf, str(src / name))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        export_stream(
+            stream, out, n_shards=4, n_groups=2, salt="t",
+            min_words=30, min_stop_hits=1,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = spark.read.parquet(out)
+    kept = quality_filter(
+        df, "doc_id", "text", keep_cols=("source",),
+        min_words=30, min_stop_hits=1,
+    ).filter(F.col("keep"))
+    got = sorted(r["id"] for r in landed.select("id").collect())
+    want = sorted(r["doc_id"] for r in kept.collect())
+    assert got == want  # exactly once, nothing lost
+
+    per = {
+        (r["batch"], r["shard"]): r["tot"]
+        for r in landed.groupBy("batch", "shard")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    batches = {b for b, _ in per}
+    assert len(batches) >= 2
+    mx = landed.agg(F.max("n_tokens")).first()[0]
+    for b in batches:
+        loads = [v for (bb, s), v in per.items() if bb == b]
+        assert max(loads) - min(loads) <= 2 * mx
+
+    # retry idempotence: re-driving one batch id overwrites its dir
+    from slurm2sql_spark.operators.packing import pack_sequences
+    from slurm2sql_spark.operators.sharding import write_sharded
+
+    b0 = sorted(batches)[0]
+    before = landed.filter(F.col("batch") == b0).count()
+    first_file = sorted(os.listdir(src))[0]
+    replay = spark.read.parquet(str(src / first_file))
+    qf = quality_filter(
+        replay, "doc_id", "text", keep_cols=("source",),
+        min_words=30, min_stop_hits=1,
+    ).filter(F.col("keep")).select("doc_id", "source", "n_words")
+    packed = pack_sequences(
+        qf, "doc_id", "n_words", budget=2048, shard_col="source"
+    ).withColumnRenamed("shard", "src")
+    write_sharded(
+        packed, "id", "n_tokens", f"{out}/batch={b0}",
+        n_shards=4, n_groups=2, salt="t",
+    )
+    after = spark.read.parquet(out).filter(F.col("batch") == b0).count()
+    assert after == before
