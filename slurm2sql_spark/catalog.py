@@ -4369,6 +4369,241 @@ def classifier_score_q(spark, sf_dir):
     ).select("doc_id", "label", "score", "keep")
 
 
+def _softmax_oracle_core(epochs: int) -> str:
+    """Generated DuckDB replay of ``epochs`` softmax GD rounds (salt
+    l1, m=256, lr=5) — the multinomial extension of _CLASSIFIER_ORACLE
+    built the _bpe_oracle_sql way: one weight vector per class, the
+    class set taken FROM the data (SQL needs no per-class literals),
+    every parameter floor-quantized per update in lockstep with
+    softmax_classifier_fit. Ends with a ``pred`` CTE (per-doc argmax:
+    quantized prob DESC, class ASC). Two finals share it:
+    lang_classifier (per-doc rows) and lang_mix_trained (the L48
+    temperature mix over PREDICTED strata).
+
+    The synthetic documents table uses ONE shared vocabulary for every
+    lang value (no real language signal), so both entries plant one:
+    4 of 5 docs have their text REPLACED by eight 'xq<lang>' marker
+    tokens plus two shared words (marker bins then dominate the
+    per-doc-normalized features — trained margins dwarf the 1e-6
+    quantum, keeping the cross-engine argmax stable); the other fifth
+    stays raw text and falls to the learned prior. This keeps the
+    prediction distribution non-degenerate so the per-class gradients,
+    the argmax tie-break and the downstream mix all do real
+    multi-class work."""
+    rounds = []
+    for e in range(1, epochs + 1):
+        prev_w, prev_bi = f"w{e - 1}", f"bi{e - 1}"
+        if e == 1:
+            # from w=0, b=0: every class scores exp(0)=1, p = 1/k
+            rounds.append("""
+    r1 AS MATERIALIZED (SELECT yh.doc_id, yh.c, 1.0 / k - yh.yc AS r FROM yh, kk),
+    w1 AS MATERIALIZED (SELECT r.c, f.b,
+                  floor((-5.0 * sum(f.x * r.r) / n_docs) * 1000000
+                        + 0.001) / 1000000 AS w
+           FROM feat f JOIN r1 r USING (doc_id), nd
+           GROUP BY r.c, f.b, n_docs),
+    bi1 AS MATERIALIZED (SELECT c, floor((-5.0 * avg(r)) * 1000000 + 0.001)
+                     / 1000000 AS bi
+            FROM r1 GROUP BY 1)""")
+            continue
+        rounds.append(f"""
+    s{e} AS (SELECT f.doc_id, {prev_w}.c, sum(f.x * {prev_w}.w) AS s
+           FROM feat f JOIN {prev_w} USING (b) GROUP BY 1, 2),
+    e{e} AS (SELECT yh.doc_id, yh.c, yh.yc,
+                  exp(coalesce(s{e}.s, 0.0) + {prev_bi}.bi) AS e
+           FROM yh LEFT JOIN s{e}
+                     ON yh.doc_id = s{e}.doc_id AND yh.c = s{e}.c
+                   JOIN {prev_bi} ON yh.c = {prev_bi}.c),
+    den{e} AS (SELECT doc_id, sum(e) AS den FROM e{e} GROUP BY 1),
+    r{e} AS MATERIALIZED (SELECT e{e}.doc_id, e{e}.c, e{e}.e / den{e}.den - e{e}.yc AS r
+           FROM e{e} JOIN den{e} USING (doc_id)),
+    g{e} AS (SELECT r.c, f.b, sum(f.x * r.r) / n_docs AS g
+           FROM feat f JOIN r{e} r USING (doc_id), nd
+           GROUP BY r.c, f.b, n_docs),
+    w{e} AS MATERIALIZED (SELECT {prev_w}.c, {prev_w}.b,
+                  floor(({prev_w}.w - 5.0 * g{e}.g) * 1000000 + 0.001)
+                    / 1000000 AS w
+           FROM {prev_w} JOIN g{e}
+                ON {prev_w}.c = g{e}.c AND {prev_w}.b = g{e}.b),
+    bi{e} AS MATERIALIZED (SELECT {prev_bi}.c,
+                   floor(({prev_bi}.bi - 5.0 * avg(r{e}.r)) * 1000000
+                         + 0.001) / 1000000 AS bi
+            FROM r{e} JOIN {prev_bi} ON r{e}.c = {prev_bi}.c
+            GROUP BY {prev_bi}.c, {prev_bi}.bi)""")
+    kf = epochs
+    return (
+        r"""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '')
+                  ELSE repeat(' xq' || coalesce(lang, ''), 8)
+                       || ' the data' END AS text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(coalesce(text, ''))),
+                                '[ 	
+
+]+') AS w
+      FROM aug
+    ),
+    grams AS (
+      SELECT doc_id, unnest(w) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    ),
+    occ AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g || 'l1'), 1, 8))::BIGINT % 256 AS b
+      FROM grams
+    ),
+    grain AS (SELECT doc_id, b, count(*) AS n FROM occ GROUP BY 1, 2),
+    tots AS (SELECT doc_id, sum(n) AS t FROM grain GROUP BY 1),
+    feat AS MATERIALIZED (SELECT g.doc_id, g.b, g.n / CAST(t.t AS DOUBLE) AS x
+             FROM grain g JOIN tots t USING (doc_id)),
+    lab AS (SELECT doc_id, lang AS y FROM documents),
+    cls AS (SELECT DISTINCT lang AS c FROM documents
+            WHERE lang IS NOT NULL),
+    nd AS (SELECT count(*) AS n_docs FROM tots),
+    kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM cls),
+    yh AS MATERIALIZED (SELECT l.doc_id, c.c,
+                  CASE WHEN l.y = c.c THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END AS yc
+           FROM lab l CROSS JOIN cls c),"""
+        + ",".join(rounds)
+        + f""",
+    -- final scoring pass under (w{kf}, bi{kf})
+    sF AS (SELECT f.doc_id, w{kf}.c, sum(f.x * w{kf}.w) AS s
+           FROM feat f JOIN w{kf} USING (b) GROUP BY 1, 2),
+    eF AS (SELECT yh.doc_id, yh.c,
+                  exp(coalesce(sF.s, 0.0) + bi{kf}.bi) AS e
+           FROM yh LEFT JOIN sF ON yh.doc_id = sF.doc_id AND yh.c = sF.c
+                   JOIN bi{kf} ON yh.c = bi{kf}.c),
+    denF AS (SELECT doc_id, sum(e) AS den FROM eF GROUP BY 1),
+    pF AS (SELECT eF.doc_id, eF.c,
+                  floor((eF.e / denF.den) * 1000000 + 0.001)
+                    / 1000000 AS p
+           FROM eF JOIN denF USING (doc_id)),
+    pred AS (SELECT doc_id, c, p FROM (
+               SELECT doc_id, c, p,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY p DESC, c) AS rn
+               FROM pF) WHERE rn = 1)
+"""
+    )
+
+
+_LANG_CLF_CORE = _softmax_oracle_core(4)
+
+
+def _lang_aug_docs(spark, sf_dir):
+    """The planted-signal corpus both lang entries train on (see
+    _softmax_oracle_core): 4 of 5 docs have their text REPLACED by
+    eight xq<lang> marker tokens + two shared words (marker bins then
+    dominate the per-doc-normalized features, so the trained margins
+    dwarf the 1e-6 quantum — a near-tied argmax would be
+    engine-unstable), the rest stay raw and fall to the learned
+    prior."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    mark = F.concat(F.lit(" xq"), F.coalesce(F.col("lang"), F.lit("")))
+    marked = F.concat(*([mark] * 8), F.lit(" the data"))
+    aug = F.when(
+        i % 5 == 0, F.coalesce(F.col("text"), F.lit(""))
+    ).otherwise(marked)
+    return docs.select("doc_id", aug.alias("text"), "lang")
+
+
+@register(
+    "lang_classifier",
+    _LANG_CLF_CORE
+    + """
+    SELECT pred.doc_id, lab.y AS lang, pred.c AS pred, pred.p AS score
+    FROM pred JOIN lab ON pred.doc_id = lab.doc_id
+    """,
+    doc="TRAINED language identification (VERDICT r11 #4 — the "
+    "fastText posture: softmax_classifier_fit, operators/"
+    "classifier.py): multinomial logistic regression over the shared "
+    "hashed unigram+bigram featurization (m=256, salt l1), one weight "
+    "vector per language, trained in-entry by four deterministic "
+    "full-batch GD epochs on the documents lang labels, then every "
+    "document classified: (doc_id, lang, pred, score) with the argmax "
+    "tie-break total (quantized prob DESC, class ASC). Replaces the "
+    "stopword-list heuristic (L38's lang_id) as the production "
+    "language-ID path. Scale: the binary classifier's contract times "
+    "k — per epoch one (k x m)-row broadcast weight table, map-side-"
+    "combined per-(doc, class) score sums, a per-doc softmax "
+    "denominator, and ONE (k x (m+1))-bounded gradient aggregate "
+    "collected per epoch; the feature grain persists across epochs "
+    "(one corpus tokenize total). Oracle replays both epochs as "
+    "GENERATED chained CTEs (the _bpe_oracle_sql pattern) with the "
+    "class set taken from the data — quantized "
+    "lockstep makes the fit engine-portable bit-for-bit.",
+)
+def lang_classifier_q(spark, sf_dir):
+    from slurm2sql_spark.operators.classifier import (
+        softmax_classifier_fit,
+        softmax_classifier_score,
+    )
+
+    docs = _lang_aug_docs(spark, sf_dir)
+    classes, w, b = softmax_classifier_fit(
+        docs, "doc_id", "text", "lang", m=256, epochs=4, lr=5.0, salt="l1"
+    )
+    pred = softmax_classifier_score(
+        docs, "doc_id", "text", classes, w, b, m=256, salt="l1"
+    )
+    return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "pred", "score"
+    )
+
+
+@register(
+    "lang_mix_trained",
+    _LANG_CLF_CORE
+    + """
+    , counts AS (SELECT c AS stratum, count(*) AS n FROM pred GROUP BY 1),
+    pq AS (SELECT stratum, n, pow(n, 1.0/2.0) AS pw FROM counts),
+    tq AS (SELECT sum(pw) AS s, sum(n) AS nt FROM pq),
+    tgt AS (SELECT stratum, n, pw / s AS prob, nt FROM pq, tq),
+    rr AS (SELECT min(n / (nt * prob)) AS r FROM tgt)
+    SELECT stratum, n,
+           floor(prob * 1000000 + 0.001) / 1000000 AS target,
+           floor(least(1.0, prob * r * nt / n) * 1000000 + 0.001)
+             / 1000000 AS fraction
+    FROM tgt, rr
+    """,
+    doc="Language-mixing composition ON THE TRAINED PATH (VERDICT r11 "
+    "#4's last clause): the softmax language classifier's per-doc "
+    "predictions feed temperature-scaled mixing (L48, T=2) directly — "
+    "train -> classify -> stratify -> mix in ONE plan, the production "
+    "shape for multilingual corpus balancing where no gold lang "
+    "labels exist at corpus scale (labels train the model on a "
+    "curated slice; the MODEL strata the crawl). Shuffles beyond the "
+    "classifier's bounded aggregates: one |languages|-bounded count; "
+    "the mix math is 1-row broadcast scalar arithmetic. Oracle = the "
+    "full chained-CTE training replay + the mix_temperature math over "
+    "the predicted strata.",
+)
+def lang_mix_trained_q(spark, sf_dir):
+    from slurm2sql_spark.operators.classifier import (
+        softmax_classifier_fit,
+        softmax_classifier_score,
+    )
+    from slurm2sql_spark.operators.sampling import mix_temperature
+
+    docs = _lang_aug_docs(spark, sf_dir)
+    classes, w, b = softmax_classifier_fit(
+        docs, "doc_id", "text", "lang", m=256, epochs=4, lr=5.0, salt="l1"
+    )
+    pred = softmax_classifier_score(
+        docs, "doc_id", "text", classes, w, b, m=256, salt="l1"
+    )
+    return mix_temperature(pred, "pred", 2.0)
+
+
 @register(
     "shard_assign",
     r"""
@@ -6584,6 +6819,8 @@ _GATE_PRIORITY = [
     "url_domain_psl",
     "bpe_frozen_counts",
     "export_stream_parity",
+    "lang_classifier",
+    "lang_mix_trained",
     # re-gated r12 (operator churn this round): url_table's domain
     # column switched to the PSL longest-match path (url_normalize and
     # crawl_frontier consume it); html_to_text's drop-tag handling

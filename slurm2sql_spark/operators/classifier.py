@@ -41,6 +41,8 @@ __all__ = [
     "hashed_classifier_fit",
     "hashed_classifier_score",
     "hashed_classifier_score_inline",
+    "softmax_classifier_fit",
+    "softmax_classifier_score",
 ]
 
 
@@ -285,4 +287,217 @@ def hashed_classifier_score(
         F.col(id_col),
         score.alias("score"),
         (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def softmax_classifier_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    m: int = 1024,
+    epochs: int = 2,
+    lr: float = 5.0,
+    salt: str = "",
+    bigrams: bool = True,
+    quantize: int = 1_000_000,
+) -> tuple[list[str], dict[str, dict[int, float]], dict[str, float]]:
+    """Multinomial (softmax) extension of :func:`hashed_classifier_fit`
+    — the fastText language-ID posture (VERDICT r11 #4): one weight
+    vector per class over the SAME shared hashed unigram+bigram
+    featurization, trained by ``epochs`` full-batch GD steps from
+    w=0/b=0 with every parameter floor-quantized after each update
+    (the bit-reproducible lockstep a chained-CTE SQL oracle replays).
+
+    ``label_col`` is a STRING class label; the class set is collected
+    from the data (k rows — |languages|-bounded driver traffic).
+    Returns ``(classes, {cls: {bin: w}}, {cls: bias})``.
+
+    Math per epoch: s_dc = w_c . x_d; p_dc = exp(s_dc + b_c) /
+    sum_c' exp(s_dc' + b_c'); grad_cb = sum_d x_db (p_dc - y_dc) / N;
+    grad bias_c = mean_d (p_dc - y_dc). No max-subtraction in the
+    softmax — scores stay O(lr) small under per-doc-normalized
+    features, and the two engines must compute the SAME expression.
+
+    Scale contract (the binary fit's shape, times k): per epoch one
+    (k x m)-row broadcast of the weight table, one map-side-combined
+    per-(doc, class) score sum, one per-doc softmax denominator
+    aggregation, and one (k x (m+1))-BOUNDED gradient aggregate
+    collected to the driver. The feature grain persists across epochs
+    — the corpus tokenizes once.
+    """
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    from .dedup import _persist
+
+    spark = df.sparkSession
+    feat = _persist(_features(df, id_col, text_col, m, salt, bigrams))
+    labels = df.select(
+        F.col(id_col), F.col(label_col).cast("string").alias("_y")
+    )
+    classes = sorted(
+        r["_y"] for r in labels.select("_y").distinct().collect()
+        if r["_y"] is not None
+    )
+    n_docs = feat.select(id_col).distinct().count()
+    if n_docs == 0 or not classes:
+        return classes, {}, {}
+    k = len(classes)
+    clsdf = spark.createDataFrame([(c,) for c in classes], "_cls string")
+    # per-(doc, class) one-hot targets — k x N rows, but never shuffled
+    # at that grain: it joins back on the doc key only
+    # eqNullSafe: a NULL label is simply "none of the classes" (all
+    # targets 0.0, matching SQL CASE-with-ELSE semantics), never a
+    # NULL target that would poison the gradients
+    ydf = labels.crossJoin(F.broadcast(clsdf)).select(
+        id_col,
+        "_cls",
+        F.col("_y").eqNullSafe(F.col("_cls")).cast("double").alias("_yc"),
+    )
+
+    w: dict[str, dict[int, float]] = {c: {} for c in classes}
+    bias: dict[str, float] = {c: 0.0 for c in classes}
+    for _ in range(int(epochs)):
+        flat = [
+            (c, b, wv)
+            for c in classes
+            for b, wv in sorted(w[c].items())
+        ]
+        if flat:
+            wdf = F.broadcast(
+                spark.createDataFrame(flat, "_cls string, b int, _w double")
+            )
+            summed = (
+                feat.join(wdf, "b")
+                .groupBy(id_col, "_cls")
+                .agg(F.sum(F.col("x") * F.col("_w")).alias("_s"))
+            )
+            # docs/classes with no matching bins score 0: rebuild the
+            # dense (doc, class) grid from the one-hot frame
+            scored = ydf.select(id_col, "_cls").join(
+                summed, [id_col, "_cls"], "left"
+            ).select(
+                id_col, "_cls", F.coalesce(F.col("_s"), F.lit(0.0)).alias("_s")
+            )
+        else:
+            scored = ydf.select(id_col, "_cls", F.lit(0.0).alias("_s"))
+        bdf = F.broadcast(
+            spark.createDataFrame(
+                [(c, bias[c]) for c in classes], "_cls string, _b double"
+            )
+        )
+        ex = scored.join(bdf, "_cls").select(
+            id_col, "_cls", F.exp(F.col("_s") + F.col("_b")).alias("_e")
+        )
+        den = ex.groupBy(id_col).agg(F.sum("_e").alias("_den"))
+        resid = (
+            ex.join(den, id_col)
+            .join(ydf, [id_col, "_cls"])
+            .select(
+                id_col,
+                "_cls",
+                (F.col("_e") / F.col("_den") - F.col("_yc")).alias("_r"),
+            )
+        )
+        # ONE gradient aggregation per epoch: bias rides as pseudo-bin
+        # -1 with x=1 (the binary fit's trick, per class)
+        base = feat.select(id_col, "b", "x").join(resid, id_col)
+        base = base.unionByName(
+            resid.select(
+                F.col(id_col),
+                F.lit(-1).alias("b"),
+                F.lit(1.0).alias("x"),
+                "_cls",
+                "_r",
+            )
+        )
+        grad_rows = (
+            base.groupBy("_cls", "b")
+            .agg((F.sum(F.col("x") * F.col("_r")) / F.lit(n_docs)).alias("g"))
+            .collect()
+        )
+        for row in grad_rows:
+            c = row["_cls"]
+            if row["b"] == -1:
+                bias[c] = _q(bias[c] - lr * row["g"], quantize)
+            else:
+                w[c][row["b"]] = _q(
+                    w[c].get(row["b"], 0.0) - lr * row["g"], quantize
+                )
+    return classes, w, bias
+
+
+def softmax_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    classes: list[str],
+    weights: dict[str, dict[int, float]],
+    biases: dict[str, float],
+    m: int = 1024,
+    salt: str = "",
+    bigrams: bool = True,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Predict a class per document under a fitted softmax model:
+    ``(id, pred, score)`` where ``pred`` is the argmax class (total
+    tie-break: quantized probability DESC, class name ASC) and
+    ``score`` its floor-quantized softmax probability.
+
+    Same scale shape as the binary scorer times k: the (k x m) weight
+    table broadcasts, scores aggregate map-side per (doc, class), the
+    softmax denominator is one per-doc sum, and the argmax is one
+    bounded window over k rows per doc."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    feat = _features(df, id_col, text_col, m, salt, bigrams)
+    clsdf = spark.createDataFrame([(c,) for c in classes], "_cls string")
+    docs = feat.select(id_col).distinct()
+    grid = docs.crossJoin(F.broadcast(clsdf))
+    flat = [
+        (c, b, wv)
+        for c in classes
+        for b, wv in sorted(weights.get(c, {}).items())
+    ]
+    if flat:
+        wdf = F.broadcast(
+            spark.createDataFrame(flat, "_cls string, b int, _w double")
+        )
+        summed = (
+            feat.join(wdf, "b")
+            .groupBy(id_col, "_cls")
+            .agg(F.sum(F.col("x") * F.col("_w")).alias("_s"))
+        )
+        scored = grid.join(summed, [id_col, "_cls"], "left").select(
+            id_col, "_cls", F.coalesce(F.col("_s"), F.lit(0.0)).alias("_s")
+        )
+    else:
+        scored = grid.select(id_col, "_cls", F.lit(0.0).alias("_s"))
+    bdf = F.broadcast(
+        spark.createDataFrame(
+            [(c, float(biases.get(c, 0.0))) for c in classes],
+            "_cls string, _b double",
+        )
+    )
+    ex = scored.join(bdf, "_cls").select(
+        id_col, "_cls", F.exp(F.col("_s") + F.col("_b")).alias("_e")
+    )
+    den = ex.groupBy(id_col).agg(F.sum("_e").alias("_den"))
+    q = F.lit(float(quantize))
+    prob = F.floor((F.col("_e") / F.col("_den")) * q + F.lit(1e-3)) / q
+    ranked = ex.join(den, id_col).select(
+        id_col, "_cls", prob.alias("_p")
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("_p").desc(), F.col("_cls").asc()
+    )
+    return (
+        ranked.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("_cls").alias("pred"),
+            F.col("_p").alias("score"),
+        )
     )

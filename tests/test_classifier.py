@@ -137,3 +137,91 @@ def test_epochs_validation(spark):
         hashed_classifier_fit(
             docs, "doc_id", "text", "label", epochs=0
         )
+
+
+def _lang_corpus(spark, n_per=24):
+    """Three languages with DISJOINT vocabularies — a corpus where a
+    working language classifier must separate perfectly."""
+    vocab = {
+        "en": "the and of to in for with on that is",
+        "de": "der die und das ist mit ein nicht auf zu",
+        "fr": "le la et les des un une dans pour que",
+    }
+    rows, i = [], 0
+    for lang, words in vocab.items():
+        ws = words.split()
+        for d in range(n_per):
+            text = " ".join(ws[(d + j) % len(ws)] for j in range(20))
+            rows.append((i, text, lang))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id int, text string, lang string")
+
+
+def test_softmax_rank_separation_per_language(spark):
+    """Every document's own language must outrank every other class
+    (the VERDICT r11 #4 acceptance bar): 100% argmax accuracy on
+    disjoint-vocabulary languages, and the winning probability beats
+    the losers by a real margin (not a quantization-level tie)."""
+    from slurm2sql_spark.operators.classifier import (
+        softmax_classifier_fit,
+        softmax_classifier_score,
+    )
+
+    df = _lang_corpus(spark)
+    classes, w, b = softmax_classifier_fit(
+        df, "doc_id", "text", "lang", m=256, epochs=2, lr=5.0, salt="t1"
+    )
+    assert classes == ["de", "en", "fr"]
+    pred = softmax_classifier_score(
+        df, "doc_id", "text", classes, w, b, m=256, salt="t1"
+    )
+    joined = pred.join(df.select("doc_id", "lang"), "doc_id").collect()
+    assert all(r["pred"] == r["lang"] for r in joined)
+    # winner clear of the 1/k prior by far more than the 1e-6 quantum
+    assert all(r["score"] > 1.0 / 3 + 0.01 for r in joined)
+
+
+def test_softmax_fit_partitioning_independent(spark):
+    """The quantized-lockstep contract: weights, biases and class
+    order are bit-identical under any input partitioning."""
+    from slurm2sql_spark.operators.classifier import softmax_classifier_fit
+
+    df = _lang_corpus(spark, n_per=12)
+    a = softmax_classifier_fit(
+        df, "doc_id", "text", "lang", m=128, epochs=2, lr=5.0, salt="t2"
+    )
+    b = softmax_classifier_fit(
+        df.repartition(13), "doc_id", "text", "lang",
+        m=128, epochs=2, lr=5.0, salt="t2",
+    )
+    assert a == b
+
+
+def test_softmax_null_label_and_empty_corpus(spark):
+    """NULL labels are 'none of the classes' (all targets 0), never a
+    gradient-poisoning NULL; an empty corpus returns empty model."""
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.classifier import (
+        softmax_classifier_fit,
+        softmax_classifier_score,
+    )
+
+    df = _lang_corpus(spark, n_per=6)
+    with_null = df.withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("lang"))
+    )
+    classes, w, b = softmax_classifier_fit(
+        with_null, "doc_id", "text", "lang", m=64, epochs=1, salt="t3"
+    )
+    assert classes == ["de", "en", "fr"]  # NULL is not a class
+    scored = softmax_classifier_score(
+        with_null, "doc_id", "text", classes, w, b, m=64, salt="t3"
+    )
+    assert scored.count() == with_null.count()  # NULL-label docs score too
+
+    empty = spark.createDataFrame([], "doc_id int, text string, lang string")
+    classes, w, b = softmax_classifier_fit(
+        empty, "doc_id", "text", "lang", m=64, epochs=1
+    )
+    assert classes == [] and w == {} and b == {}
