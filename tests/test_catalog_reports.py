@@ -183,3 +183,42 @@ def test_curate_c4_mode_dedups_on_cleaned_text(spark):
 
     with _p.raises(ValueError, match="unknown quality family"):
         curate(docs, docs, "doc_id", "text", quality="nope").collect()
+
+
+def test_bench_compact_line_roundtrip_and_headroom():
+    """encode_walls/decode_walls round-trip exactly, the compact line
+    stays under the driver's ~2000-byte stdout tail with 250 entries
+    (the r12 headroom bar was >= 110), and a wrong name list is
+    rejected rather than silently mis-zipped."""
+    import json
+
+    import pytest as _pytest
+
+    import bench
+
+    times = {
+        f"query_name_with_realistic_length_{i:03d}": round(
+            0.05 + (i % 37) * 0.173 + (i % 7) * 1.01, 3
+        )
+        for i in range(250)
+    }
+    enc = bench.encode_walls(times)
+    back = bench.decode_walls(enc, list(times))
+    assert back == times
+
+    compact = {
+        "metric": "catalog_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": len(times),
+        "value_median": 1.0,
+        "iterations": 3,
+        "full": "BENCH_FULL.json",
+        **enc,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1950, len(line)
+
+    with _pytest.raises(ValueError):
+        bench.decode_walls(enc, list(times)[:-1] + ["imposter"])
