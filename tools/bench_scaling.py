@@ -118,6 +118,15 @@ DUCK_QUERIES = [
     # engines (within-cell joins only), components close in
     # group-diameter rounds / one recursive CTE
     "dedup_semantic",
+    # r12: the new operator families (PSL CASE projection, BPE artifact
+    # round-trip, 4-epoch softmax chained-CTE replay, frontier off a
+    # persisted urls scan) — all linear oracles; crawl_frontier rides
+    # along for its missing 1x/10x rows (VERDICT r11 #8)
+    "url_domain_psl",
+    "bpe_frozen_counts",
+    "lang_classifier",
+    "lang_mix_trained",
+    "crawl_frontier",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -210,6 +219,19 @@ X100_QUERIES = [
     "dedup_exact_substring",
     "scrub_exact_substrings",
     "dedup_semantic",
+    # r12 (VERDICT r11 #8): 100x rows for the r11 entries still missing
+    # a decade, plus the r12 families. Per-doc-output oracles wrap in
+    # the engine-only aggregate (X100_DUCK_AGG_WRAP).
+    "html_clean",
+    "classifier_score",
+    "bpe_train",
+    "bpe_token_counts",
+    "export_pipeline",
+    "crawl_frontier",
+    "url_domain_psl",
+    "bpe_frozen_counts",
+    "lang_classifier",
+    "lang_mix_trained",
 ]
 X100_DUCK_SKIP: set[str] = {
     # r11 measured DNF: at the production-scaled spec (nlist=1600,
@@ -230,6 +252,14 @@ X100_DUCK_SKIP: set[str] = {
 # writes materialize every row without driver transfer.
 X100_DUCK_AGG_WRAP = {
     "sacct_eff",
+    # r12: per-doc outputs (~500k rows at 100x) — fetchall would time
+    # the Python client, not the engine
+    "html_clean",
+    "classifier_score",
+    "bpe_token_counts",
+    "bpe_frozen_counts",
+    "url_domain_psl",
+    "lang_classifier",
     # r11: per-doc span stats (~500k rows) and full scrubbed text
     # (~corpus-sized bytes) — both would measure fetchall, not the
     # engine, at 100x
