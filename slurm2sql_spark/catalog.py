@@ -4282,37 +4282,41 @@ _CLASSIFIER_ORACLE = r"""
     ),
     grain AS (SELECT doc_id, b, count(*) AS n FROM occ GROUP BY 1, 2),
     tots AS (SELECT doc_id, sum(n) AS t FROM grain GROUP BY 1),
-    feat AS (SELECT g.doc_id, g.b, g.n / CAST(t.t AS DOUBLE) AS x
+    -- MATERIALIZED: feat/lab/r*/w*/bi* are referenced by several
+    -- later CTEs; plain CTEs re-inline exponentially per epoch in
+    -- DuckDB (measured r12: the un-hinted form spilled past 55 GiB at
+    -- 100x while the hinted softmax twin runs in ~85 s)
+    feat AS MATERIALIZED (SELECT g.doc_id, g.b, g.n / CAST(t.t AS DOUBLE) AS x
              FROM grain g JOIN tots t USING (doc_id)),
-    lab AS (SELECT doc_id,
+    lab AS MATERIALIZED (SELECT doc_id,
                    CASE WHEN source = 'src0'
                         THEN CAST(1.0 AS DOUBLE)
                         ELSE CAST(0.0 AS DOUBLE) END AS y
             FROM documents),
     nd AS (SELECT count(*) AS n_docs FROM tots),
     -- epoch 1 from w=0, bias=0: sigmoid(0)=0.5, so resid = 0.5 - y
-    r1 AS (SELECT t.doc_id, 0.5 - l.y AS r
+    r1 AS MATERIALIZED (SELECT t.doc_id, 0.5 - l.y AS r
            FROM tots t JOIN lab l USING (doc_id)),
-    w1 AS (SELECT f.b,
+    w1 AS MATERIALIZED (SELECT f.b,
                   floor((-5.0 * sum(f.x * r.r) / n_docs) * 1000000
                         + 0.001) / 1000000 AS w
            FROM feat f JOIN r1 r USING (doc_id), nd
            GROUP BY f.b, n_docs),
-    bi1 AS (SELECT floor((-5.0 * avg(r)) * 1000000 + 0.001)
+    bi1 AS MATERIALIZED (SELECT floor((-5.0 * avg(r)) * 1000000 + 0.001)
                    / 1000000 AS bias
             FROM r1),
     -- epoch 2 at (w1, bi1)
     s2 AS (SELECT f.doc_id, sum(f.x * w1.w) AS s
            FROM feat f JOIN w1 USING (b) GROUP BY 1),
-    r2 AS (SELECT s2.doc_id,
+    r2 AS MATERIALIZED (SELECT s2.doc_id,
                   1.0 / (1.0 + exp(-(s2.s + bi1.bias))) - l.y AS r
            FROM s2 JOIN lab l USING (doc_id), bi1),
-    w2 AS (SELECT f.b,
+    w2 AS MATERIALIZED (SELECT f.b,
                   floor((w1.w - 5.0 * sum(f.x * r.r) / n_docs)
                         * 1000000 + 0.001) / 1000000 AS w
            FROM feat f JOIN r2 r USING (doc_id) JOIN w1 USING (b), nd
            GROUP BY f.b, w1.w, n_docs),
-    bi2 AS (SELECT floor((bi1.bias - 5.0 * avg(r.r)) * 1000000 + 0.001)
+    bi2 AS MATERIALIZED (SELECT floor((bi1.bias - 5.0 * avg(r.r)) * 1000000 + 0.001)
                    / 1000000 AS bias
             FROM r2 r, bi1 GROUP BY bi1.bias),
     sc AS (SELECT f.doc_id, sum(f.x * w2.w) AS s

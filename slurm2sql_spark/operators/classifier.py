@@ -43,6 +43,7 @@ __all__ = [
     "hashed_classifier_score_inline",
     "softmax_classifier_fit",
     "softmax_classifier_score",
+    "softmax_classifier_score_inline",
 ]
 
 
@@ -500,4 +501,86 @@ def softmax_classifier_score(
             F.col("_cls").alias("pred"),
             F.col("_p").alias("score"),
         )
+    )
+
+
+def softmax_classifier_score_inline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    classes: list[str],
+    weights: dict[str, dict[int, float]],
+    biases: dict[str, float],
+    m: int = 1024,
+    salt: str = "",
+    bigrams: bool = True,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """ZERO-SHUFFLE deployment twin of :func:`softmax_classifier_score`
+    (the ``hashed_classifier_score_inline`` posture, per class): the
+    trained (k x m) weight table inlines as ONE map literal from bin to
+    the k-vector of class weights, the gram scan accumulates a k-array
+    of score sums in a single ``aggregate`` pass, and softmax + argmax
+    fold into the same scan-stage projection — no join, no aggregation,
+    no state. Stream-safe: ``streaming.stream.lang_id_stream`` wraps it
+    for micro-batch language ID. Identical output to the join form
+    (same featurization and quantization; argmax tie-break matches
+    because ``classes`` is sorted and ``array_position`` returns the
+    FIRST maximal index = smallest class name), pinned by pytest.
+    """
+    from .sampling import gram_array, hash_bucket
+
+    classes = sorted(classes)
+    k = len(classes)
+    if k == 0:
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("string").alias("pred"),
+            F.lit(None).cast("double").alias("score"),
+        )
+    bins = sorted({b for c in classes for b in weights.get(c, {})})
+    grams = gram_array(text_col, bigrams)
+    zeros = F.array(*[F.lit(0.0) for _ in classes])
+    if bins:
+        wmap = F.create_map(
+            *[
+                x
+                for b in bins
+                for x in (
+                    F.lit(int(b)),
+                    F.array(
+                        *[
+                            F.lit(float(weights.get(c, {}).get(b, 0.0)))
+                            for c in classes
+                        ]
+                    ),
+                )
+            ]
+        )
+        lookup = lambda g: F.coalesce(  # noqa: E731
+            F.element_at(
+                wmap, (hash_bucket(g, salt) % F.lit(int(m))).cast("int")
+            ),
+            zeros,
+        )
+        sums = F.aggregate(
+            grams,
+            zeros,
+            lambda acc, g: F.zip_with(acc, lookup(g), lambda a, b: a + b),
+        )
+    else:
+        sums = zeros
+    n = F.size(grams).cast("double")
+    bvec = F.array(*[F.lit(float(biases.get(c, 0.0))) for c in classes])
+    ex = F.zip_with(sums, bvec, lambda s, b: F.exp(s / n + b))
+    den = F.aggregate(ex, F.lit(0.0), lambda a, e: a + e)
+    q = F.lit(float(quantize))
+    probs = F.transform(ex, lambda e: F.floor(e / den * q + F.lit(1e-3)) / q)
+    best = F.array_max(probs)
+    idx = F.array_position(probs, best).cast("int")
+    cls_arr = F.array(*[F.lit(c) for c in classes])
+    return df.select(
+        F.col(id_col),
+        F.element_at(cls_arr, idx).alias("pred"),
+        best.alias("score"),
     )

@@ -37,6 +37,7 @@ __all__ = [
     "quality_stream",
     "scrub_stream",
     "export_stream",
+    "lang_id_stream",
 ]
 
 
@@ -480,3 +481,34 @@ def export_stream(
         )
 
     return doc_stream.writeStream.foreachBatch(_export_batch)
+
+
+def lang_id_stream(
+    doc_stream: DataFrame,
+    classes: list[str],
+    weights: dict[str, dict[int, float]],
+    biases: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Streaming TRAINED language ID: a softmax model fitted offline
+    (``classifier.softmax_classifier_fit``) applied to documents as
+    they land — the per-class twin of :func:`classifier_stream` and
+    the deployment posture for multilingual routing (train on a
+    labeled slice, tag the live crawl).
+
+    STATELESS: the inline scorer folds the (k x m) weight map, the
+    k-array score accumulation, softmax and argmax into one scan-stage
+    projection (no join, no aggregation, no state store), so it runs
+    in **append** mode with per-row latency and zero shuffle. A
+    document tags identically on the stream and in the batch sweep —
+    the inline-vs-join parity pytest pins that. Extra kwargs forward
+    to the scorer (m, salt, bigrams, quantize)."""
+    from slurm2sql_spark.operators.classifier import (
+        softmax_classifier_score_inline,
+    )
+
+    return softmax_classifier_score_inline(
+        doc_stream, id_col, text_col, classes, weights, biases, **kwargs
+    )

@@ -225,3 +225,86 @@ def test_softmax_null_label_and_empty_corpus(spark):
         empty, "doc_id", "text", "lang", m=64, epochs=1
     )
     assert classes == [] and w == {} and b == {}
+
+
+def test_softmax_inline_matches_join_form(spark):
+    """The zero-exchange inline scorer is bit-identical to the join
+    form on every document (pred AND quantized score), including docs
+    with no matching weight bins and empty text."""
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.classifier import (
+        softmax_classifier_fit,
+        softmax_classifier_score,
+        softmax_classifier_score_inline,
+    )
+
+    df = _lang_corpus(spark).unionByName(
+        spark.createDataFrame(
+            [(900, "", "en"), (901, None, "de")],
+            "doc_id int, text string, lang string",
+        )
+    )
+    classes, w, b = softmax_classifier_fit(
+        df, "doc_id", "text", "lang", m=128, epochs=2, lr=5.0, salt="t4"
+    )
+    join_form = {
+        r["doc_id"]: (r["pred"], r["score"])
+        for r in softmax_classifier_score(
+            df, "doc_id", "text", classes, w, b, m=128, salt="t4"
+        ).collect()
+    }
+    inline = {
+        r["doc_id"]: (r["pred"], r["score"])
+        for r in softmax_classifier_score_inline(
+            df, "doc_id", "text", classes, w, b, m=128, salt="t4"
+        ).collect()
+    }
+    assert inline == join_form
+
+    # the inline plan is a single scan-stage projection: no Exchange
+    plan = softmax_classifier_score_inline(
+        df, "doc_id", "text", classes, w, b, m=128, salt="t4"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_lang_id_stream_append_mode_matches_batch(spark, tmp_path):
+    """lang_id_stream tags micro-batches identically to the batch
+    scorer — stateless append mode, no watermark."""
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.classifier import (
+        softmax_classifier_fit,
+        softmax_classifier_score_inline,
+    )
+    from slurm2sql_spark.streaming.stream import lang_id_stream
+
+    df = _lang_corpus(spark, n_per=10)
+    classes, w, b = softmax_classifier_fit(
+        df, "doc_id", "text", "lang", m=128, epochs=2, lr=5.0, salt="t5"
+    )
+    src = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = lang_id_stream(stream, classes, w, b, m=128, salt="t5")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "data"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = {
+        r["doc_id"]: (r["pred"], r["score"])
+        for r in spark.read.parquet(str(tmp_path / "data")).collect()
+    }
+    want = {
+        r["doc_id"]: (r["pred"], r["score"])
+        for r in softmax_classifier_score_inline(
+            df, "doc_id", "text", classes, w, b, m=128, salt="t5"
+        ).collect()
+    }
+    assert landed == want

@@ -667,14 +667,47 @@ def time_duck(QUERIES, names, sf_dir, passes=3, agg_wrap=frozenset()):
             if os.path.exists(f"{sf_dir}/{t}.parquet"):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         for name in names:
+            if name in _DUCK_DNF:
+                continue
             sql = QUERIES[name].oracle
             if name in agg_wrap:
                 sql = _AGG_WRAP_SQL.format(sql=sql)
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            try:
+                con.execute(sql).fetchall()
+            except Exception as exc:  # noqa: BLE001 — fault-isolate:
+                # one spill-capped oracle must not discard the whole
+                # sweep's (expensive) Spark measurements (r12: the
+                # r11 semdedup DNF lesson, now enforced in the tool).
+                # The connection is poisoned after an OOM — rebuild it.
+                _DUCK_DNF[name] = (
+                    f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]} "
+                    f"(wall at failure: {time.perf_counter() - t0:.0f}s)"
+                )
+                samples.pop(name, None)
+                con.close()
+                con = duckdb.connect()
+                con.execute("SET max_temp_directory_size='55GiB'")
+                for t in (
+                    "region nation customer supplier part orders lineitem "
+                    "events documents embeddings".split()
+                ):
+                    p = f"{sf_dir}/{t}.parquet"
+                    if os.path.isdir(p):
+                        p = f"{p}/*.parquet"
+                    if os.path.exists(f"{sf_dir}/{t}.parquet"):
+                        con.execute(
+                            f"CREATE VIEW {t} AS SELECT * FROM '{p}'"
+                        )
+                continue
             samples.setdefault(name, []).append(time.perf_counter() - t0)
         con.close()
     return _fold(samples)
+
+
+#: oracles that DNF'd in this process (spill cap / OOM), with reason —
+#: recorded on the SCALING row as duck_dnf instead of a wall
+_DUCK_DNF: dict[str, str] = {}
 
 
 def main() -> None:
@@ -787,6 +820,8 @@ def main() -> None:
                     # oracle wrapped in count+row-hash so the timed
                     # region is engine-only, not 15M-row fetchall
                     row["duck_100x_engine_only"] = True
+            elif n in _DUCK_DNF:
+                row["duck_100x_dnf"] = _DUCK_DNF[n]
             if row.get("spark_10x"):
                 # per-decade growth from 10x->100x: subquadratic banding
                 # holds iff this stays near-linear (~<=3 per 10x data)
