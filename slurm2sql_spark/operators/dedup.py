@@ -46,6 +46,8 @@ DEFAULT_MAX_SHINGLE_FREQ = 1000
 
 __all__ = [
     "normalize_text",
+    "normalize_aggressive",
+    "normalize_aggressive_sql",
     "exact_dedup",
     "shingles",
     "ngram_jaccard_pairs",
@@ -131,14 +133,81 @@ def normalize_text(c: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), _WS_RE2, " ")
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+#: Accent-fold table for ``normalize_aggressive`` — the bounded,
+#: explicitly-pinned 1:1 mapping (Latin-1 Supplement + Latin Extended-A
+#: lowercase forms; input is lowercased first so only lowercase source
+#: chars are listed). A 1:1 ``translate`` is deliberately used instead
+#: of a library NFD pass: both engines (Spark's ``translate`` and
+#: DuckDB's ``translate``) apply the identical codepoint map, so the
+#: dedup key is engine-independent by construction. Multi-char folds
+#: (ß→ss) cannot ride a 1:1 table; ß folds to 's' (documented lossy —
+#: for a dedup KEY, injectivity is not required, stability is).
+_FOLD_FROM = (
+    "àáâãäåāăą" "çćĉċč" "ďđð" "èéêëēĕėęě" "ĝğġģ" "ĥħ" "ìíîïĩīĭįı"
+    "ĵ" "ķ" "ĺļľŀł" "ñńņňŉ" "òóôõöøōŏő" "ŕŗř" "śŝşšșß" "ţťŧț"
+    "ùúûüũūŭůűų" "ŵ" "ýÿŷ" "źżž" "æœþ"
+)
+_FOLD_TO = (
+    "aaaaaaaaa" "ccccc" "ddd" "eeeeeeeee" "gggg" "hh" "iiiiiiiii"
+    "j" "k" "lllll" "nnnnn" "ooooooooo" "rrr" "ssssss" "tttt"
+    "uuuuuuuuuu" "w" "yyy" "zzz" "aot"
+)
+
+#: Everything that is not a letter, a digit, or RE2-class whitespace
+#: is punctuation/symbol and drops from the dedup key. ``\p{L}``/
+#: ``\p{N}`` are Unicode general categories in BOTH Java regex (Spark)
+#: and RE2 (DuckDB), so the class is engine-portable.
+_PUNCT_RE2 = r"[^\p{L}\p{N} \t\n\r\f]"
+
+
+def normalize_aggressive(c: Column) -> Column:
+    """CCNet-style dedup-key normalization (Wenzek et al. 2020, LREC —
+    the per-paragraph hashing normalization: lowercase, strip accents,
+    mask digits, drop punctuation) on top of the whitespace collapse
+    ``normalize_text`` already applies.
+
+    Pipeline (order matters and is part of the key contract):
+    lowercase → accent-fold (``_FOLD_FROM``→``_FOLD_TO`` 1:1
+    translate) → ASCII digits→``0`` → strip punctuation (``_PUNCT_RE2``)
+    → trim + collapse whitespace. Pure scan-stage expressions — no
+    UDF, no shuffle; composes with ``exact_dedup`` by keying on
+    ``md5(normalize_aggressive(text))`` instead of the plain key.
+    """
+    folded = F.translate(F.lower(c), _FOLD_FROM, _FOLD_TO)
+    masked = F.regexp_replace(folded, "[0-9]", "0")
+    stripped = F.regexp_replace(masked, _PUNCT_RE2, "")
+    return F.regexp_replace(F.trim(stripped), _WS_RE2, " ")
+
+
+def normalize_aggressive_sql(c: str) -> str:
+    """SQL twin of ``normalize_aggressive`` for oracle generation —
+    the identical pipeline as a DuckDB expression over column ``c``.
+    (A function, not a ``str.format`` template: ``\\p{L}`` braces
+    collide with format syntax.)"""
+    return (
+        "regexp_replace(trim(regexp_replace(regexp_replace("
+        f"translate(lower({c}), '{_FOLD_FROM}', '{_FOLD_TO}'), "
+        "'[0-9]', '0', 'g'), "
+        f"'{_PUNCT_RE2}', '', 'g')), '{_WS_RE2}', ' ', 'g')"
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalizer: Callable[[Column], Column] = normalize_text,
+) -> DataFrame:
     """Group identical (normalized) texts: returns one row per distinct
     content with ``keep_id`` (min id), ``n_dups``, and the content hash.
 
     Grouping key is md5 of the normalized text, not the text itself, so
-    the shuffle moves 16-byte keys instead of documents.
+    the shuffle moves 16-byte keys instead of documents. ``normalizer``
+    picks the key strength: ``normalize_text`` (default — lowercase +
+    whitespace collapse) or ``normalize_aggressive`` (CCNet-style:
+    + accent fold, digit mask, punctuation strip).
     """
-    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    h = F.md5(normalizer(F.col(text_col))).alias("content_hash")
     return (
         df.select(F.col(id_col).alias("_id"), h)
         .groupBy("content_hash")

@@ -924,3 +924,83 @@ def test_repeated_span_gap_clamp_keeps_spans_disjoint(spark, kernel):
     ).collect()
     for r in report:
         assert 0.0 < r["span_share"] <= 1.0
+
+
+def test_normalize_aggressive_planted_edges(spark):
+    """CCNet-style key normalization: accents fold, digits mask,
+    punctuation drops, whitespace collapses — and the SQL twin the
+    oracle generator uses produces byte-identical keys in DuckDB."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.dedup import (
+        normalize_aggressive,
+        normalize_aggressive_sql,
+    )
+
+    samples = [
+        "«¡ HÉLLO, Wörld!! »  42 étés  ",
+        "ŚŒÆß þorn — dash…x",
+        "tabs\tand\nnewlines  7 8 9",
+        "já vu Ñandú ĳ",  # NOTE: ĳ is NOT in the fold table — passes through
+        "plain ascii stays put",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i int, t string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", normalize_aggressive(F.col("t")).alias("n")
+        ).collect()
+    }
+    assert got[0] == "hello world 00 etes"
+    assert got[1] == "soas torn dashx"
+    assert got[2] == "tabs and newlines 0 0 0"
+    assert got[4] == "plain ascii stays put"
+    assert got[5] == ""
+    assert got[6] is None
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        o = con.execute(
+            f"SELECT {normalize_aggressive_sql('?::VARCHAR')}", [s]
+        ).fetchone()[0]
+        assert o == got[i], f"engine divergence on {s!r}: {got[i]!r} vs {o!r}"
+    con.close()
+
+
+def test_exact_dedup_aggressive_collapses_noisy_twins(spark):
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.dedup import (
+        exact_dedup,
+        normalize_aggressive,
+    )
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "  The QUICK,, brown — fox!!"),   # punct/case/ws noise
+        (3, "thé quîck brown fox"),           # accent noise
+        (4, "call me at 555 1234"),
+        (5, "call me at 999 0000"),           # digits mask to same key
+        (6, "a genuinely different document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["content_hash"]: r
+        for r in exact_dedup(
+            df, "doc_id", "text", normalizer=normalize_aggressive
+        ).collect()
+    }
+    sizes = sorted(r["n_dups"] for r in out.values())
+    assert sizes == [1, 2, 3]
+    trio = next(r for r in out.values() if r["n_dups"] == 3)
+    assert trio["keep_id"] == 1
+    pair = next(r for r in out.values() if r["n_dups"] == 2)
+    assert pair["keep_id"] == 4
+    # default key does NOT collapse any of them
+    naive = exact_dedup(df, "doc_id", "text")
+    assert naive.count() == 6

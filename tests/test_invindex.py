@@ -1,0 +1,103 @@
+"""Inverted-index postings + positional phrase search
+(operators/invindex.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from slurm2sql_spark.operators.invindex import phrase_match_counts, postings
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "cat sat cat sat cat"),          # overlapping bigram grid
+        (3, "a a a a"),                      # self-overlapping phrase
+        (4, "ends with cat sat"),            # match at the very end
+        (5, "cat alone here sat apart"),     # terms present, no phrase
+        (6, ""),
+        (7, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_postings_grain_and_positions(spark, docs):
+    post = postings(docs, "doc_id", "text").collect()
+    by_doc = {}
+    for r in post:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["term"]))
+    assert sorted(by_doc[1])[:3] == [(1, "the"), (2, "cat"), (3, "sat")]
+    # 1-based, contiguous, one row per token
+    assert sorted(p for p, _ in by_doc[2]) == [1, 2, 3, 4, 5]
+    # empty text still emits the single empty-string token split()
+    # produces; NULL text emits nothing
+    assert 7 not in by_doc
+
+
+def test_phrase_overlap_and_end_of_doc(spark, docs):
+    out = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match_counts(
+            docs, "doc_id", "text", ["cat", "sat"]
+        ).collect()
+    }
+    assert out == {1: (1, 2), 2: (2, 1), 4: (1, 3)}
+    # self-overlapping phrase: "a a a a" holds THREE "a a" matches
+    aa = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match_counts(
+            docs, "doc_id", "text", ["a", "a"]
+        ).collect()
+    }
+    assert aa == {3: (3, 1)}
+
+
+def test_phrase_three_terms_and_validation(spark, docs):
+    out = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match_counts(
+            docs, "doc_id", "text", ["cat", "sat", "cat"]
+        ).collect()
+    }
+    assert out == {2: 2}
+    with pytest.raises(ValueError):
+        phrase_match_counts(docs, "doc_id", "text", [])
+
+
+def test_phrase_single_shuffle_plan(spark, docs):
+    """The index-shape contract: ONE exchange for a k-term phrase (the
+    conditional-collect groupBy), not k-1 self-join exchanges."""
+    plan = (
+        phrase_match_counts(docs, "doc_id", "text", ["cat", "sat", "cat"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+    assert "Join" not in plan
+
+
+def test_bucketed_postings_serve_term_lookup_without_exchange(
+    spark, docs, tmp_path
+):
+    """Persisted term-bucketed, the index serves term aggregations with
+    zero exchanges — the serving path the catalog entry documents."""
+    from slurm2sql_spark.sinks.parquet_sink import write_bucketed
+
+    post = postings(docs, "doc_id", "text")
+    write_bucketed(post, "inv_idx_t", str(tmp_path / "idx"), "term", 4)
+    try:
+        served = (
+            spark.table("inv_idx_t")
+            .filter(F.col("term") == "cat")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert served.collect()[0]["tf"] == 6
+    finally:
+        spark.sql("DROP TABLE IF EXISTS inv_idx_t")
