@@ -2531,6 +2531,66 @@ def dedup_normalized(spark, sf_dir):
 
 
 @register(
+    "corpus_diff",
+    """
+    WITH newv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]' ELSE text END
+               AS text,
+             source
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' new', source
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    o AS (SELECT doc_id, md5(coalesce(text, '')) AS h, source
+          FROM documents),
+    n AS (SELECT doc_id, md5(coalesce(text, '')) AS h, source FROM newv)
+    SELECT coalesce(n.source, o.source) AS source,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h = n.h THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n_docs
+    FROM o FULL OUTER JOIN n USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    doc="Corpus snapshot diff (operators/diffing.py): classify every "
+    "doc id across two corpus versions as added / removed / changed / "
+    "unchanged and roll up counts per source — the change report an "
+    "incremental pipeline reads before deciding what to recompute. "
+    "The new version is synthesized deterministically in BOTH engines "
+    "(every 7th doc removed, every remaining 5th edited, every 13th "
+    "cloned as a new id). Scale: ONE full-outer join on the unique id "
+    "with both sides pre-projected to (id, 16-byte md5) at the scan — "
+    "document bytes never shuffle, no skew by construction; versions "
+    "written id-bucketed co-locate and drop the exchanges entirely. "
+    "The rollup output is |sources| x 4 rows.",
+)
+def corpus_diff_q(spark, sf_dir):
+    from slurm2sql_spark.operators.diffing import corpus_diff_summary
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    edited = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+    ).otherwise(F.col("text"))
+    newv = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id", edited.alias("text"), "source")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" new")).alias("text"),
+                "source",
+            )
+        )
+    )
+    return corpus_diff_summary(docs, newv, "doc_id", "text", by="source")
+
+
+@register(
     "dedup_ngram_jaccard",
     r"""
     WITH toks AS (
@@ -5328,10 +5388,11 @@ def classifier_stream_parity(spark, sf_dir):
     )
 
 
-@register(
-    "lm_perplexity_buckets",
-    r"""
-    WITH tok AS (
+#: Shared CTE chain producing the per-doc quantized LM score `scored
+#: (doc_id, lq)` — the oracle twin of `_lm_scored` below; consumed by
+#: lm_perplexity_buckets AND domain_reweight so the LM replay is
+#: stated once.
+_LM_SCORED_CTES = r"""tok AS (
       SELECT doc_id, source,
              string_split_regex(trim(lower(coalesce(text, ''))),
                                 '[ \t\n\r\f]+') AS w
@@ -5360,7 +5421,30 @@ def classifier_stream_parity(spark, sf_dir):
                     / sum(g.n)) * 1000000 + 0.001) / 1000000 AS lq
       FROM rgrain g LEFT JOIN tcnt t USING (b), tot
       GROUP BY 1
-    ),
+    )"""
+
+
+def _lm_scored(spark, sf_dir):
+    """Memoized per-doc quantized LM score frame (doc_id, lq) — the
+    engine twin of `_LM_SCORED_CTES`; shared by lm_perplexity_buckets
+    and domain_reweight so the scoring pipeline builds once."""
+    from slurm2sql_spark.operators.sampling import lm_perplexity
+
+    def build():
+        docs = _t(spark, sf_dir, "documents")
+        ref = docs.filter(F.col("source") == "src0")
+        raw = docs.filter(F.col("source") != "src0")
+        return lm_perplexity(
+            raw, ref, "doc_id", "text", m=1024, salt="p1"
+        ).select("doc_id", _q6(F.col("logppl")).alias("lq"))
+
+    return _memo(spark, sf_dir, "lm_scored", build)
+
+
+@register(
+    "lm_perplexity_buckets",
+    rf"""
+    WITH {_LM_SCORED_CTES},
     cuts AS (
       SELECT floor(quantile_cont(lq, 0.3333333333333333) * 1000000
                    + 0.001) / 1000000 AS c1,
@@ -5391,20 +5475,11 @@ def classifier_stream_parity(spark, sf_dir):
     "percentile_approx at 100 TB, same plan shape.",
 )
 def lm_perplexity_buckets(spark, sf_dir):
-    from slurm2sql_spark.operators.sampling import lm_perplexity
-
-    def build():
-        docs = _t(spark, sf_dir, "documents")
-        ref = docs.filter(F.col("source") == "src0")
-        raw = docs.filter(F.col("source") != "src0")
-        return lm_perplexity(
-            raw, ref, "doc_id", "text", m=1024, salt="p1"
-        ).select("doc_id", _q6(F.col("logppl")).alias("lq"))
-
-    # persisted: BOTH consumers below (the tercile aggregate and the
-    # labeling pass) read the per-doc scores — without this the whole
-    # explode+join scoring pipeline runs twice (was 16 exchanges)
-    scored = _memo(spark, sf_dir, "lm_scored", build)
+    # persisted (shared via _lm_scored): BOTH consumers below (the
+    # tercile aggregate and the labeling pass) read the per-doc scores
+    # — without this the whole explode+join scoring pipeline runs
+    # twice (was 16 exchanges)
+    scored = _lm_scored(spark, sf_dir)
     cuts = (
         scored.agg(
             F.expr(
@@ -5434,6 +5509,93 @@ def lm_perplexity_buckets(spark, sf_dir):
             F.max("lq").alias("max_logppl"),
         )
     )
+
+
+def _domain_reweight_oracle(
+    rounds: int = 5, eta: float = 0.5, s: float = 0.01
+) -> str:
+    # GENERATED oracle: the multiplicative-weights recurrence replayed
+    # as chained MATERIALIZED CTEs (plain CTEs re-inline exponentially
+    # in DuckDB — the r11 classifier lesson), one u/r pair per round,
+    # every intermediate floor-quantized exactly where
+    # operators/sampling.py:mw_rounds quantizes. The linearized update
+    # keeps the whole replay +,*,/-only: no exp() ULP divergence.
+    def q(x: str) -> str:
+        # outer parens are load-bearing: q() results nest inside
+        # larger expressions (e.g. as a division's denominator), and
+        # `a / floor(...) / 1000000` would associate left without them
+        return f"(floor(({x}) * 1000000 + 0.001) / 1000000)"
+
+    ctes = [
+        f"""loss AS MATERIALIZED (
+      SELECT d.source, {q("avg(s.lq)")} AS loss, count(*) AS n_docs
+      FROM scored s JOIN documents d USING (doc_id) GROUP BY 1
+    )""",
+        f"""r0 AS MATERIALIZED (
+      SELECT source, loss, n_docs,
+             {q("1.0 / (SELECT count(*) FROM loss)")} AS w
+      FROM loss
+    )""",
+    ]
+    for k in range(1, rounds + 1):
+        excess = q(f"greatest(loss - {q('sum(w * loss) OVER ()')}, 0)")
+        wu = q(f"w * (1 + {eta} * {excess})")
+        ctes.append(
+            f"u{k} AS MATERIALIZED (SELECT source, loss, n_docs,"
+            f" {wu} AS wu FROM r{k - 1})"
+        )
+        ratio = q(f"wu / {q('sum(wu) OVER ()')}")
+        wnew = q(
+            f"(1 - {s}) * {ratio} + {s} / (SELECT count(*) FROM loss)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT source, loss, n_docs,"
+            f" {wnew} AS w FROM u{k})"
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_LM_SCORED_CTES},
+    {body}
+    SELECT source, n_docs, loss, w AS weight FROM r{rounds}
+    """
+
+
+@register(
+    "domain_reweight",
+    _domain_reweight_oracle(),
+    doc="DoReMi-style domain reweighting (Xie et al. 2023, NeurIPS — "
+    "public paper; operators/sampling.py:mw_rounds/domain_reweight): "
+    "per-domain loss = mean quantized LM log-perplexity against the "
+    "trusted src0 reference (the shared _lm_scored frame — the SAME "
+    "memoized pipeline lm_perplexity_buckets reads), then 5 "
+    "multiplicative-weights rounds: domains with above-weighted-mean "
+    "loss gain weight, renormalize, smooth toward uniform. The "
+    "linearized update (w *= 1 + eta*excess, not exp) keeps the "
+    "recurrence +,*,/-only so the generated chained-CTE oracle "
+    "replays it bit-identically under the 1e-6 floor-quantize "
+    "lockstep. Scale: the corpus is scanned once to build the "
+    "|domains|-row loss table; rounds are arithmetic over that table "
+    "(the classifier's m-bounded driver step) and the weight table "
+    "broadcasts back. Output: (source, n_docs, loss, weight) — the "
+    "trained sampling mixture.",
+)
+def domain_reweight_q(spark, sf_dir):
+    from slurm2sql_spark.operators.sampling import domain_reweight
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    loss = (
+        _lm_scored(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            _q6(F.avg("lq")).alias("loss"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    out = domain_reweight(
+        loss, "source", "loss", rounds=5, eta=0.5, smoothing=0.01
+    )
+    return out.select("source", "n_docs", "loss", "weight")
 
 
 @register(

@@ -1,0 +1,88 @@
+"""Corpus snapshot diff — the incremental-pipeline primitive.
+
+Training corpora are rebuilt continuously (new crawls land, filters
+change, takedowns remove documents); every downstream consumer needs
+to know WHAT changed between two corpus versions before recomputing
+anything. ``corpus_diff`` classifies each document id as ``added``
+(only in the new version), ``removed`` (only in the old), ``changed``
+(both, different content), or ``unchanged`` — the content compare
+rides a 16-byte md5 (NULL text hashes as empty, so presence is
+carried by the join side, never by a NULL hash), never the documents
+themselves.
+
+Scale contract: ONE full-outer join on the id column. Both sides
+project to (id, md5(text)) at the scan, so the shuffle moves two
+16-byte-payload streams regardless of document size; the join key is
+the unique id, so there is no skew by construction. At 100 TB this is
+the minimal data movement any diff can do — and if both versions are
+written bucketed on the id (sinks.parquet_sink.write_bucketed), the
+join co-locates and the exchanges drop out entirely.
+
+The summary rollup is |statuses| x |sources| rows — broadcast-scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["corpus_diff", "corpus_diff_summary"]
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-document diff between two corpus versions.
+
+    Returns one row per id present in either version: ``(id, status,
+    *keep_cols)`` with ``status`` in {added, removed, changed,
+    unchanged}. ``keep_cols`` are carried from the NEW version when
+    the doc exists there, else from the old (so ``removed`` rows keep
+    their metadata).
+    """
+    keep = keep_cols or []
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in keep],
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in keep],
+    )
+    j = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        status.alias("status"),
+        *[
+            F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+            for c in keep
+        ],
+    )
+
+
+def corpus_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Rollup of ``corpus_diff``: document counts per status (and per
+    ``by`` column when given) — the change report a pipeline gate
+    reads before deciding what to recompute."""
+    keep = [by] if by else []
+    d = corpus_diff(old, new, id_col, text_col, keep_cols=keep)
+    grp = ([F.col(by)] if by else []) + [F.col("status")]
+    return d.groupBy(*grp).agg(F.count(F.lit(1)).alias("n_docs"))

@@ -31,6 +31,8 @@ __all__ = [
     "dsir_weights",
     "dsir_select",
     "lm_perplexity",
+    "mw_rounds",
+    "domain_reweight",
 ]
 
 #: bucket space: first 8 md5 hex chars = 32 bits
@@ -513,3 +515,89 @@ def mix_temperature(
             )
         ).alias("fraction"),
     )
+
+
+def mw_rounds(
+    domains: list[tuple[str, float]],
+    rounds: int = 5,
+    eta: float = 0.5,
+    smoothing: float = 0.01,
+    quantize: int = 1_000_000,
+) -> dict[str, float]:
+    """Pure multiplicative-weights iteration over (domain, loss) pairs
+    — the DoReMi update rule (Xie et al. 2023, "DoReMi: Optimizing
+    Data Mixtures Speeds Up Language Model Pretraining", NeurIPS;
+    public paper) with static per-domain excess loss: domains whose
+    loss exceeds the current weighted-mean loss gain weight each
+    round, then the mixture is renormalized and smoothed toward
+    uniform. The linearized update ``w *= 1 + eta * excess`` is used
+    instead of ``exp(eta * excess)`` so the whole recurrence is
+    +,*,/-only — exactly replayable as chained SQL CTEs with no libm
+    exp() divergence to absorb.
+
+    Every intermediate is floor-quantized at ``1/quantize`` with the
+    +1e-3 nudge (the classifier's cross-engine lockstep,
+    operators/classifier.py:_q) so the SQL replay is bit-identical:
+    L_t = q(sum w*loss); excess_d = q(max(loss_d - L_t, 0));
+    w' = q(w * (1 + eta*excess)); w = q((1-s) * q(w'/q(sum w')) + s/m).
+    """
+    from .classifier import _q
+
+    doms = sorted(domains)
+    m = len(doms)
+    if m == 0:
+        return {}
+    w = {d: _q(1.0 / m, quantize) for d, _ in doms}
+    for _ in range(int(rounds)):
+        big_l = _q(sum(w[d] * loss for d, loss in doms), quantize)
+        up = {
+            d: _q(
+                w[d] * (1.0 + eta * _q(max(loss - big_l, 0.0), quantize)),
+                quantize,
+            )
+            for d, loss in doms
+        }
+        tot = _q(sum(up[d] for d, _ in doms), quantize)
+        w = {
+            d: _q(
+                (1.0 - smoothing) * _q(up[d] / tot, quantize)
+                + smoothing / m,
+                quantize,
+            )
+            for d, _ in doms
+        }
+    return w
+
+
+def domain_reweight(
+    loss_df: DataFrame,
+    domain_col: str,
+    loss_col: str,
+    rounds: int = 5,
+    eta: float = 0.5,
+    smoothing: float = 0.01,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """DoReMi-style domain reweighting over a per-domain loss table:
+    appends a ``weight`` column — the trained sampling mixture —
+    to ``loss_df`` via :func:`mw_rounds`.
+
+    Scale contract: ``loss_df`` is |domains|-bounded (it is already an
+    aggregate), so the collect here is the classifier's documented
+    m-bounded driver step, never corpus-sized; the weight table
+    broadcasts back. The corpus itself is touched only upstream, once,
+    to build the loss table. ``domain_col`` must be non-NULL strings.
+    """
+    rows = loss_df.select(domain_col, loss_col).collect()
+    w = mw_rounds(
+        [(r[0], float(r[1])) for r in rows],
+        rounds=rounds,
+        eta=eta,
+        smoothing=smoothing,
+        quantize=quantize,
+    )
+    spark = loss_df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(w.items()), f"{domain_col} string, weight double"
+    )
+    return loss_df.join(F.broadcast(wdf), domain_col)

@@ -1,0 +1,103 @@
+"""Corpus snapshot diff (operators/diffing.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from slurm2sql_spark.operators.diffing import corpus_diff, corpus_diff_summary
+
+
+def _frames(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "alpha", "s1"),
+            (2, "beta", "s1"),
+            (3, "gamma", "s2"),
+            (4, None, "s2"),       # NULL text in old
+            (5, None, "s2"),       # NULL -> '' in new: hash-equal
+        ],
+        "doc_id int, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha", "s1"),        # unchanged
+            (2, "beta EDITED", "s1"),  # changed
+            (4, None, "s2"),           # NULL -> NULL: unchanged
+            (5, "", "s2"),             # NULL vs '' hash equal: unchanged
+            (6, "zeta", "s3"),         # added
+        ],
+        "doc_id int, text string, source string",
+    )
+    return old, new
+
+
+def test_corpus_diff_statuses_and_metadata_carry(spark):
+    old, new = _frames(spark)
+    out = {
+        r["doc_id"]: (r["status"], r["source"])
+        for r in corpus_diff(
+            old, new, "doc_id", "text", keep_cols=["source"]
+        ).collect()
+    }
+    assert out == {
+        1: ("unchanged", "s1"),
+        2: ("changed", "s1"),
+        3: ("removed", "s2"),   # metadata carried from the OLD side
+        4: ("unchanged", "s2"),
+        # documented contract: NULL hashes as '' so presence rides the
+        # join side — a NULL->'' edit therefore reads as unchanged
+        5: ("unchanged", "s2"),
+        6: ("added", "s3"),
+    }
+
+
+def test_corpus_diff_summary_rollup(spark):
+    old, new = _frames(spark)
+    rows = {
+        (r["source"], r["status"]): r["n_docs"]
+        for r in corpus_diff_summary(
+            old, new, "doc_id", "text", by="source"
+        ).collect()
+    }
+    assert rows == {
+        ("s1", "unchanged"): 1,
+        ("s1", "changed"): 1,
+        ("s2", "removed"): 1,
+        ("s2", "unchanged"): 2,
+        ("s3", "added"): 1,
+    }
+
+
+def test_corpus_diff_hash_only_shuffle(spark):
+    """The documented scale contract: both join inputs project to
+    (id, md5) before the exchange — document text never shuffles."""
+    old, new = _frames(spark)
+    plan = (
+        corpus_diff(old, new, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the projections feeding the exchanges carry hash columns, not text
+    assert "md5" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_corpus_diff_bucketed_versions_join_without_exchange(
+    spark, tmp_path
+):
+    from slurm2sql_spark.sinks.parquet_sink import write_bucketed
+
+    old, new = _frames(spark)
+    write_bucketed(old, "cd_old", str(tmp_path / "o"), "doc_id", 4)
+    write_bucketed(new, "cd_new", str(tmp_path / "n"), "doc_id", 4)
+    try:
+        d = corpus_diff(
+            spark.table("cd_old"), spark.table("cd_new"), "doc_id", "text"
+        )
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") - plan.count("ReusedExchange") == 0
+        assert d.count() == 6
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cd_old")
+        spark.sql("DROP TABLE IF EXISTS cd_new")

@@ -337,3 +337,53 @@ def test_lm_perplexity_reference_table_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     # the only SortMergeJoin-free contract: no corpus-keyed shuffle join
     assert "SortMergeJoin" not in plan
+
+
+def test_mw_rounds_uniform_losses_stay_uniform():
+    from slurm2sql_spark.operators.sampling import mw_rounds
+
+    w = mw_rounds([("a", 2.0), ("b", 2.0), ("c", 2.0)], rounds=5)
+    assert len(set(w.values())) == 1
+    assert abs(sum(w.values()) - 1.0) < 1e-4
+
+
+def test_mw_rounds_high_loss_domain_gains_weight():
+    from slurm2sql_spark.operators.sampling import mw_rounds
+
+    # mid and hi both sit above the round-1 weighted mean (~2.2), so
+    # both gain -- hi more; lo (below the mean every round) only decays
+    w = mw_rounds([("lo", 1.0), ("mid", 2.6), ("hi", 3.0)], rounds=5)
+    assert w["hi"] > w["mid"] > w["lo"]
+    # smoothing floor: no domain collapses to zero
+    assert w["lo"] >= 0.01 / 3
+    assert abs(sum(w.values()) - 1.0) < 1e-4
+    # monotone in rounds: more rounds, more concentration on 'hi'
+    w1 = mw_rounds([("lo", 1.0), ("mid", 2.6), ("hi", 3.0)], rounds=1)
+    assert w["hi"] > w1["hi"]
+
+
+def test_mw_rounds_empty():
+    from slurm2sql_spark.operators.sampling import mw_rounds
+
+    assert mw_rounds([]) == {}
+
+
+def test_domain_reweight_partitioning_invariant(spark):
+    from slurm2sql_spark.operators.sampling import domain_reweight
+
+    rows = [("a", 1.5, 10), ("b", 3.0, 20), ("c", 2.6, 30)]
+    loss = spark.createDataFrame(
+        rows, "source string, loss double, n_docs long"
+    )
+    out1 = {
+        r["source"]: r["weight"]
+        for r in domain_reweight(loss, "source", "loss").collect()
+    }
+    out2 = {
+        r["source"]: r["weight"]
+        for r in domain_reweight(
+            loss.repartition(7), "source", "loss"
+        ).collect()
+    }
+    assert out1 == out2
+    assert out1["b"] > out1["c"] > out1["a"]
