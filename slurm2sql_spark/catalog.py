@@ -2591,6 +2591,51 @@ def corpus_diff_q(spark, sf_dir):
 
 
 @register(
+    "doc_novelty",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+      FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM idx
+    ),
+    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           floor((1.0 - sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                        / CAST(count(*) AS DOUBLE)) * 1000000 + 0.001)
+             / 1000000 AS novelty
+    FROM sh JOIN freq USING (shingle)
+    GROUP BY 1
+    """,
+    doc="Per-document n-gram novelty (operators/dedup.py:"
+    "shingle_novelty): fraction of a doc's distinct 3-gram shingles "
+    "appearing in NO other document — the memorization-risk view of "
+    "the dedup families (Lee et al. 2022's motivation restated per "
+    "doc). Strictly linear, unlike the pair-join families: one "
+    "map-side-combined shingle document-frequency shuffle joined back "
+    "to the per-doc grain — a shingle shared by f docs contributes f "
+    "rows, never f^2, so hot shingles need no posting cap. Novelty "
+    "1e-6 floor-quantized for cross-engine rank stability.",
+)
+def doc_novelty(spark, sf_dir):
+    from slurm2sql_spark.operators.dedup import shingle_novelty
+
+    return shingle_novelty(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     r"""
     WITH toks AS (

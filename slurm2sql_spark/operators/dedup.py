@@ -50,6 +50,7 @@ __all__ = [
     "normalize_aggressive_sql",
     "exact_dedup",
     "shingles",
+    "shingle_novelty",
     "ngram_jaccard_pairs",
     "winnow_overlap_pairs",
     "exact_substring_spans",
@@ -1521,4 +1522,51 @@ def scrub_paragraphs_inline(
         F.array_join(kept, out_sep).alias(text_col),
         F.size(nonempty).alias("n_paras"),
         (F.size(nonempty) - F.size(kept)).alias("n_removed"),
+    )
+
+
+def shingle_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word-``n``-grams that appear in NO other document — the
+    memorization-risk / provenance view of the dedup families (a doc
+    scoring near 0 is assembled almost entirely from corpus-repeated
+    phrasing; near 1 is fresh text). Lee et al. 2022's dedup argument
+    is exactly that low-novelty spans inflate memorization.
+
+    Returns ``(id, n_shingles, n_shared, novelty)`` for every doc with
+    >= ``n`` tokens; novelty is 1e-6 floor-quantized for cross-engine
+    rank stability.
+
+    Scale contract: strictly LINEAR — the shingle document-frequency
+    table (one map-side-combined count shuffle) joins back to the
+    per-doc shingle grain; unlike the pair-join families there is no
+    f^2 term, a shingle shared by f docs contributes f rows, so hot
+    shingles need no posting cap here. Shuffle payloads are shingle
+    strings; swap in xxhash64(shingle) keys at 100 TB for fixed-width
+    exchange rows (same plan shape).
+    """
+    # shingles() emits the id under the canonical name "id"
+    sh = shingles(df, id_col, text_col, n=n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    shared = F.sum(
+        F.when(F.col("_df") >= 2, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    novelty = F.lit(1.0) - F.col("n_shared") / F.col("n_shingles").cast(
+        "double"
+    )
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            shared.alias("n_shared"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_shared",
+            (F.floor(novelty * 1e6 + 0.001) / 1e6).alias("novelty"),
+        )
     )

@@ -1004,3 +1004,27 @@ def test_exact_dedup_aggressive_collapses_noisy_twins(spark):
     # default key does NOT collapse any of them
     naive = exact_dedup(df, "doc_id", "text")
     assert naive.count() == 6
+
+
+def test_shingle_novelty_planted(spark):
+    from slurm2sql_spark.operators.dedup import shingle_novelty
+
+    rows = [
+        (1, "a b c d e"),            # shares "a b c"/"b c d"/"c d e" w/ 2
+        (2, "a b c d e"),            # exact twin: novelty 0 for both
+        (3, "x y z w"),              # wholly unique: novelty 1
+        (4, "q r a b c s t"),        # one shared shingle ("a b c")
+        (5, "too short"),            # < 3 tokens: no shingles, absent
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in shingle_novelty(df, "doc_id", "text", n=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    r4 = out[4]
+    assert (r4["n_shingles"], r4["n_shared"]) == (5, 1)
+    assert abs(r4["novelty"] - 0.8) < 1e-6

@@ -127,6 +127,15 @@ DUCK_QUERIES = [
     "lang_classifier",
     "lang_mix_trained",
     "crawl_frontier",
+    # r12 (second batch): normalized dedup + positional phrase search
+    # (both single-shuffle), snapshot diff (one full-outer join on
+    # pre-hashed ids), MW reweighting (m-bounded rounds over the
+    # shared LM loss table) — all linear oracles
+    "dedup_normalized",
+    "phrase_search",
+    "corpus_diff",
+    "domain_reweight",
+    "doc_novelty",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -266,6 +275,13 @@ X100_DUCK_AGG_WRAP = {
     "dedup_exact_substring",
     "scrub_exact_substrings",
     "dedup_semantic",
+    # r12 (second batch): cluster-per-distinct-text / match-per-doc /
+    # score-per-doc outputs scale with the corpus;
+    # corpus_diff/domain_reweight return |sources|-bounded rows and
+    # need no wrap
+    "dedup_normalized",
+    "phrase_search",
+    "doc_novelty",
 }
 _AGG_WRAP_SQL = "SELECT count(*) AS n, sum(hash(t)) AS h FROM ({sql}) t"
 # r8 (VERDICT #4): prove subquadratic LSH growth at 100x. Spark-only —
