@@ -4442,12 +4442,13 @@ def dsir_selection(spark, sf_dir):
     )
 
 
-#: One oracle, two gate entries (the quality_filter precedent): the
-#: batch classifier_score row and classifier_stream_parity (the
-#: stateless inline-scoring streaming twin must land the exact batch
-#: fit + scores, so batch SQL IS its oracle).
-_CLASSIFIER_ORACLE = r"""
-    WITH tok AS (
+#: One oracle, three gate entries (the quality_filter precedent): the
+#: batch classifier_score row, classifier_stream_parity (the stateless
+#: inline-scoring streaming twin must land the exact batch fit +
+#: scores, so batch SQL IS its oracle), and classifier_calibration
+#: (threshold sweep over the same scored frame). Split into CTE chain
+#: + final select so the calibration oracle can extend the chain.
+_CLASSIFIER_CTES = r"""tok AS (
       SELECT doc_id, source,
              string_split_regex(trim(lower(coalesce(text, ''))),
                                 '[ \t\n\r\f]+') AS w
@@ -4504,7 +4505,9 @@ _CLASSIFIER_ORACLE = r"""
                    / 1000000 AS bias
             FROM r2 r, bi1 GROUP BY bi1.bias),
     sc AS (SELECT f.doc_id, sum(f.x * w2.w) AS s
-           FROM feat f JOIN w2 USING (b) GROUP BY 1)
+           FROM feat f JOIN w2 USING (b) GROUP BY 1)"""
+
+_CLASSIFIER_FINAL = """
     SELECT sc.doc_id,
            l.y AS label,
            floor((1.0 / (1.0 + exp(-(sc.s + bi2.bias)))) * 1000000
@@ -4513,6 +4516,9 @@ _CLASSIFIER_ORACLE = r"""
                  + 0.001) / 1000000 >= 0.5 AS keep
     FROM sc JOIN lab l USING (doc_id), bi2
     """
+
+_CLASSIFIER_ORACLE = f"""
+    WITH {_CLASSIFIER_CTES}{_CLASSIFIER_FINAL}"""
 
 
 @register(
@@ -4555,6 +4561,117 @@ def classifier_score_q(spark, sf_dir):
     return scored.join(
         labeled.select("doc_id", "label"), "doc_id"
     ).select("doc_id", "label", "score", "keep")
+
+
+_CALIBRATION_ORACLE = f"""
+    WITH {_CLASSIFIER_CTES},
+    scored AS ({_CLASSIFIER_FINAL}),
+    hist AS (
+      SELECT CAST(least(floor(score * 20), 20) AS INT) AS bin, label,
+             count(*) AS c
+      FROM scored GROUP BY 1, 2
+    ),
+    thr AS (SELECT i, i / 20.0 AS thr
+            FROM (SELECT unnest(range(1, 20)) AS i)),
+    agg AS (
+      SELECT t.thr,
+        CAST(coalesce(sum(c) FILTER (label = 1.0 AND bin >= t.i), 0)
+             AS BIGINT) AS tp,
+        CAST(coalesce(sum(c) FILTER (label = 0.0 AND bin >= t.i), 0)
+             AS BIGINT) AS fp,
+        CAST(coalesce(sum(c) FILTER (label = 1.0 AND bin < t.i), 0)
+             AS BIGINT) AS fn,
+        CAST(coalesce(sum(c) FILTER (label = 0.0 AND bin < t.i), 0)
+             AS BIGINT) AS tn
+      FROM thr t CROSS JOIN hist GROUP BY 1
+    )
+    SELECT thr, tp, fp, fn, tn,
+      CASE WHEN tp + fp > 0 THEN
+        floor(tp / CAST(tp + fp AS DOUBLE) * 1000000 + 0.001) / 1000000
+      END AS precision,
+      CASE WHEN tp + fn > 0 THEN
+        floor(tp / CAST(tp + fn AS DOUBLE) * 1000000 + 0.001) / 1000000
+      END AS recall,
+      CASE WHEN 2 * tp + fp + fn > 0 THEN
+        floor(2 * tp / CAST(2 * tp + fp + fn AS DOUBLE) * 1000000
+              + 0.001) / 1000000
+      END AS f1
+    FROM agg
+    """
+
+
+@register(
+    "classifier_calibration",
+    _CALIBRATION_ORACLE,
+    doc="Threshold calibration sweep for the trained quality "
+    "classifier (the deployment-tuning step every fastText/CCNet-"
+    "style filter needs before its keep threshold is fixed): "
+    "precision / recall / F1 at 19 thresholds (0.05..0.95) against "
+    "the training labels. The sweep is HISTOGRAM-SHAPED, not "
+    "fan-out-shaped: per-doc scores collapse to a <= 42-row "
+    "(bin, label) histogram in one map-side-combined aggregation, "
+    "and the 19 thresholds sweep THAT — the corpus is never "
+    "crossJoined against the threshold list, so the plan costs one "
+    "aggregation regardless of sweep resolution (at 100 TB a "
+    "1000-point sweep costs the same scan). Counts are exact; "
+    "ratios NULL-guarded and 1e-6 floor-quantized. Shares the "
+    "classifier CTE chain with classifier_score / "
+    "classifier_stream_parity — one spec, three gates.",
+)
+def classifier_calibration_q(spark, sf_dir):
+    from slurm2sql_spark.operators.classifier import (
+        hashed_classifier_fit,
+        hashed_classifier_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        (F.col("source") == "src0").cast("double").alias("label"),
+    )
+    w, b = hashed_classifier_fit(
+        labeled, "doc_id", "text", "label",
+        m=256, epochs=2, lr=5.0, salt="c1",
+    )
+    scored = hashed_classifier_score(
+        labeled, "doc_id", "text", w, b, m=256, salt="c1"
+    ).join(labeled.select("doc_id", "label"), "doc_id")
+    hist = scored.groupBy(
+        F.least(F.floor(F.col("score") * 20), F.lit(20))
+        .cast("int")
+        .alias("bin"),
+        "label",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    thr = spark.range(1, 20).select(
+        F.col("id").cast("int").alias("i"),
+        (F.col("id") / 20.0).alias("thr"),
+    )
+    hit = F.col("bin") >= F.col("i")
+    pos = F.col("label") == 1.0
+    cnt = lambda cond: F.coalesce(  # noqa: E731
+        F.sum(F.when(cond, F.col("c"))), F.lit(0)
+    ).cast("long")
+    agg = (
+        thr.join(F.broadcast(hist))
+        .groupBy("thr")
+        .agg(
+            cnt(pos & hit).alias("tp"),
+            cnt(~pos & hit).alias("fp"),
+            cnt(pos & ~hit).alias("fn"),
+            cnt(~pos & ~hit).alias("tn"),
+        )
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, _q6(num / den.cast("double"))
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        "thr", "tp", "fp", "fn", "tn",
+        ratio(tp, tp + fp).alias("precision"),
+        ratio(tp, tp + fn).alias("recall"),
+        ratio(2 * tp, 2 * tp + fp + fn).alias("f1"),
+    )
 
 
 def _softmax_oracle_core(epochs: int) -> str:

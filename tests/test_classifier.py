@@ -308,3 +308,33 @@ def test_lang_id_stream_append_mode_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert landed == want
+
+
+def test_calibration_sweep_invariants(spark):
+    """Histogram-shaped threshold sweep: exact confusion counts at
+    every threshold, monotone in the threshold, partitioning the
+    corpus; and the histogram shape keeps the plan one aggregation."""
+    from slurm2sql_spark.catalog import QUERIES
+
+    rows = QUERIES["classifier_calibration"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 19
+    by_thr = sorted(rows, key=lambda r: r["thr"])
+    n = by_thr[0]["tp"] + by_thr[0]["fp"] + by_thr[0]["fn"] + by_thr[0]["tn"]
+    pos = by_thr[0]["tp"] + by_thr[0]["fn"]
+    prev_tp, prev_fp = None, None
+    for r in by_thr:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+        assert r["tp"] + r["fn"] == pos  # positives invariant
+        if prev_tp is not None:
+            assert r["tp"] <= prev_tp  # raising thr only drops keeps
+            assert r["fp"] <= prev_fp
+        prev_tp, prev_fp = r["tp"], r["fp"]
+        if r["precision"] is not None:
+            assert 0.0 <= r["precision"] <= 1.0
+        if r["f1"] is not None and r["precision"] and r["recall"]:
+            # f1 between min and max of (precision, recall)
+            lo = min(r["precision"], r["recall"]) - 1e-6
+            hi = max(r["precision"], r["recall"]) + 1e-6
+            assert lo <= r["f1"] <= hi

@@ -136,6 +136,7 @@ DUCK_QUERIES = [
     "corpus_diff",
     "domain_reweight",
     "doc_novelty",
+    "classifier_calibration",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -241,6 +242,14 @@ X100_QUERIES = [
     "bpe_frozen_counts",
     "lang_classifier",
     "lang_mix_trained",
+    # r12 (second batch): the round's new operator families get the
+    # standard 100x cross-documentation
+    "dedup_normalized",
+    "phrase_search",
+    "corpus_diff",
+    "domain_reweight",
+    "doc_novelty",
+    "classifier_calibration",
 ]
 X100_DUCK_SKIP: set[str] = {
     # r11 measured DNF: at the production-scaled spec (nlist=1600,
