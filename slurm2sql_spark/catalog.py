@@ -2430,6 +2430,54 @@ def windowed_event_counts(spark, sf_dir):
     )
 
 
+@register(
+    "hot_key_rollup",
+    """
+    SELECT event_type,
+           CAST(count(user_id) AS BIGINT) AS n,
+           floor(sum(value) * 1000000 + 0.001) / 1000000 AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1
+    """,
+    doc="Salted two-phase hot-key aggregation (plans/skew.py:"
+    "salted_agg — the skew utility driver-gated instead of "
+    "pytest-only): a 5-value grouping key is the canonical case AQE "
+    "cannot fix (AQE splits oversized PARTITIONS, not keys — a "
+    "key owning 20%% of a 100-TB corpus still lands on one reducer). "
+    "Phase 1 aggregates by (key, salt) so the hot key spreads over 32 "
+    "tasks; phase 2 merges keys x salts pre-aggregated rows. Only "
+    "algebraic aggregates decompose (count/sum re-merge by sum, "
+    "min/max by min/max) — exactly the set that benefits. The oracle "
+    "is the PLAIN group-by: salting must be invisible in the result "
+    "(sum 1e-6 floor-quantized; two-phase FP reorder dies at the "
+    "nudge). Plan invariants (two exchange stages, salt column "
+    "confined to phase 1) are pinned by tests/test_skew_bucketing.py.",
+)
+def hot_key_rollup(spark, sf_dir):
+    from slurm2sql_spark.plans.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n:user_id": (F.count, F.sum),
+            "_sv:value": (F.sum, F.sum),
+            "min_value:value": (F.min, F.min),
+            "max_value:value": (F.max, F.max),
+        },
+        salt_buckets=32,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _q6(F.col("_sv")).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 # =====================================================================
 # Group C — LLM-pipeline extensions (dedup / similarity / text analysis)
 # =====================================================================

@@ -140,3 +140,33 @@ def test_bucketed_range_join_zero_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS rjb_p")
         spark.sql("DROP TABLE IF EXISTS rjb_i")
+
+
+def test_hot_key_rollup_salting_invisible_and_two_phase(spark):
+    """The driver-gated salted_agg entry: result identical to the
+    plain groupBy, plan shows two aggregation phases with the salt
+    confined to phase 1."""
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.catalog import QUERIES, _q6
+
+    sf = "/root/testdata/sf0.001"
+    salted = QUERIES["hot_key_rollup"].spark(spark, sf)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    plain = ev.groupBy("event_type").agg(
+        F.count("user_id").cast("long").alias("n"),
+        _q6(F.sum("value")).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    srows = {r["event_type"]: tuple(r) for r in salted.collect()}
+    prows = {r["event_type"]: tuple(r) for r in plain.collect()}
+    assert srows == prows
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    # AQE prints final + initial sections; count the final one only
+    plan = plan.split("== Initial Plan ==")[0]
+    # two shuffle stages: (key, salt) partials, then key merge
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 2
+    # the salt never reaches the output side of phase 2
+    final_agg = plan.split("Exchange")[0]
+    assert "_salt" not in final_agg

@@ -137,6 +137,7 @@ DUCK_QUERIES = [
     "domain_reweight",
     "doc_novelty",
     "classifier_calibration",
+    "hot_key_rollup",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -250,6 +251,7 @@ X100_QUERIES = [
     "domain_reweight",
     "doc_novelty",
     "classifier_calibration",
+    "hot_key_rollup",
 ]
 X100_DUCK_SKIP: set[str] = {
     # r11 measured DNF: at the production-scaled spec (nlist=1600,
