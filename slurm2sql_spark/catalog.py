@@ -5543,6 +5543,73 @@ def bpe_frozen_counts_q(spark, sf_dir):
 
 
 @register(
+    "bpe_stream_parity",
+    _bpe_oracle_sql(
+        8,
+        final="""    , docw AS (
+      SELECT doc_id, g AS word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                                         '[ \\t\\n\\r\\f]+')) AS g
+        FROM documents) WHERE g <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(s8.syms)) AS BIGINT) AS n_bpe_tokens
+    FROM docw JOIN s8 USING (word) GROUP BY 1""",
+    ),
+    doc="Driver-gated streaming row for the tokenizer family "
+    "(the classifier_stream_parity protocol, closing the last "
+    "deployment seam: train -> persist -> reload -> tokenize the LIVE "
+    "stream): the merge table trains offline and round-trips the "
+    "parquet artifact (same 8-merge fit as bpe_frozen_counts), then "
+    "the documents table replays as a file stream through "
+    "streaming/stream.py:tokenize_stream — the whole tokenizer folds "
+    "into ONE stateless scan-stage projection of nested array "
+    "expressions (append mode, no join, no state store, per-row "
+    "latency), the correct stream shape where the batch operator's "
+    "vocabulary-join needs a corpus at rest — into a parquet sink; "
+    "landed counts must hash-match the batch chained-CTE replay "
+    "row-for-row (per-row expression tokenization == vocabulary-join "
+    "tokenization, same merge expressions).",
+)
+def bpe_stream_parity(spark, sf_dir):
+    import os
+
+    from slurm2sql_spark.operators.bpe import (
+        bpe_train,
+        load_bpe_model,
+        save_bpe_model,
+    )
+    from slurm2sql_spark.streaming.stream import tokenize_stream
+
+    batch = _t(spark, sf_dir, "documents")
+    work = _parity_workdir("bpestream", sf_dir)
+    model_path = os.path.join(work, "model")
+    save_bpe_model(bpe_train(batch, "text", merges=8), model_path)
+    merges, eow = load_bpe_model(spark, model_path)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        f"{sf_dir}/documents.parquet", f"{src_dir}/documents.parquet"
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    out = tokenize_stream(stream, merges, eow=eow)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{work}/data")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{work}/data").select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+
+
+@register(
     "classifier_stream_parity",
     _CLASSIFIER_ORACLE,
     doc="Driver-gated streaming row for the r11 classifier family "

@@ -38,6 +38,7 @@ __all__ = [
     "scrub_stream",
     "export_stream",
     "lang_id_stream",
+    "tokenize_stream",
 ]
 
 
@@ -511,4 +512,58 @@ def lang_id_stream(
 
     return softmax_classifier_score_inline(
         doc_stream, id_col, text_col, classes, weights, biases, **kwargs
+    )
+
+
+def tokenize_stream(
+    doc_stream: DataFrame,
+    merges: list[tuple[str, str]],
+    eow: str | None = "</w>",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming tokenization under a FROZEN BPE vocabulary: a merge
+    table trained offline (``bpe.bpe_train``) and persisted
+    (``bpe.save_bpe_model``) applied to documents as they land —
+    completing the train-once/tokenize-many deployment loop on the
+    streaming side (the tokenizer analog of ``classifier_stream``).
+
+    STATELESS: the whole tokenizer — word split, per-word char
+    symbols, the k greedy-leftmost merge rules, token counting — folds
+    into ONE scan-stage projection of nested array expressions (no
+    join, no aggregation, no state store), so it runs in **append**
+    mode with per-row latency and zero shuffle. Where the batch
+    operator (``bpe.bpe_token_counts``) routes through a
+    vocabulary-sized distinct + broadcast join (the right shape when
+    the corpus is at rest), a stream has no corpus-wide word set to
+    deduplicate per micro-batch — per-row expression tokenization IS
+    the latency-optimal shape, and the merge rules are identical
+    expressions, so counts match the batch operator row-for-row (the
+    parity gate pins that). Docs with zero words produce no row,
+    matching the batch word grain. ``eow`` mirrors ``bpe.EOW``;
+    pass the value ``load_bpe_model`` returns (None = no end-of-word
+    marker in the trained artifact).
+    """
+    from slurm2sql_spark.operators.bpe import bpe_apply
+    from slurm2sql_spark.operators.textstats import WS_RE2
+
+    words = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+            WS_RE2,
+        ),
+        lambda w: w != F.lit(""),
+    )
+    n_tok = F.aggregate(
+        F.transform(words, lambda w: F.size(bpe_apply(w, merges, eow))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        doc_stream.select(
+            F.col(id_col),
+            F.size(words).cast("long").alias("n_words"),
+            n_tok.cast("long").alias("n_bpe_tokens"),
+        )
+        .filter(F.col("n_words") > 0)
     )

@@ -217,3 +217,42 @@ def test_model_artifact_roundtrip(spark, tmp_path):
     save_bpe_model(trained.limit(0), path)
     m3, eow3 = load_bpe_model(spark, path)
     assert m3 == [] and eow3 == "</w>"
+
+
+def test_tokenize_stream_projection_matches_vocab_join(spark):
+    """The streaming tokenizer's per-row expression path must produce
+    the same counts as the batch vocabulary-join path under the same
+    frozen merge table (same merge expressions, different plan)."""
+    from slurm2sql_spark.operators.bpe import bpe_token_counts, bpe_train
+    from slurm2sql_spark.streaming.stream import tokenize_stream
+
+    rows = [
+        (1, "low lower lowest"),
+        (2, "new newer newest wider"),
+        (3, "low low low"),
+        (4, ""),          # zero words: no row on either path
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    table = bpe_train(docs, "text", merges=6).orderBy("merge_round").collect()
+    merges = [(r["lhs"], r["rhs"]) for r in table]
+    batch = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(docs, "doc_id", "text", merges).collect()
+    }
+    # tokenize_stream is a pure projection, so it accepts a batch frame
+    inline = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in tokenize_stream(docs, merges).collect()
+    }
+    assert batch == inline
+    assert 4 not in inline and 5 not in inline
+    # stateless contract: no exchange anywhere in the projection
+    plan = (
+        tokenize_stream(docs, merges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Exchange" not in plan
