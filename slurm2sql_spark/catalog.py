@@ -5788,7 +5788,7 @@ def lm_perplexity_buckets(spark, sf_dir):
     )
 
 
-def _domain_reweight_oracle(
+def _domain_reweight_ctes(
     rounds: int = 5, eta: float = 0.5, s: float = 0.01
 ) -> str:
     # GENERATED oracle: the multiplicative-weights recurrence replayed
@@ -5830,9 +5830,13 @@ def _domain_reweight_oracle(
             f" {wnew} AS w FROM u{k})"
         )
     body = ",\n    ".join(ctes)
+    return f"""{_LM_SCORED_CTES},
+    {body}"""
+
+
+def _domain_reweight_oracle(rounds: int = 5) -> str:
     return f"""
-    WITH {_LM_SCORED_CTES},
-    {body}
+    WITH {_domain_reweight_ctes(rounds)}
     SELECT source, n_docs, loss, w AS weight FROM r{rounds}
     """
 
@@ -5873,6 +5877,94 @@ def domain_reweight_q(spark, sf_dir):
         loss, "source", "loss", rounds=5, eta=0.5, smoothing=0.01
     )
     return out.select("source", "n_docs", "loss", "weight")
+
+
+_REWEIGHTED_SAMPLE_ORACLE = f"""
+    WITH {_domain_reweight_ctes(5)},
+    scnt AS (SELECT source, count(*) AS n FROM documents
+               WHERE source <> 'src0' GROUP BY 1),
+    stot AS (SELECT sum(n) AS nt FROM scnt),
+    wt AS (SELECT c.source, c.n, r5.w AS target
+           FROM scnt c JOIN r5 USING (source)),
+    rr AS (SELECT min(n / (nt * target)) AS r FROM wt, stot),
+    fr AS (SELECT source, n,
+                  least(1.0, floor(target * r * nt / n * 1000000
+                                   + 0.001) / 1000000) AS fraction
+           FROM wt, rr, stot),
+    kept AS (
+      SELECT d.source, count(*) AS k
+      FROM documents d JOIN fr USING (source)
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'rw1'),
+             1, 8))::BIGINT < fraction * 4294967296.0
+      GROUP BY 1
+    )
+    SELECT fr.source, CAST(fr.n AS BIGINT) AS n_total, fr.fraction,
+           CAST(coalesce(k.k, 0) AS BIGINT) AS n_kept
+    FROM fr LEFT JOIN kept k USING (source)
+    """
+
+
+@register(
+    "reweighted_sample",
+    _REWEIGHTED_SAMPLE_ORACLE,
+    doc="DoReMi end-to-end: train the mixture, then SAMPLE the corpus "
+    "at it — loss table -> 5 multiplicative-weights rounds (L72) -> "
+    "downsample-only fractions hitting the trained mix with maximum "
+    "retention (mix_fractions: R = min_s n_s/(N*w_s), binding "
+    "stratum keeps everything) -> content-addressed deterministic "
+    "sampling (md5 hash buckets, engine-portable, "
+    "partitioning-independent). Output: per-domain corpus size, "
+    "sampling fraction, and the EXACT kept count — reproducible "
+    "bit-for-bit across engines because every stage is quantized or "
+    "content-addressed. Scale: one corpus scan for the loss table, "
+    "one |domains|-row count aggregate, driver arithmetic on m rows, "
+    "then the sample filter is a zero-shuffle scan projection; the "
+    "kept rollup is the only other exchange. This is the L72 -> L18 "
+    "composition the DoReMi posture exists for.",
+)
+def reweighted_sample_q(spark, sf_dir):
+    from slurm2sql_spark.operators.sampling import (
+        deterministic_sample,
+        mix_fractions,
+        mw_rounds,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    raw = docs.filter(F.col("source") != "src0")
+    loss = (
+        _lm_scored(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(_q6(F.avg("lq")).alias("loss"))
+    )
+    weights = mw_rounds(
+        [(r["source"], float(r["loss"])) for r in loss.collect()],
+        rounds=5, eta=0.5, smoothing=0.01,
+    )
+    fr = mix_fractions(raw, "source", weights)
+    fr_rows = fr.collect()  # |domains|-bounded
+    sampled = deterministic_sample(
+        raw,
+        "doc_id",
+        strata_col="source",
+        strata_fractions={r["stratum"]: r["fraction"] for r in fr_rows},
+        salt="rw1",
+    )
+    kept = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return (
+        fr.withColumnRenamed("stratum", "source")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_total"),
+            "fraction",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias(
+                "n_kept"
+            ),
+        )
+    )
 
 
 @register(

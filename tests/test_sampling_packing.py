@@ -387,3 +387,25 @@ def test_domain_reweight_partitioning_invariant(spark):
     }
     assert out1 == out2
     assert out1["b"] > out1["c"] > out1["a"]
+
+
+def test_reweighted_sample_composition_invariants(spark):
+    from slurm2sql_spark.catalog import QUERIES
+
+    rows = QUERIES["reweighted_sample"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_src = {r["source"]: r for r in rows}
+    assert "src0" not in by_src  # the reference stratum never samples
+    binding = [r for r in rows if r["fraction"] == 1.0]
+    assert binding, "downsample-only: some stratum must keep everything"
+    for r in rows:
+        assert 0.0 < r["fraction"] <= 1.0
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        if r["fraction"] == 1.0:
+            assert r["n_kept"] == r["n_total"]
+        # content-addressed buckets: kept count concentrates near
+        # fraction * n (binomial-ish, wide slack for tiny strata)
+        exp = r["fraction"] * r["n_total"]
+        assert abs(r["n_kept"] - exp) <= max(6.0, 0.6 * exp)

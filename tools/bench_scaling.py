@@ -138,6 +138,7 @@ DUCK_QUERIES = [
     "doc_novelty",
     "classifier_calibration",
     "hot_key_rollup",
+    "reweighted_sample",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -252,6 +253,7 @@ X100_QUERIES = [
     "doc_novelty",
     "classifier_calibration",
     "hot_key_rollup",
+    "reweighted_sample",
 ]
 X100_DUCK_SKIP: set[str] = {
     # r11 measured DNF: at the production-scaled spec (nlist=1600,
