@@ -2431,6 +2431,70 @@ def windowed_event_counts(spark, sf_dir):
 
 
 @register(
+    "funnel_conversion",
+    """
+    WITH w1 AS (
+      SELECT user_id, event_type, ts, event_id,
+             coalesce(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                          END) OVER pw, 0) AS r0p
+      FROM events
+      WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    w2 AS (
+      SELECT user_id, event_type, ts, event_id, r0p,
+             coalesce(max(CASE WHEN event_type = 'click' AND r0p = 1
+                          THEN 1 ELSE 0 END) OVER pw, 0) AS r1p
+      FROM w1
+      WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    per_user AS (
+      SELECT user_id,
+        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s0,
+        max(CASE WHEN event_type = 'click' AND r0p = 1
+            THEN 1 ELSE 0 END) AS s1,
+        max(CASE WHEN event_type = 'purchase' AND r1p = 1
+            THEN 1 ELSE 0 END) AS s2
+      FROM w2 GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(s0) AS BIGINT) AS reached_view,
+           CAST(sum(s1) AS BIGINT) AS reached_click,
+           CAST(sum(s2) AS BIGINT) AS reached_purchase
+    FROM per_user
+    """,
+    doc="Ordered funnel conversion (operators/funnel.py): users who "
+    "viewed, then clicked AFTER a view, then purchased AFTER such a "
+    "click — the ordering constraint is what makes this more than a "
+    "per-type count (a purchase before the first view must not "
+    "convert). ONE shuffle+sort (partition by user, total order "
+    "(ts, event_id)), then chained window flags over that single "
+    "sorted partitioning — Catalyst stacks all stages in one Window "
+    "operator, where the naive formulation pays k-1 events-to-events "
+    "self-joins. Per-user rollup map-side-combines. Ties are "
+    "impossible by construction (event_id breaks them), so 'after' "
+    "is engine-independent.",
+)
+def funnel_conversion(spark, sf_dir):
+    from slurm2sql_spark.operators.funnel import funnel_stages
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_stages(
+        ev.select(
+            "user_id",
+            "event_type",
+            _ts_us(ev).alias("_t"),
+            "event_id",
+        ),
+        "user_id",
+        "event_type",
+        ["_t", "event_id"],
+        ["view", "click", "purchase"],
+    )
+
+
+@register(
     "hot_key_rollup",
     """
     SELECT event_type,

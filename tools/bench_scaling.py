@@ -139,6 +139,7 @@ DUCK_QUERIES = [
     "classifier_calibration",
     "hot_key_rollup",
     "reweighted_sample",
+    "funnel_conversion",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -254,6 +255,7 @@ X100_QUERIES = [
     "classifier_calibration",
     "hot_key_rollup",
     "reweighted_sample",
+    "funnel_conversion",
 ]
 X100_DUCK_SKIP: set[str] = {
     # r11 measured DNF: at the production-scaled spec (nlist=1600,
