@@ -5628,14 +5628,14 @@ def bpe_frozen_counts_q(spark, sf_dir):
     "stream): the merge table trains offline and round-trips the "
     "parquet artifact (same 8-merge fit as bpe_frozen_counts), then "
     "the documents table replays as a file stream through "
-    "streaming/stream.py:tokenize_stream — the whole tokenizer folds "
-    "into ONE stateless scan-stage projection of nested array "
-    "expressions (append mode, no join, no state store, per-row "
-    "latency), the correct stream shape where the batch operator's "
-    "vocabulary-join needs a corpus at rest — into a parquet sink; "
+    "streaming/stream.py:tokenize_stream_batched — each micro-batch "
+    "runs the batch operator's vocabulary-join shape (a micro-batch "
+    "IS a batch, so distinct-word dedup applies per batch; the "
+    "stateless inline twin tokenize_stream exists for per-row-latency "
+    "composition and is pytest-pinned to identical counts) — landing "
+    "per-batch parquet under the export_stream exactly-once contract; "
     "landed counts must hash-match the batch chained-CTE replay "
-    "row-for-row (per-row expression tokenization == vocabulary-join "
-    "tokenization, same merge expressions).",
+    "row-for-row.",
 )
 def bpe_stream_parity(spark, sf_dir):
     import os
@@ -5645,7 +5645,7 @@ def bpe_stream_parity(spark, sf_dir):
         load_bpe_model,
         save_bpe_model,
     )
-    from slurm2sql_spark.streaming.stream import tokenize_stream
+    from slurm2sql_spark.streaming.stream import tokenize_stream_batched
 
     batch = _t(spark, sf_dir, "documents")
     work = _parity_workdir("bpestream", sf_dir)
@@ -5658,17 +5658,16 @@ def bpe_stream_parity(spark, sf_dir):
         f"{sf_dir}/documents.parquet", f"{src_dir}/documents.parquet"
     )
     stream = spark.readStream.schema(batch.schema).parquet(src_dir)
-    out = tokenize_stream(stream, merges, eow=eow)
     q = (
-        out.writeStream.format("parquet")
-        .option("path", f"{work}/data")
+        tokenize_stream_batched(
+            stream, f"{work}/data", merges, eow=eow
+        )
         .option("checkpointLocation", f"{work}/ckpt")
-        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(f"{work}/data").select(
+    return spark.read.parquet(f"{work}/data/batch=0").select(
         "doc_id", "n_words", "n_bpe_tokens"
     )
 

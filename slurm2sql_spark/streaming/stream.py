@@ -39,6 +39,7 @@ __all__ = [
     "export_stream",
     "lang_id_stream",
     "tokenize_stream",
+    "tokenize_stream_batched",
 ]
 
 
@@ -567,3 +568,41 @@ def tokenize_stream(
         )
         .filter(F.col("n_words") > 0)
     )
+
+
+def tokenize_stream_batched(
+    doc_stream: DataFrame,
+    path: str,
+    merges: list[tuple[str, str]],
+    eow: str | None = "</w>",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming tokenization, THROUGHPUT path: each micro-batch runs
+    the batch operator's vocabulary-join shape (``bpe.bpe_token_counts``
+    — merge expressions over the batch's DISTINCT words, broadcast
+    word->tokens map, map-side-combined per-doc sums) and lands
+    ``(id, n_words, n_bpe_tokens)`` under ``{path}/batch=<id>/``.
+
+    This is the production twin of :func:`tokenize_stream` (the
+    stateless inline projection): a micro-batch IS a batch, so the
+    vocabulary dedup that makes corpus tokenization cheap applies
+    per batch — the inline path tokenizes every word INSTANCE through
+    interpreted higher-order expressions (fine for per-row-latency
+    composition, measured ~4x slower at equal data), while this path
+    tokenizes each distinct word once per batch. Same counts
+    row-for-row (identical merge expressions — the parity gate pins
+    it against the batch chained-CTE oracle).
+
+    Exactly-once: per-batch directory + mode=overwrite (the
+    ``export_stream`` idempotent-replay contract). Returns the
+    ``DataStreamWriter`` (caller picks trigger/checkpoint and calls
+    ``start()``).
+    """
+    from slurm2sql_spark.operators.bpe import bpe_token_counts
+
+    def _tok_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = bpe_token_counts(batch_df, id_col, text_col, merges, eow=eow)
+        out.write.mode("overwrite").parquet(f"{path}/batch={int(batch_id)}")
+
+    return doc_stream.writeStream.foreachBatch(_tok_batch)
