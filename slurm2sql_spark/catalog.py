@@ -5069,6 +5069,60 @@ def shard_assign_q(spark, sf_dir):
 
 
 @register(
+    "export_manifest",
+    r"""
+    WITH a AS (
+      SELECT doc_id AS id,
+             CAST(length(coalesce(text, '')) AS BIGINT) AS size,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sh1'),
+              1, 8))::BIGINT % 8 AS grp
+      FROM documents
+    ), r AS (
+      SELECT id, size, grp,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY size DESC, id) - 1 AS rk
+      FROM a
+    ), s AS (
+      SELECT id, size,
+             CAST(CASE WHEN (rk // 16) % 2 = 0 THEN rk % 16
+                       ELSE 15 - rk % 16 END AS BIGINT) AS shard
+      FROM r
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(size) AS BIGINT) AS total_size,
+           CAST(sum(('0x' || substr(md5(CAST(id AS VARCHAR) || 'mf1'),
+                1, 8))::BIGINT) AS BIGINT) AS checksum
+    FROM s GROUP BY 1
+    """,
+    doc="Per-shard integrity manifest over the L60 assignment "
+    "(operators/sharding.py:shard_manifest) — the artifact a consumer "
+    "checks before trusting a delivered export: doc count, byte "
+    "total, and an ORDER-INDEPENDENT membership checksum (sum of "
+    "each member's 32-bit content-addressed md5 bucket — sum "
+    "commutes, so any partitioning or arrival order verifies equal, "
+    "and concatenated deliveries add; 32-bit terms overflow a 64-bit "
+    "sum only past 2^31 docs/shard). One map-side-combinable "
+    "aggregation after the assignment window; |shards| output rows.",
+)
+def export_manifest_q(spark, sf_dir):
+    from slurm2sql_spark.operators.sharding import (
+        shard_assign,
+        shard_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("sz"),
+    )
+    assign = shard_assign(
+        sized, "doc_id", "sz", n_shards=16, n_groups=8, salt="sh1"
+    )
+    return shard_manifest(assign, salt="mf1")
+
+
+@register(
     "url_normalize",
     r"""
     SELECT doc_id,

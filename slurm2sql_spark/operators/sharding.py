@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["shard_assign", "write_sharded"]
+__all__ = ["shard_assign", "write_sharded", "shard_manifest"]
 
 
 def shard_assign(
@@ -125,3 +125,33 @@ def write_sharded(
         .parquet(path)
     )
     return assign.select("id", "size", "grp", "shard")
+
+
+def shard_manifest(
+    assign: DataFrame,
+    id_col: str = "id",
+    size_col: str = "size",
+    shard_col: str = "shard",
+    salt: str = "",
+) -> DataFrame:
+    """Integrity manifest over a shard assignment: one row per shard
+    with ``(n_docs, total_size, checksum)`` — the artifact a consumer
+    checks before trusting a delivered export (did every shard land,
+    with every document, unmodified membership?).
+
+    ``checksum`` is the SUM of each member's 32-bit content-addressed
+    bucket (``sampling.hash_bucket`` — the engine-portable md5 prefix),
+    which makes it ORDER-INDEPENDENT (sum commutes, so any
+    partitioning/arrival order verifies equal) and incremental
+    (a shard's checksum is the sum of its parts — concatenated
+    deliveries add). 32-bit terms in a 64-bit sum overflow only past
+    2^31 documents per shard. One map-side-combinable aggregation,
+    |shards| output rows.
+    """
+    from .sampling import hash_bucket
+
+    return assign.groupBy(shard_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(size_col)).cast("long").alias("total_size"),
+        F.sum(hash_bucket(id_col, salt)).cast("long").alias("checksum"),
+    )

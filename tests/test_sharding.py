@@ -82,3 +82,45 @@ def test_validation(spark):
 
     with pytest.raises(ValueError):
         shard_assign(_sized(spark, 5), "doc_id", "nbytes", 0)
+
+
+def test_shard_manifest_order_independent_and_additive(spark):
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.sharding import (
+        shard_assign,
+        shard_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100 + 1) for i in range(200)], "id int, sz int"
+    )
+    assign = shard_assign(df, "id", "sz", n_shards=4, n_groups=4)
+    m1 = {r["shard"]: tuple(r) for r in shard_manifest(assign).collect()}
+    # order/partitioning independence: repartitioned input, same manifest
+    m2 = {
+        r["shard"]: tuple(r)
+        for r in shard_manifest(assign.repartition(13)).collect()
+    }
+    assert m1 == m2
+    assert sum(r[1] for r in m1.values()) == 200
+    # additivity: a shard's checksum equals the sum over any split of
+    # its members (concatenated deliveries verify incrementally)
+    part_a = assign.filter(F.col("id") % 2 == 0)
+    part_b = assign.filter(F.col("id") % 2 == 1)
+    ma = {r["shard"]: r for r in shard_manifest(part_a).collect()}
+    mb = {r["shard"]: r for r in shard_manifest(part_b).collect()}
+    for shard, full in m1.items():
+        got = (
+            (ma[shard]["checksum"] if shard in ma else 0)
+            + (mb[shard]["checksum"] if shard in mb else 0)
+        )
+        assert got == full[3]
+    # tamper detection: swap one membership, checksum moves
+    tampered = assign.withColumn(
+        "id", F.when(F.col("id") == 0, F.lit(99999)).otherwise(F.col("id"))
+    )
+    mt = {r["shard"]: r for r in shard_manifest(tampered).collect()}
+    assert any(
+        mt[s]["checksum"] != m1[s][3] for s in m1
+    )

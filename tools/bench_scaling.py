@@ -140,6 +140,7 @@ DUCK_QUERIES = [
     "hot_key_rollup",
     "reweighted_sample",
     "funnel_conversion",
+    "export_manifest",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -256,6 +257,7 @@ X100_QUERIES = [
     "hot_key_rollup",
     "reweighted_sample",
     "funnel_conversion",
+    "export_manifest",
 ]
 X100_DUCK_SKIP: set[str] = {
     # r11 measured DNF: at the production-scaled spec (nlist=1600,
