@@ -177,7 +177,11 @@ def normalize_aggressive(c: Column) -> Column:
     folded = F.translate(F.lower(c), _FOLD_FROM, _FOLD_TO)
     masked = F.regexp_replace(folded, "[0-9]", "0")
     stripped = F.regexp_replace(masked, _PUNCT_RE2, "")
-    return F.regexp_replace(F.trim(stripped), _WS_RE2, " ")
+    # collapse FIRST, then trim: SQL trim removes spaces only, so a
+    # trailing \t/\n would otherwise survive pass 1 as a trailing
+    # space and "x\n" / "x" would key differently (caught by the
+    # idempotence property test — the key must be a fixed point)
+    return F.trim(F.regexp_replace(stripped, _WS_RE2, " "))
 
 
 def normalize_aggressive_sql(c: str) -> str:
@@ -186,10 +190,10 @@ def normalize_aggressive_sql(c: str) -> str:
     (A function, not a ``str.format`` template: ``\\p{L}`` braces
     collide with format syntax.)"""
     return (
-        "regexp_replace(trim(regexp_replace(regexp_replace("
+        "trim(regexp_replace(regexp_replace(regexp_replace("
         f"translate(lower({c}), '{_FOLD_FROM}', '{_FOLD_TO}'), "
         "'[0-9]', '0', 'g'), "
-        f"'{_PUNCT_RE2}', '', 'g')), '{_WS_RE2}', ' ', 'g')"
+        f"'{_PUNCT_RE2}', '', 'g'), '{_WS_RE2}', ' ', 'g'))"
     )
 
 

@@ -1028,3 +1028,58 @@ def test_shingle_novelty_planted(spark):
     r4 = out[4]
     assert (r4["n_shingles"], r4["n_shared"]) == (5, 1)
     assert abs(r4["novelty"] - 0.8) < 1e-6
+
+
+def test_normalize_aggressive_idempotent_property(spark):
+    """Property: the dedup key is a FIXED POINT — normalizing an
+    already-normalized text changes nothing (hypothesis over a
+    unicode-ish alphabet including fold-table members, digits,
+    punctuation and whitespace), and the SQL twin agrees on every
+    sample. Idempotence is what lets incremental pipelines re-key
+    already-keyed corpora safely."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators.dedup import (
+        normalize_aggressive,
+        normalize_aggressive_sql,
+    )
+
+    alphabet = "aàbçdéeĳ«»¡!.,—…09 \t\n\rXŸZß</w>"
+    con = duckdb.connect()
+    samples = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def _collect(s):
+        samples.append(s)
+
+    _collect()
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i int, t string"
+    )
+    once = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", normalize_aggressive(F.col("t")).alias("n")
+        ).collect()
+    }
+    df2 = spark.createDataFrame(
+        [(i, s) for i, s in once.items()], "i int, t string"
+    )
+    twice = {
+        r["i"]: r["n"]
+        for r in df2.select(
+            "i", normalize_aggressive(F.col("t")).alias("n")
+        ).collect()
+    }
+    assert once == twice
+    for i, s in enumerate(samples):
+        o = con.execute(
+            f"SELECT {normalize_aggressive_sql('?::VARCHAR')}", [s]
+        ).fetchone()[0]
+        assert o == once[i], f"engine divergence on {s!r}"
+    con.close()
