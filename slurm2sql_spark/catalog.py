@@ -7280,6 +7280,52 @@ def phrase_search(spark, sf_dir):
 
 
 @register(
+    "ngram_heavy_hitters",
+    r"""
+    WITH tok AS (
+      SELECT string_split_regex(trim(lower(coalesce(text, ''))),
+                                '[ \t\n\r\f]+') AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT w[i] || ' ' || w[i+1] AS bigram
+      FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50
+    """,
+    doc="Corpus-wide heavy-hitter bigrams by TOTAL occurrence count "
+    "(top-50) — the stat that builds stop-phrase lists for the "
+    "boilerplate/dedup families (vocab_top_terms counts DOCUMENT "
+    "frequency of unigrams; repeated in-doc phrasing needs raw "
+    "totals). One narrow bigram fan-out (transform over the token "
+    "array, bounded by tokens/doc), one map-side-combined count "
+    "shuffle, TakeOrdered top-k — no global sort; (count DESC, "
+    "bigram ASC) total order keeps the cutoff engine-deterministic.",
+)
+def ngram_heavy_hitters(spark, sf_dir):
+    from slurm2sql_spark.operators.textstats import WS_RE2
+
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), WS_RE2
+    )
+    docs = _t(spark, sf_dir, "documents").select(toks.alias("w"))
+    big = F.transform(
+        F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+        lambda x, i: F.concat(
+            x, F.lit(" "), F.element_at(F.col("w"), i + F.lit(2))
+        ),
+    )
+    return (
+        docs.select(F.explode(big).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+@register(
     "pivot_event_counts",
     """
     SELECT user_id % 10 AS decile,

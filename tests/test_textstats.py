@@ -535,3 +535,33 @@ def test_c4_filter_line_and_page_rules(spark):
     plan = c4_filter(docs, "doc_id", "text")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan  # one scan-stage projection
+
+
+def test_ngram_heavy_hitters_counts_total_occurrences(spark):
+    """Heavy hitters count raw TOTALS (vocab_top_terms counts doc
+    frequency): a bigram repeated within one doc outranks one spread
+    across docs; tie-break is (count DESC, bigram ASC)."""
+    from slurm2sql_spark.catalog import QUERIES
+    import duckdb
+
+    rows = [
+        (1, "x y x y x y"),       # "x y" x3 (+ "y x" x2) in ONE doc
+        (2, "a b"), (3, "a b"),   # "a b" x2 across docs
+        (4, ""), (5, None),
+    ]
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id int, text string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = QUERIES["ngram_heavy_hitters"].spark(spark, d).collect()
+    got = [(r["bigram"], r["n"]) for r in out]
+    assert got[:3] == [("x y", 3), ("a b", 2), ("y x", 2)]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    oracle = con.sql(QUERIES["ngram_heavy_hitters"].oracle).fetchall()
+    assert [(r[0], r[1]) for r in oracle] == got
+    con.close()

@@ -141,6 +141,7 @@ DUCK_QUERIES = [
     "reweighted_sample",
     "funnel_conversion",
     "export_manifest",
+    "ngram_heavy_hitters",
 ]
 # banded/LSH family: Spark-only scaling (their DuckDB oracles are
 # deliberately all-pairs-quadratic correctness checks, not a baseline)
@@ -258,6 +259,7 @@ X100_QUERIES = [
     "reweighted_sample",
     "funnel_conversion",
     "export_manifest",
+    "ngram_heavy_hitters",
 ]
 X100_DUCK_SKIP: set[str] = {
     # r11 measured DNF: at the production-scaled spec (nlist=1600,
