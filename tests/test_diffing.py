@@ -101,3 +101,55 @@ def test_corpus_diff_bucketed_versions_join_without_exchange(
     finally:
         spark.sql("DROP TABLE IF EXISTS cd_old")
         spark.sql("DROP TABLE IF EXISTS cd_new")
+
+
+def test_corpus_diff_matches_dict_reference_property(spark):
+    """Property: diff statuses equal a plain-Python dict diff on
+    randomized version pairs (random presence + random edits)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.dictionaries(
+            st.integers(0, 12),
+            st.tuples(st.booleans(), st.booleans(), st.booleans()),
+            max_size=10,
+        )
+    )
+    def _collect(spec):
+        cases.append(spec)
+
+    _collect()
+    for spec in cases:
+        # spec: id -> (in_old, in_new, edited_in_new)
+        old = [
+            (i, f"text-{i}") for i, (o, _, _) in spec.items() if o
+        ]
+        new = [
+            (i, f"text-{i}" + (" v2" if e else ""))
+            for i, (_, n, e) in spec.items()
+            if n
+        ]
+        if not old and not new:
+            continue
+        odf = spark.createDataFrame(old or [(None, None)], "doc_id int, text string").filter("doc_id IS NOT NULL")
+        ndf = spark.createDataFrame(new or [(None, None)], "doc_id int, text string").filter("doc_id IS NOT NULL")
+        got = {
+            r["doc_id"]: r["status"]
+            for r in corpus_diff(odf, ndf, "doc_id", "text").collect()
+        }
+        want = {}
+        om, nm = dict(old), dict(new)
+        for i in set(om) | set(nm):
+            if i not in om:
+                want[i] = "added"
+            elif i not in nm:
+                want[i] = "removed"
+            elif om[i] == nm[i]:
+                want[i] = "unchanged"
+            else:
+                want[i] = "changed"
+        assert got == want, (spec, got, want)

@@ -75,3 +75,53 @@ def test_funnel_validation(spark):
     )
     with pytest.raises(ValueError):
         funnel_stages(ev, "user_id", "event_type", ["t"], [])
+
+
+def test_funnel_matches_python_scan_property(spark):
+    """Property: the chained-window funnel equals a naive per-user
+    ordered Python scan on randomized event streams."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+    ev_t = st.sampled_from(["view", "click", "purchase", "error"])
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 4), ev_t, st.integers(0, 20)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def _collect(evs):
+        cases.append(evs)
+
+    _collect()
+    stages = ["view", "click", "purchase"]
+    for evs in cases:
+        rows = [(u, t, ts, i) for i, (u, t, ts) in enumerate(evs)]
+        ev = spark.createDataFrame(
+            rows, "user_id int, event_type string, t long, event_id int"
+        )
+        out = funnel_stages(
+            ev, "user_id", "event_type", ["t", "event_id"], stages
+        ).collect()[0]
+        # reference: per-user ordered scan carrying the reached set
+        per_user = {}
+        for u, t, ts, i in sorted(rows, key=lambda r: (r[2], r[3])):
+            reached = per_user.setdefault(u, set())
+            for k, stage in enumerate(stages):
+                if t == stage and (k == 0 or k - 1 in reached):
+                    reached.add(k)
+        want = {
+            "n_users": len(per_user),
+            **{
+                f"reached_{s}": sum(
+                    1 for r in per_user.values() if k in r
+                )
+                for k, s in enumerate(stages)
+            },
+        }
+        got = {k: out[k] for k in out.asDict()}
+        assert got == want, (rows, got, want)

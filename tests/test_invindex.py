@@ -101,3 +101,45 @@ def test_bucketed_postings_serve_term_lookup_without_exchange(
         assert served.collect()[0]["tf"] == 6
     finally:
         spark.sql("DROP TABLE IF EXISTS inv_idx_t")
+
+
+def test_phrase_search_matches_python_scan_property(spark):
+    """Property: the index-shaped positional intersection equals a
+    naive per-doc Python scan on randomized corpora — including
+    repeated-term phrases and self-overlap (hypothesis-driven corpus,
+    deterministic seed via the strategy)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    corpora = []
+    words = st.sampled_from(["a", "b", "cat", "sat", "x"])
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(st.lists(words, max_size=12), min_size=1, max_size=8),
+        st.lists(words, min_size=1, max_size=3),
+    )
+    def _collect(docs, phrase):
+        corpora.append((docs, phrase))
+
+    _collect()
+    for docs, phrase in corpora:
+        rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {
+            r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in phrase_match_counts(
+                df, "doc_id", "text", list(phrase)
+            ).collect()
+        }
+        want = {}
+        for i, d in enumerate(docs):
+            toks = " ".join(d).strip(" ").split(" ") if d else [""]
+            hits = [
+                p + 1
+                for p in range(len(toks) - len(phrase) + 1)
+                if toks[p : p + len(phrase)] == list(phrase)
+            ]
+            if hits:
+                want[i] = (len(hits), hits[0])
+        assert got == want, (docs, phrase, got, want)
