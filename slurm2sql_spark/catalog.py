@@ -1948,7 +1948,7 @@ FROM e
 _RESULT_CACHE: dict[tuple, DataFrame] = {}  # (session key, sf_dir, name)
 
 
-def _memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+def _session_key(spark: SparkSession):
     # A stable session identity, not id(spark): CPython reuses object
     # ids after GC, and a stale-id hit would return a dead session's
     # frame (same fix as similarity._BROADCASTS, ADVICE r6). Classic:
@@ -1956,12 +1956,15 @@ def _memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     # session id (same reuse hazard applies to id() there too).
     try:
         sc = spark.sparkContext
-        skey = (sc.applicationId, sc.startTime)
+        return (sc.applicationId, sc.startTime)
     except Exception:  # Spark Connect has no sparkContext
-        skey = getattr(getattr(spark, "client", None), "_session_id", None) or id(
-            spark
-        )
-    key = (skey, sf_dir, name)
+        return getattr(
+            getattr(spark, "client", None), "_session_id", None
+        ) or id(spark)
+
+
+def _memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (_session_key(spark), sf_dir, name)
     df = _RESULT_CACHE.get(key)
     if df is None:
         if len(_RESULT_CACHE) > 24:  # bound stale-session entries
@@ -1969,6 +1972,27 @@ def _memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
         df = build().persist()
         _RESULT_CACHE[key] = df
     return df
+
+
+#: Driver-side sibling of ``_RESULT_CACHE`` for SMALL Python values
+#: produced by eager in-entry training loops (BPE merge tables,
+#: classifier weight dicts — k / m / (k x m)-bounded, never
+#: corpus-sized). Entries that demonstrate the same fit (train +
+#: consume families like lang_classifier / lang_mix_trained) share one
+#: fit per (session, sf_dir) instead of re-running the GD / merge
+#: rounds per entry — the `_lm_scored` precedent for driver-side state.
+#: Cleared by ``drop_caches`` with everything else, so bench.py's
+#: per-entry cache drop keeps every reported wall a true SOLO wall.
+_PY_CACHE: dict[tuple, object] = {}
+
+
+def _py_memo(spark: SparkSession, sf_dir: str, name: str, build):
+    key = (_session_key(spark), sf_dir, name)
+    if key not in _PY_CACHE:
+        if len(_PY_CACHE) > 24:  # bound stale-session entries
+            _PY_CACHE.clear()
+        _PY_CACHE[key] = build()
+    return _PY_CACHE[key]
 
 
 def drop_caches() -> None:
@@ -1979,6 +2003,7 @@ def drop_caches() -> None:
         except Exception:
             pass  # session may be gone
     _RESULT_CACHE.clear()
+    _PY_CACHE.clear()
     from slurm2sql_spark.operators import dedup, textstats
 
     dedup.release_caches()
@@ -2438,7 +2463,11 @@ def windowed_event_counts(spark, sf_dir):
              coalesce(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0
                           END) OVER pw, 0) AS r0p
       FROM events
-      WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+      -- ADVICE r12 #4: order by epoch_us(ts) (the quantization the
+      -- Spark side actually sorts on), not raw ts — on TIMESTAMP
+      -- (NANOS) data two events distinct in nanos but equal in micros
+      -- must fall to the event_id tie-break in BOTH engines
+      WINDOW pw AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ),
     w2 AS (
@@ -2446,7 +2475,11 @@ def windowed_event_counts(spark, sf_dir):
              coalesce(max(CASE WHEN event_type = 'click' AND r0p = 1
                           THEN 1 ELSE 0 END) OVER pw, 0) AS r1p
       FROM w1
-      WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+      -- ADVICE r12 #4: order by epoch_us(ts) (the quantization the
+      -- Spark side actually sorts on), not raw ts — on TIMESTAMP
+      -- (NANOS) data two events distinct in nanos but equal in micros
+      -- must fall to the event_id tie-break in BOTH engines
+      WINDOW pw AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ),
     per_user AS (
@@ -2702,6 +2735,8 @@ def corpus_diff_q(spark, sf_dir):
     return corpus_diff_summary(docs, newv, "doc_id", "text", by="source")
 
 
+
+
 @register(
     "doc_novelty",
     r"""
@@ -2736,8 +2771,11 @@ def corpus_diff_q(spark, sf_dir):
     "doc). Strictly linear, unlike the pair-join families: one "
     "map-side-combined shingle document-frequency shuffle joined back "
     "to the per-doc grain — a shingle shared by f docs contributes f "
-    "rows, never f^2, so hot shingles need no posting cap. Novelty "
-    "1e-6 floor-quantized for cross-engine rank stability.",
+    "rows, never f^2, so hot shingles need no posting cap; both "
+    "exchanges key on xxhash64(shingle) (r13 — fixed-width 8-byte "
+    "shuffle rows, never n-gram text; fractions unchanged, so the "
+    "oracle stays on the string grain). Novelty 1e-6 floor-quantized "
+    "for cross-engine rank stability.",
 )
 def doc_novelty(spark, sf_dir):
     from slurm2sql_spark.operators.dedup import shingle_novelty
@@ -3624,6 +3662,122 @@ def quality_filter_q(spark, sf_dir):
     return _qf_project(qf)
 
 
+def _norm_agg_text_sql() -> str:
+    from slurm2sql_spark.operators.dedup import normalize_aggressive_sql
+
+    return normalize_aggressive_sql("text")
+
+
+_NORM_AGG_TEXT_SQL = _norm_agg_text_sql()
+
+
+def _refresh_verdicts(df: DataFrame) -> DataFrame:
+    """The per-doc verdict pipeline incremental_refresh recomputes only
+    for added/changed docs: Gopher keep decision (the quality_filter
+    corpus-tuned thresholds) + the CCNet normalized dedup key, all in
+    ONE scan-stage projection (the hash rides through quality_filter's
+    keep_cols — no join-back)."""
+    from slurm2sql_spark.operators.dedup import normalize_aggressive
+    from slurm2sql_spark.operators.textstats import quality_filter
+
+    hashed = df.select(
+        "doc_id",
+        "text",
+        "source",
+        F.md5(normalize_aggressive(F.col("text"))).alias("content_hash"),
+    )
+    qf = quality_filter(
+        hashed, "doc_id", "text",
+        keep_cols=("source", "content_hash"),
+        min_words=30, min_stop_hits=1,
+    )
+    return qf.select(
+        "doc_id",
+        "source",
+        F.col("n_words").cast("long").alias("n_words"),
+        "keep",
+        "content_hash",
+    )
+
+
+@register(
+    "incremental_refresh",
+    rf"""
+    WITH newv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]' ELSE text END
+               AS text,
+             source
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' new', source
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    t AS ({_text_base_sql("doc_id, source, text", rel="newv")}),
+    s AS (SELECT doc_id, source, text, {_GOPHER_SIGNALS_SQL} FROM t)
+    SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+           ({_GOPHER_KEEP_SQL}) AS keep,
+           md5({_NORM_AGG_TEXT_SQL}) AS content_hash
+    FROM s
+    """,
+    doc="Incremental corpus refresh (VERDICT r12 #6 — the composition "
+    "L71's diff exists to enable, and the reference's watermark-resume "
+    "posture, slurm2sql.py:1104-1120, restated at corpus scale): the "
+    "snapshot diff GATES recomputation — v2 docs whose (id, md5) pair "
+    "is unchanged from v1 CARRY their persisted prior verdicts "
+    "forward untouched; only added/changed docs flow through the "
+    "verdict pipeline (Gopher keep + CCNet normalized dedup key, one "
+    "scan projection); removed docs drop. Prior verdicts come from a "
+    "process-cached parquet materialization of the v1 run "
+    "(_mat_cache_dir — data-version-keyed, standing in for the "
+    "previous run's persisted output), so the measured plan is the "
+    "production shape: one pre-hashed doc_id diff join + the "
+    "changed-set pipeline + one id-semi-join carry — the full corpus "
+    "is never re-scored. The ORACLE recomputes every v2 verdict from "
+    "scratch; the hash match proves incremental == full recompute. "
+    "The v1/v2 derivation is corpus_diff's (every 7th doc removed, "
+    "every remaining 5th edited, every 13th cloned as a new id).",
+)
+def incremental_refresh_q(spark, sf_dir):
+    import os
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    edited = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+    ).otherwise(F.col("text"))
+    newv = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id", edited.alias("text"), "source")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" new")).alias("text"),
+                "source",
+            )
+        )
+    )
+    # prior verdicts: the v1 run's persisted output (materialized once
+    # per process + data version — in production this parquet IS the
+    # previous refresh's sink)
+    prior_path = os.path.join(
+        _mat_cache_dir("refresh_prior", sf_dir), "verdicts"
+    )
+    if not os.path.exists(os.path.join(prior_path, "_SUCCESS")):
+        _refresh_verdicts(docs).write.mode("overwrite").parquet(prior_path)
+    prior = spark.read.parquet(prior_path)
+
+    from slurm2sql_spark.operators.diffing import incremental_refresh
+
+    return incremental_refresh(
+        docs, newv, prior, "doc_id", "text",
+        lambda rows: _refresh_verdicts(
+            rows.select("doc_id", "text", "source")
+        ),
+    )
+
+
 def _synth_html_col() -> Column:
     """Deterministic HTML page synthesized from (doc_id, text) — the
     L39/L52 planted-corpus pattern: the template is known to both
@@ -3750,6 +3904,33 @@ def html_clean_q(spark, sf_dir):
         extracted, "doc_id", "text", min_words=30, min_stop_hits=1
     )
     return _qf_project(qf)
+
+
+def _mat_cache_dir(prefix: str, sf_dir: str) -> str:
+    """Process-scoped materialization-cache dir for entries that
+    persist a derived table once and re-read it across invocations
+    (crawl_frontier's urls, incremental_refresh's prior verdicts).
+    Keyed by (sf_dir, DATA VERSION, pid): the version component —
+    documents.parquet mtime_ns + size — invalidates the cache when the
+    dataset at sf_dir is regenerated within a process lifetime or a
+    recycled pid finds a stale tmp dir (ADVICE r12 #1: the r12 key was
+    sf_dir+pid only and could silently serve outdated data). The
+    caller checks for ``_SUCCESS`` under its own subpath before
+    reusing."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        ver = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        ver = "nover"
+    key = hashlib.md5(f"{sf_dir}|{ver}".encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"s2s_mat_{prefix}_{key}_{os.getpid()}"
+    )
 
 
 def _parity_workdir(prefix: str, sf_dir: str) -> str:
@@ -4590,10 +4771,19 @@ _CLASSIFIER_CTES = r"""tok AS (
                         THEN CAST(1.0 AS DOUBLE)
                         ELSE CAST(0.0 AS DOUBLE) END AS y
             FROM documents),
-    nd AS (SELECT count(*) AS n_docs FROM tots),
+    -- r13: the fit trains on a content-addressed 20% slice (the
+    -- deterministic_sample md5 idiom, salt ct1) and the scoring pass
+    -- below stays corpus-wide — the fastText/CCNet deployment posture
+    -- (train on a bounded curated slice, score the whole crawl); at
+    -- 100 TB full-batch GD never scans the crawl per epoch
+    tr AS MATERIALIZED (
+      SELECT doc_id FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ct1'),
+             1, 8))::BIGINT < 0.2 * 4294967296.0),
+    nd AS (SELECT count(*) AS n_docs FROM tots JOIN tr USING (doc_id)),
     -- epoch 1 from w=0, bias=0: sigmoid(0)=0.5, so resid = 0.5 - y
     r1 AS MATERIALIZED (SELECT t.doc_id, 0.5 - l.y AS r
-           FROM tots t JOIN lab l USING (doc_id)),
+           FROM tots t JOIN tr USING (doc_id) JOIN lab l USING (doc_id)),
     w1 AS MATERIALIZED (SELECT f.b,
                   floor((-5.0 * sum(f.x * r.r) / n_docs) * 1000000
                         + 0.001) / 1000000 AS w
@@ -4607,7 +4797,7 @@ _CLASSIFIER_CTES = r"""tok AS (
            FROM feat f JOIN w1 USING (b) GROUP BY 1),
     r2 AS MATERIALIZED (SELECT s2.doc_id,
                   1.0 / (1.0 + exp(-(s2.s + bi1.bias))) - l.y AS r
-           FROM s2 JOIN lab l USING (doc_id), bi1),
+           FROM s2 JOIN tr USING (doc_id) JOIN lab l USING (doc_id), bi1),
     w2 AS MATERIALIZED (SELECT f.b,
                   floor((w1.w - 5.0 * sum(f.x * r.r) / n_docs)
                         * 1000000 + 0.001) / 1000000 AS w
@@ -4616,8 +4806,11 @@ _CLASSIFIER_CTES = r"""tok AS (
     bi2 AS MATERIALIZED (SELECT floor((bi1.bias - 5.0 * avg(r.r)) * 1000000 + 0.001)
                    / 1000000 AS bias
             FROM r2 r, bi1 GROUP BY bi1.bias),
-    sc AS (SELECT f.doc_id, sum(f.x * w2.w) AS s
-           FROM feat f JOIN w2 USING (b) GROUP BY 1)"""
+    -- corpus-wide scoring pass: LEFT join + NULL-skipping sum so a
+    -- doc whose grams hit only bins the slice never trained scores
+    -- 0 (+bias), matching the engine's left-join + coalesce(w, 0)
+    sc AS (SELECT f.doc_id, coalesce(sum(f.x * w2.w), 0.0) AS s
+           FROM feat f LEFT JOIN w2 USING (b) GROUP BY 1)"""
 
 _CLASSIFIER_FINAL = """
     SELECT sc.doc_id,
@@ -4633,6 +4826,62 @@ _CLASSIFIER_ORACLE = f"""
     WITH {_CLASSIFIER_CTES}{_CLASSIFIER_FINAL}"""
 
 
+def _clf_fit_shared(spark, sf_dir):
+    """Session-memoized binary quality-classifier fit (m=256, 2 epochs,
+    lr=5, salt c1 — the spec the `_CLASSIFIER_CTES` oracle replays),
+    trained on the content-addressed 20% slice (salt ct1 — r13: the
+    fastText/CCNet posture; the oracle's `tr` CTE replays the same md5
+    membership, and full-batch GD never scans the whole crawl per
+    epoch at 100 TB). Three entries demonstrate this ONE fit
+    (classifier_score / classifier_calibration /
+    classifier_stream_parity), so a session running the catalog trains
+    it once — the `_lm_scored` sharing precedent, driver-side. Returns
+    ``(w, bias)``; the collect is m-bounded by the fit's contract."""
+    from slurm2sql_spark.operators.classifier import hashed_classifier_fit
+    from slurm2sql_spark.operators.sampling import deterministic_sample
+
+    def build():
+        train = deterministic_sample(
+            _clf_labeled(spark, sf_dir), "doc_id",
+            fraction=0.2, salt="ct1",
+        )
+        return hashed_classifier_fit(
+            train, "doc_id", "text", "label",
+            m=256, epochs=2, lr=5.0, salt="c1",
+        )
+
+    return _py_memo(spark, sf_dir, "clf_fit_c1", build)
+
+
+def _clf_labeled(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "text",
+        (F.col("source") == "src0").cast("double").alias("label"),
+    )
+
+
+def _clf_scored_shared(spark, sf_dir):
+    """Memoized scored frame ``(doc_id, label, score, keep)`` under the
+    shared c1 fit — classifier_score returns it verbatim and
+    classifier_calibration sweeps its histogram, so the scoring pass
+    (like the fit above) runs once per (session, sf_dir)."""
+    from slurm2sql_spark.operators.classifier import hashed_classifier_score
+
+    def build():
+        labeled = _clf_labeled(spark, sf_dir)
+        w, b = _clf_fit_shared(spark, sf_dir)
+        scored = hashed_classifier_score(
+            labeled, "doc_id", "text", w, b, m=256, salt="c1"
+        )
+        return scored.join(
+            labeled.select("doc_id", "label"), "doc_id"
+        ).select("doc_id", "label", "score", "keep")
+
+    return _memo(spark, sf_dir, "clf_scored_c1", build)
+
+
 @register(
     "classifier_score",
     _CLASSIFIER_ORACLE,
@@ -4640,10 +4889,13 @@ _CLASSIFIER_ORACLE = f"""
     "VERDICT r10 #2 — the discriminative third scoring family next "
     "to rule filters and LM perplexity, the CCNet/fastText posture): "
     "logistic regression over the shared DSIR hashed unigram+bigram "
-    "featurization (m=256 bins, salt c1), trained IN the entry by two "
-    "deterministic full-batch GD epochs (lr=5, labels = source=='src0'"
-    ") with every weight floor-quantized at 1e-6 after each update, "
-    "then scores every document: (doc_id, label, score, keep). The "
+    "featurization (m=256 bins, salt c1), trained by two deterministic "
+    "full-batch GD epochs (lr=5, labels = source=='src0') on a "
+    "content-addressed 20% slice (r13: the deployment posture — the "
+    "fit scans a bounded curated slice, membership via the "
+    "deterministic_sample md5 idiom so both engines pick the same "
+    "docs) with every weight floor-quantized at 1e-6 after each "
+    "update, then scores EVERY document: (doc_id, label, score, keep). The "
     "oracle replays the identical epochs as chained CTEs — the L21 "
     "recursive-CTE precedent. Scale: per epoch one map-side-combined "
     "per-doc sum, one doc-keyed residual join, one m-BOUNDED gradient "
@@ -4652,27 +4904,7 @@ _CLASSIFIER_ORACLE = f"""
     "lockstep makes the fit engine-portable bit-for-bit.",
 )
 def classifier_score_q(spark, sf_dir):
-    from slurm2sql_spark.operators.classifier import (
-        hashed_classifier_fit,
-        hashed_classifier_score,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    labeled = docs.select(
-        "doc_id",
-        "text",
-        (F.col("source") == "src0").cast("double").alias("label"),
-    )
-    w, b = hashed_classifier_fit(
-        labeled, "doc_id", "text", "label",
-        m=256, epochs=2, lr=5.0, salt="c1",
-    )
-    scored = hashed_classifier_score(
-        labeled, "doc_id", "text", w, b, m=256, salt="c1"
-    )
-    return scored.join(
-        labeled.select("doc_id", "label"), "doc_id"
-    ).select("doc_id", "label", "score", "keep")
+    return _clf_scored_shared(spark, sf_dir)
 
 
 _CALIBRATION_ORACLE = f"""
@@ -4731,24 +4963,7 @@ _CALIBRATION_ORACLE = f"""
     "classifier_stream_parity — one spec, three gates.",
 )
 def classifier_calibration_q(spark, sf_dir):
-    from slurm2sql_spark.operators.classifier import (
-        hashed_classifier_fit,
-        hashed_classifier_score,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    labeled = docs.select(
-        "doc_id",
-        "text",
-        (F.col("source") == "src0").cast("double").alias("label"),
-    )
-    w, b = hashed_classifier_fit(
-        labeled, "doc_id", "text", "label",
-        m=256, epochs=2, lr=5.0, salt="c1",
-    )
-    scored = hashed_classifier_score(
-        labeled, "doc_id", "text", w, b, m=256, salt="c1"
-    ).join(labeled.select("doc_id", "label"), "doc_id")
+    scored = _clf_scored_shared(spark, sf_dir)
     hist = scored.groupBy(
         F.least(F.floor(F.col("score") * 20), F.lit(20))
         .cast("int")
@@ -4796,6 +5011,15 @@ def _softmax_oracle_core(epochs: int) -> str:
     quantized prob DESC, class ASC). Two finals share it:
     lang_classifier (per-doc rows) and lang_mix_trained (the L48
     temperature mix over PREDICTED strata).
+
+    r13: the fit trains on a content-addressed 20% slice (``tr`` —
+    the deterministic_sample md5 idiom, salt lt1) and the final pass
+    scores the WHOLE corpus — the fastText deployment posture the
+    lang_mix_trained docstring always described ("labels train the
+    model on a curated slice; the MODEL strata the crawl"), and the
+    honest 100-TB shape: full-batch GD never scans the whole crawl
+    per epoch. Classes, one-hot targets, n_docs and every gradient
+    come from the slice; feat/pred/lab stay corpus-wide.
 
     The synthetic documents table uses ONE shared vocabulary for every
     lang value (no real language signal), so both entries plant one:
@@ -4881,23 +5105,29 @@ def _softmax_oracle_core(epochs: int) -> str:
     feat AS MATERIALIZED (SELECT g.doc_id, g.b, g.n / CAST(t.t AS DOUBLE) AS x
              FROM grain g JOIN tots t USING (doc_id)),
     lab AS (SELECT doc_id, lang AS y FROM documents),
-    cls AS (SELECT DISTINCT lang AS c FROM documents
+    tr AS MATERIALIZED (
+      SELECT doc_id FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'lt1'),
+             1, 8))::BIGINT < 0.2 * 4294967296.0),
+    cls AS (SELECT DISTINCT lang AS c FROM documents JOIN tr USING (doc_id)
             WHERE lang IS NOT NULL),
-    nd AS (SELECT count(*) AS n_docs FROM tots),
+    nd AS (SELECT count(*) AS n_docs FROM tots JOIN tr USING (doc_id)),
     kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM cls),
     yh AS MATERIALIZED (SELECT l.doc_id, c.c,
                   CASE WHEN l.y = c.c THEN CAST(1.0 AS DOUBLE)
                        ELSE CAST(0.0 AS DOUBLE) END AS yc
-           FROM lab l CROSS JOIN cls c),"""
+           FROM lab l JOIN tr USING (doc_id) CROSS JOIN cls c),"""
         + ",".join(rounds)
         + f""",
-    -- final scoring pass under (w{kf}, bi{kf})
+    -- final scoring pass under (w{kf}, bi{kf}) — over the WHOLE
+    -- corpus (gridF), not the training slice's yh grid
     sF AS (SELECT f.doc_id, w{kf}.c, sum(f.x * w{kf}.w) AS s
            FROM feat f JOIN w{kf} USING (b) GROUP BY 1, 2),
-    eF AS (SELECT yh.doc_id, yh.c,
+    gridF AS (SELECT t.doc_id, c.c FROM tots t CROSS JOIN cls c),
+    eF AS (SELECT g.doc_id, g.c,
                   exp(coalesce(sF.s, 0.0) + bi{kf}.bi) AS e
-           FROM yh LEFT JOIN sF ON yh.doc_id = sF.doc_id AND yh.c = sF.c
-                   JOIN bi{kf} ON yh.c = bi{kf}.c),
+           FROM gridF g LEFT JOIN sF ON g.doc_id = sF.doc_id AND g.c = sF.c
+                   JOIN bi{kf} ON g.c = bi{kf}.c),
     denF AS (SELECT doc_id, sum(e) AS den FROM eF GROUP BY 1),
     pF AS (SELECT eF.doc_id, eF.c,
                   floor((eF.e / denF.den) * 1000000 + 0.001)
@@ -4912,7 +5142,20 @@ def _softmax_oracle_core(epochs: int) -> str:
     )
 
 
-_LANG_CLF_CORE = _softmax_oracle_core(4)
+# r13 (VERDICT r12 #1): the fit trains on the content-addressed 20%
+# slice (_LANG_TRAIN_FRACTION / salt lt1 — deterministic_sample's md5
+# idiom, so the generated oracle's `tr` CTE replays the exact member-
+# ship), which cuts each epoch to a fifth of a corpus pass while the
+# scoring pass stays corpus-wide. Fewer FULL-corpus epochs were tried
+# first and rejected: at 2-3 epochs the argmax degenerates to the
+# majority class (the class-prior bias dominates until epoch 4), so
+# the honest lever is slice training, not epoch cuts. The epoch count
+# and the oracle stay generated from the same constants — bit-lockstep
+# at any setting.
+_LANG_CLF_EPOCHS = 4
+_LANG_TRAIN_FRACTION = 0.2
+_LANG_TRAIN_SALT = "lt1"
+_LANG_CLF_CORE = _softmax_oracle_core(_LANG_CLF_EPOCHS)
 
 
 def _lang_aug_docs(spark, sf_dir):
@@ -4933,6 +5176,50 @@ def _lang_aug_docs(spark, sf_dir):
     return docs.select("doc_id", aug.alias("text"), "lang")
 
 
+def _lang_fit_shared(spark, sf_dir):
+    """Session-memoized softmax language-ID fit over the planted-signal
+    corpus (m=256, `_LANG_CLF_EPOCHS` epochs, lr=5, salt l1 — the spec
+    `_LANG_CLF_CORE` replays). lang_classifier, lang_mix_trained and
+    the frozen-artifact gate all demonstrate this ONE fit, so a session
+    running the catalog pays the GD rounds once (VERDICT r12 #1 lever
+    (b); the `_lm_scored` precedent). Returns ``(classes, w, bias)`` —
+    (k x (m+1))-bounded driver state by the fit's contract."""
+    from slurm2sql_spark.operators.classifier import softmax_classifier_fit
+    from slurm2sql_spark.operators.sampling import deterministic_sample
+
+    def build():
+        train = deterministic_sample(
+            _lang_aug_docs(spark, sf_dir), "doc_id",
+            fraction=_LANG_TRAIN_FRACTION, salt=_LANG_TRAIN_SALT,
+        )
+        return softmax_classifier_fit(
+            train, "doc_id", "text", "lang",
+            m=256, epochs=_LANG_CLF_EPOCHS, lr=5.0, salt="l1",
+        )
+
+    return _py_memo(spark, sf_dir, "lang_fit_l1", build)
+
+
+def _lang_pred_shared(spark, sf_dir):
+    """Memoized per-doc predictions ``(doc_id, lang, pred, score)``
+    under the shared l1 fit — lang_classifier returns it verbatim,
+    lang_mix_trained stratifies it, so the corpus-wide scoring pass
+    also runs once per (session, sf_dir)."""
+    from slurm2sql_spark.operators.classifier import softmax_classifier_score
+
+    def build():
+        docs = _lang_aug_docs(spark, sf_dir)
+        classes, w, b = _lang_fit_shared(spark, sf_dir)
+        pred = softmax_classifier_score(
+            docs, "doc_id", "text", classes, w, b, m=256, salt="l1"
+        )
+        return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
+            "doc_id", "lang", "pred", "score"
+        )
+
+    return _memo(spark, sf_dir, "lang_pred_l1", build)
+
+
 @register(
     "lang_classifier",
     _LANG_CLF_CORE
@@ -4944,37 +5231,28 @@ def _lang_aug_docs(spark, sf_dir):
     "fastText posture: softmax_classifier_fit, operators/"
     "classifier.py): multinomial logistic regression over the shared "
     "hashed unigram+bigram featurization (m=256, salt l1), one weight "
-    "vector per language, trained in-entry by four deterministic "
-    "full-batch GD epochs on the documents lang labels, then every "
-    "document classified: (doc_id, lang, pred, score) with the argmax "
-    "tie-break total (quantized prob DESC, class ASC). Replaces the "
-    "stopword-list heuristic (L38's lang_id) as the production "
-    "language-ID path. Scale: the binary classifier's contract times "
-    "k — per epoch one (k x m)-row broadcast weight table, map-side-"
-    "combined per-(doc, class) score sums, a per-doc softmax "
-    "denominator, and ONE (k x (m+1))-bounded gradient aggregate "
-    "collected per epoch; the feature grain persists across epochs "
-    "(one corpus tokenize total). Oracle replays both epochs as "
-    "GENERATED chained CTEs (the _bpe_oracle_sql pattern) with the "
-    "class set taken from the data — quantized "
-    "lockstep makes the fit engine-portable bit-for-bit.",
+    "vector per language, trained by four deterministic full-batch GD "
+    "epochs on a content-addressed 20% slice of the lang labels (r13: "
+    "the fastText deployment posture — the model trains on a bounded "
+    "curated slice, never the whole crawl; membership is the "
+    "deterministic_sample md5 idiom so both engines pick the same "
+    "slice), then EVERY document classified: (doc_id, lang, pred, "
+    "score) with the argmax tie-break total (quantized prob DESC, "
+    "class ASC). Replaces the stopword-list heuristic (L38's lang_id) "
+    "as the production language-ID path. Scale: the binary "
+    "classifier's contract times k, on the slice — per epoch one "
+    "(k x m)-row broadcast weight table, map-side-combined per-(doc, "
+    "class) score sums, a per-doc softmax denominator, and ONE "
+    "(k x (m+1))-bounded gradient aggregate collected per epoch; the "
+    "feature grain persists across epochs (one tokenize total) and "
+    "the corpus-wide scoring pass is a single broadcast-join scan. "
+    "Oracle replays the epochs as GENERATED chained CTEs (the "
+    "_bpe_oracle_sql pattern) with the class set taken from the "
+    "slice — quantized lockstep makes the fit engine-portable "
+    "bit-for-bit.",
 )
 def lang_classifier_q(spark, sf_dir):
-    from slurm2sql_spark.operators.classifier import (
-        softmax_classifier_fit,
-        softmax_classifier_score,
-    )
-
-    docs = _lang_aug_docs(spark, sf_dir)
-    classes, w, b = softmax_classifier_fit(
-        docs, "doc_id", "text", "lang", m=256, epochs=4, lr=5.0, salt="l1"
-    )
-    pred = softmax_classifier_score(
-        docs, "doc_id", "text", classes, w, b, m=256, salt="l1"
-    )
-    return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
-        "doc_id", "lang", "pred", "score"
-    )
+    return _lang_pred_shared(spark, sf_dir)
 
 
 @register(
@@ -5005,20 +5283,59 @@ def lang_classifier_q(spark, sf_dir):
     "the predicted strata.",
 )
 def lang_mix_trained_q(spark, sf_dir):
-    from slurm2sql_spark.operators.classifier import (
-        softmax_classifier_fit,
-        softmax_classifier_score,
-    )
     from slurm2sql_spark.operators.sampling import mix_temperature
 
+    return mix_temperature(_lang_pred_shared(spark, sf_dir), "pred", 2.0)
+
+
+@register(
+    "lang_classifier_frozen",
+    _LANG_CLF_CORE
+    + """
+    SELECT pred.doc_id, lab.y AS lang, pred.c AS pred, pred.p AS score
+    FROM pred JOIN lab ON pred.doc_id = lab.doc_id
+    """,
+    doc="Classifier-artifact persistence round-trip (VERDICT r12 #2 — "
+    "the deployment seam symmetric to bpe_frozen_counts: r12 froze "
+    "the tokenizer, this freezes the model): the fitted softmax "
+    "language-ID model (the shared l1 fit) is WRITTEN as a "
+    "self-describing parquet artifact (save_softmax_model: one row "
+    "per (class, bin) weight + per-class bias rows + the m/salt/"
+    "bigrams featurization params, k x (m+1) rows total), RELOADED "
+    "from disk (load_softmax_model — a model-bounded collect, the "
+    "load_bpe_model contract), and the whole corpus is classified "
+    "under the FROZEN weights with the reloaded parameters. The "
+    "oracle is the same in-session GD replay lang_classifier checks "
+    "against, so the hash match proves the artifact round-trip is "
+    "lossless — frozen-model scores == just-trained scores, the "
+    "train-once / score-many-corpora-and-streams seam. At 100 TB the "
+    "artifact (a few KB) is the only thing that moves between the "
+    "training slice and any number of scoring corpora.",
+)
+def lang_classifier_frozen_q(spark, sf_dir):
+    import os
+
+    from slurm2sql_spark.operators.classifier import (
+        load_softmax_model,
+        save_softmax_model,
+        softmax_classifier_score,
+    )
+
+    work = _parity_workdir("langmodel", sf_dir)
+    model_path = os.path.join(work, "model")
+    classes, w, b = _lang_fit_shared(spark, sf_dir)
+    save_softmax_model(spark, model_path, classes, w, b, m=256, salt="l1")
+    classes2, w2, b2, m2, salt2, bigrams2 = load_softmax_model(
+        spark, model_path
+    )
     docs = _lang_aug_docs(spark, sf_dir)
-    classes, w, b = softmax_classifier_fit(
-        docs, "doc_id", "text", "lang", m=256, epochs=4, lr=5.0, salt="l1"
-    )
     pred = softmax_classifier_score(
-        docs, "doc_id", "text", classes, w, b, m=256, salt="l1"
+        docs, "doc_id", "text", classes2, w2, b2,
+        m=m2, salt=salt2, bigrams=bigrams2,
     )
-    return mix_temperature(pred, "pred", 2.0)
+    return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "pred", "score"
+    )
 
 
 @register(
@@ -5253,20 +5570,14 @@ def crawl_frontier_q(spark, sf_dir):
     # table once per invocation and runs the whole frontier off that
     # scan — PLANS.md now shows a genuine url-column read with doc_id
     # pruned away.
-    # The table is a pure function of sf_dir, so repeated invocations
-    # in one process (bench min-of-3, gate + oracle pass) reuse the
-    # materialization instead of paying the write again — only the
-    # frontier read path is the query under measurement. Keyed by pid
-    # like _parity_workdir so concurrent processes never clobber.
-    import hashlib
-    import tempfile
-
-    urls_path = os.path.join(
-        tempfile.gettempdir(),
-        f"s2s_mat_urls_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
-        f"_{os.getpid()}",
-        "urls",
-    )
+    # The table is a pure function of sf_dir AND the dataset version,
+    # so repeated invocations in one process (bench min-of-3, gate +
+    # oracle pass) reuse the materialization instead of paying the
+    # write again — only the frontier read path is the query under
+    # measurement. Keyed by pid like _parity_workdir so concurrent
+    # processes never clobber, and by the documents.parquet
+    # mtime+size so a regenerated dataset invalidates (ADVICE r12 #1).
+    urls_path = os.path.join(_mat_cache_dir("urls", sf_dir), "urls")
     if not os.path.exists(os.path.join(urls_path, "_SUCCESS")):
         (
             _t(spark, sf_dir, "documents")
@@ -5553,6 +5864,33 @@ def _bpe_oracle_sql(k: int, final: str | None = None) -> str:
     """
 
 
+def _bpe_merges_shared(spark, sf_dir):
+    """Session-memoized 8-round BPE fit over the documents corpus —
+    the ONE merge table all four tokenizer-family gates demonstrate
+    (bpe_train / bpe_token_counts / bpe_frozen_counts /
+    bpe_stream_parity), trained once per (session, sf_dir) instead of
+    once per entry (VERDICT r12 #1; the `_clf_fit_shared` pattern).
+    Returns the collected merge-table rows in merge_round order —
+    k-bounded driver state by bpe_train's contract."""
+    from slurm2sql_spark.operators.bpe import bpe_train
+
+    def build():
+        docs = _t(spark, sf_dir, "documents")
+        return bpe_train(docs, "text", merges=8).orderBy(
+            "merge_round"
+        ).collect()
+
+    return _py_memo(spark, sf_dir, "bpe_merges8", build)
+
+
+#: bpe_train's output schema — rebuilt from the memoized rows so the
+#: entry's result frame is identical whether the fit ran or was shared.
+_BPE_TABLE_SCHEMA = (
+    "merge_round int, lhs string, rhs string, merged string, "
+    "pair_count long"
+)
+
+
 @register(
     "bpe_train",
     _bpe_oracle_sql(8),
@@ -5571,9 +5909,10 @@ def _bpe_oracle_sql(k: int, final: str | None = None) -> str:
     "CTEs with the positional-parity merge formula.",
 )
 def bpe_train_q(spark, sf_dir):
-    from slurm2sql_spark.operators.bpe import bpe_train
-
-    return bpe_train(_t(spark, sf_dir, "documents"), "text", merges=8)
+    rows = _bpe_merges_shared(spark, sf_dir)
+    return spark.createDataFrame(
+        [tuple(r) for r in rows], _BPE_TABLE_SCHEMA
+    )
 
 
 @register(
@@ -5605,10 +5944,10 @@ def bpe_train_q(spark, sf_dir):
     "sequence, joined back to the per-doc word stream.",
 )
 def bpe_token_counts_q(spark, sf_dir):
-    from slurm2sql_spark.operators.bpe import bpe_token_counts, bpe_train
+    from slurm2sql_spark.operators.bpe import bpe_token_counts
 
     docs = _t(spark, sf_dir, "documents")
-    table = bpe_train(docs, "text", merges=8).orderBy("merge_round").collect()
+    table = _bpe_merges_shared(spark, sf_dir)
     merges = [(r["lhs"], r["rhs"]) for r in table]
     return bpe_token_counts(docs, "doc_id", "text", merges)
 
@@ -5647,7 +5986,6 @@ def bpe_frozen_counts_q(spark, sf_dir):
 
     from slurm2sql_spark.operators.bpe import (
         bpe_token_counts,
-        bpe_train,
         load_bpe_model,
         save_bpe_model,
     )
@@ -5655,7 +5993,11 @@ def bpe_frozen_counts_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     work = _parity_workdir("bpemodel", sf_dir)
     model_path = os.path.join(work, "model")
-    save_bpe_model(bpe_train(docs, "text", merges=8), model_path)
+    table = spark.createDataFrame(
+        [tuple(r) for r in _bpe_merges_shared(spark, sf_dir)],
+        _BPE_TABLE_SCHEMA,
+    )
+    save_bpe_model(table, model_path)
     merges, eow = load_bpe_model(spark, model_path)
     return bpe_token_counts(docs, "doc_id", "text", merges, eow=eow)
 
@@ -5694,17 +6036,17 @@ def bpe_frozen_counts_q(spark, sf_dir):
 def bpe_stream_parity(spark, sf_dir):
     import os
 
-    from slurm2sql_spark.operators.bpe import (
-        bpe_train,
-        load_bpe_model,
-        save_bpe_model,
-    )
+    from slurm2sql_spark.operators.bpe import load_bpe_model, save_bpe_model
     from slurm2sql_spark.streaming.stream import tokenize_stream_batched
 
     batch = _t(spark, sf_dir, "documents")
     work = _parity_workdir("bpestream", sf_dir)
     model_path = os.path.join(work, "model")
-    save_bpe_model(bpe_train(batch, "text", merges=8), model_path)
+    table = spark.createDataFrame(
+        [tuple(r) for r in _bpe_merges_shared(spark, sf_dir)],
+        _BPE_TABLE_SCHEMA,
+    )
+    save_bpe_model(table, model_path)
     merges, eow = load_bpe_model(spark, model_path)
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
@@ -5721,7 +6063,11 @@ def bpe_stream_parity(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(f"{work}/data/batch=0").select(
+    # ADVICE r12 #2: read the WHOLE sink, not batch=0 — correctness
+    # must not assume the corpus lands in one micro-batch (a multi-file
+    # documents.parquet or changed trigger batching would silently
+    # drop rows from the entry's output)
+    return spark.read.parquet(f"{work}/data").select(
         "doc_id", "n_words", "n_bpe_tokens"
     )
 
@@ -5745,19 +6091,11 @@ def bpe_stream_parity(spark, sf_dir):
 def classifier_stream_parity(spark, sf_dir):
     import os
 
-    from slurm2sql_spark.operators.classifier import hashed_classifier_fit
     from slurm2sql_spark.streaming.stream import classifier_stream
 
     batch = _t(spark, sf_dir, "documents")
-    labeled = batch.select(
-        "doc_id",
-        "text",
-        (F.col("source") == "src0").cast("double").alias("label"),
-    )
-    w, b = hashed_classifier_fit(
-        labeled, "doc_id", "text", "label",
-        m=256, epochs=2, lr=5.0, salt="c1",
-    )
+    labeled = _clf_labeled(spark, sf_dir)
+    w, b = _clf_fit_shared(spark, sf_dir)
     work = _parity_workdir("classifier", sf_dir)
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
@@ -5958,6 +6296,28 @@ def _domain_reweight_oracle(rounds: int = 5) -> str:
     """
 
 
+def _domain_loss_shared(spark, sf_dir):
+    """Memoized |domains|-row loss table (source, loss, n_docs) over
+    the shared `_lm_scored` frame — domain_reweight and
+    reweighted_sample both start from it, so the corpus-wide loss
+    aggregation (the only non-trivial work either entry does beyond
+    driver MW arithmetic) runs once per (session, sf_dir)."""
+
+    def build():
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+        return (
+            _lm_scored(spark, sf_dir)
+            .join(docs, "doc_id")
+            .groupBy("source")
+            .agg(
+                _q6(F.avg("lq")).alias("loss"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+        )
+
+    return _memo(spark, sf_dir, "domain_loss", build)
+
+
 @register(
     "domain_reweight",
     _domain_reweight_oracle(),
@@ -5980,16 +6340,7 @@ def _domain_reweight_oracle(rounds: int = 5) -> str:
 def domain_reweight_q(spark, sf_dir):
     from slurm2sql_spark.operators.sampling import domain_reweight
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    loss = (
-        _lm_scored(spark, sf_dir)
-        .join(docs, "doc_id")
-        .groupBy("source")
-        .agg(
-            _q6(F.avg("lq")).alias("loss"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
-    )
+    loss = _domain_loss_shared(spark, sf_dir)
     out = domain_reweight(
         loss, "source", "loss", rounds=5, eta=0.5, smoothing=0.01
     )
@@ -6048,12 +6399,7 @@ def reweighted_sample_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     raw = docs.filter(F.col("source") != "src0")
-    loss = (
-        _lm_scored(spark, sf_dir)
-        .join(docs, "doc_id")
-        .groupBy("source")
-        .agg(_q6(F.avg("lq")).alias("loss"))
-    )
+    loss = _domain_loss_shared(spark, sf_dir)
     weights = mw_rounds(
         [(r["source"], float(r["loss"])) for r in loss.collect()],
         rounds=5, eta=0.5, smoothing=0.01,
@@ -7292,7 +7638,7 @@ def phrase_search(spark, sf_dir):
       FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i)
     )
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
-    FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50
+    FROM b GROUP BY 1 ORDER BY n DESC, md5(bigram) LIMIT 50
     """,
     doc="Corpus-wide heavy-hitter bigrams by TOTAL occurrence count "
     "(top-50) — the stat that builds stop-phrase lists for the "
@@ -7300,8 +7646,20 @@ def phrase_search(spark, sf_dir):
     "frequency of unigrams; repeated in-doc phrasing needs raw "
     "totals). One narrow bigram fan-out (transform over the token "
     "array, bounded by tokens/doc), one map-side-combined count "
-    "shuffle, TakeOrdered top-k — no global sort; (count DESC, "
-    "bigram ASC) total order keeps the cutoff engine-deterministic.",
+    "shuffle, TakeOrdered top-k — no global sort; count ties at the "
+    "cutoff break on md5(bigram) (ADVICE r12 #3: Spark compares "
+    "strings by UTF-16 code units, DuckDB by UTF-8 bytes — orders "
+    "diverge off the BMP; the md5 hex is ASCII, so its order is "
+    "engine-portable for ANY corpus). Scale posture (VERDICT r12 #7, "
+    "measured): the combiner's per-task output is bigram-vocabulary-"
+    "bounded, and the 10x->100x growth check came back 3.3x per 10x "
+    "data (SCALING.json growth_10x_to_100x — sub-linear per row, "
+    "gap falling 5.6x->4.5x->3.2x), so the count shuffle does NOT "
+    "dominate and the exact single-pass plan stands; if a corpus "
+    "ever pushes the vocabulary past task memory, the documented "
+    "escape is the two-stage candidate protocol (per-partition "
+    "top-m -> exact rescan of the candidate union) — same answer, "
+    "one extra bounded pass.",
 )
 def ngram_heavy_hitters(spark, sf_dir):
     from slurm2sql_spark.operators.textstats import WS_RE2
@@ -7320,7 +7678,7 @@ def ngram_heavy_hitters(spark, sf_dir):
         docs.select(F.explode(big).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy(F.desc("n"), F.asc("bigram"))
+        .orderBy(F.desc("n"), F.md5("bigram").asc())
         .limit(50)
     )
 
@@ -7692,37 +8050,48 @@ def url_domain_psl_q(spark, sf_dir):
 _GATE_WINDOW = 50
 
 _GATE_PRIORITY = [
-    # new this round (r12):
-    "url_domain_psl",
-    "bpe_frozen_counts",
-    "export_stream_parity",
+    # new this round (r13):
+    "lang_classifier_frozen",
+    "incremental_refresh",
+    # re-gated r13 (operator churn this round): the classifier fits
+    # moved to the Arrow one-exchange-per-epoch kernel and slice
+    # training (every consumer below), the softmax scorer went wide,
+    # the lang entries share the memoized l1 fit, the BPE entries
+    # share the memoized merge table, doc_novelty keys its shuffles on
+    # xxhash64(shingle), domain_reweight/reweighted_sample share the
+    # memoized loss table, crawl_frontier's urls cache gained
+    # data-version invalidation (ADVICE r12), bpe_stream_parity reads
+    # the whole sink, funnel_conversion / ngram_heavy_hitters oracle
+    # tie-break portability (ADVICE r12)
     "lang_classifier",
     "lang_mix_trained",
-    # re-gated r12 (operator churn this round): url_table's domain
-    # column switched to the PSL longest-match path (url_normalize and
-    # crawl_frontier consume it); html_to_text's drop-tag handling
-    # became stack-based (ADVICE r11)
-    "url_normalize",
-    "crawl_frontier",
-    "html_extract",
-    "html_clean",
-    # r12 window-staleness rotation (VERDICT r11 #6): last driver row
-    # r8/r9 — back in-window for a fresh CORRECTNESS row (all were
-    # judge-green at sf0.01 in r11, so this is evidence hygiene)
-    "corpus_report",
-    "source_overlap",
-    "dsir_selection",
-    "decontaminate_bloom",
-    "mix_temperature",
-    "dedup_paragraph",
-    "doc_repetition",
-    # new r11 (one green round only — keep in-window one more):
     "classifier_score",
-    "bpe_train",
-    "shard_assign",
-    "export_pipeline",
-    "bpe_token_counts",
+    "classifier_calibration",
     "classifier_stream_parity",
+    "bpe_train",
+    "bpe_token_counts",
+    "bpe_frozen_counts",
+    "bpe_stream_parity",
+    "doc_novelty",
+    "domain_reweight",
+    "reweighted_sample",
+    "crawl_frontier",
+    "url_normalize",
+    "funnel_conversion",
+    "ngram_heavy_hitters",
+    # r13 window-staleness rotation (VERDICT r12 #5): last driver row
+    # r10 — back in-window for a fresh CORRECTNESS row (all were
+    # judge-green at sf0.01 in r12, so this is evidence hygiene)
+    "sim_topk_cosine",
+    "sim_lsh_topk",
+    "sim_lsh_recall",
+    "sim_ivf_topk",
+    "sim_ivf_recall",
+    "embedding_quantize",
+    "sim_quantized_recall",
+    "dedup_embedding",
+    "dedup_components",
+    "pack_sequences",
 ]
 
 _GATE_TAIL = [
@@ -7755,17 +8124,7 @@ _GATE_TAIL = [
     "pivot_event_counts",
     "vocab_top_terms",
     "doc_winnow",
-    "pack_sequences",
     "dedup_keep_best",
-    "dedup_components",
-    "dedup_embedding",
-    "sim_topk_cosine",
-    "sim_lsh_topk",
-    "sim_lsh_recall",
-    "sim_ivf_topk",
-    "sim_ivf_recall",
-    "embedding_quantize",
-    "sim_quantized_recall",
     "mix_fractions",
     # rotated r9 (third batch): `sacct_eff` is registered outside
     # @register and was not counted when the second batch was sized —
@@ -7842,6 +8201,21 @@ _GATE_TAIL = [
     "sessionize",
     "setops_users",
     "windowed_event_counts",
+    # rotated r13 (to make room for the r12 staleness set above plus
+    # the two new entries): the r12-gated entries below are green r12
+    # under plans unchanged in r13
+    "url_domain_psl",
+    "export_stream_parity",
+    "html_extract",
+    "corpus_report",
+    "source_overlap",
+    "dsir_selection",
+    "decontaminate_bloom",
+    "mix_temperature",
+    "dedup_paragraph",
+    "doc_repetition",
+    "shard_assign",
+    "export_pipeline",
 ]
 
 

@@ -1547,13 +1547,21 @@ def shingle_novelty(
     table (one map-side-combined count shuffle) joins back to the
     per-doc shingle grain; unlike the pair-join families there is no
     f^2 term, a shingle shared by f docs contributes f rows, so hot
-    shingles need no posting cap here. Shuffle payloads are shingle
-    strings; swap in xxhash64(shingle) keys at 100 TB for fixed-width
-    exchange rows (same plan shape).
+    shingles need no posting cap here. Both the count shuffle and the
+    join back key on ``xxhash64(shingle)`` (r13, VERDICT r12 #3 —
+    closing this docstring's own promise): exchange rows are
+    fixed-width 8-byte keys instead of n-gram text, ~8x less shuffle
+    payload on typical shingles with the identical plan shape. The
+    novelty FRACTIONS are unchanged, so the SQL oracle stays on the
+    string grain; a 64-bit collision (two distinct shingles sharing a
+    key perturbs one doc-frequency by 1) has probability ~S^2/2^65 —
+    ~1e-9 at a 10^5-shingle gate corpus, and still <1e-3 at 10^8.
     """
     # shingles() emits the id under the canonical name "id"
-    sh = shingles(df, id_col, text_col, n=n)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sh = shingles(df, id_col, text_col, n=n).select(
+        "id", F.xxhash64("shingle").alias("_sh")
+    )
+    freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
     shared = F.sum(
         F.when(F.col("_df") >= 2, F.lit(1)).otherwise(F.lit(0))
     ).cast("long")
@@ -1561,7 +1569,7 @@ def shingle_novelty(
         "double"
     )
     return (
-        sh.join(freq, "shingle")
+        sh.join(freq, "_sh")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -338,3 +338,155 @@ def test_calibration_sweep_invariants(spark):
             lo = min(r["precision"], r["recall"]) - 1e-6
             hi = max(r["precision"], r["recall"]) + 1e-6
             assert lo <= r["f1"] <= hi
+
+
+def test_softmax_model_roundtrip(spark):
+    """save_softmax_model/load_softmax_model (VERDICT r12 #2): the
+    frozen artifact must reproduce the fit EXACTLY — classes, every
+    weight, every bias, and the featurization params — and scoring
+    under the reloaded model must equal in-session scoring
+    bit-for-bit."""
+    import os
+    import tempfile
+
+    from slurm2sql_spark.operators.classifier import (
+        load_softmax_model,
+        save_softmax_model,
+        softmax_classifier_fit,
+        softmax_classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 3} xq{i % 3} the data", f"c{i % 3}") for i in range(30)],
+        "doc_id int, text string, lang string",
+    )
+    classes, w, b = softmax_classifier_fit(
+        df, "doc_id", "text", "lang", m=64, epochs=2, lr=5.0, salt="t1"
+    )
+    path = os.path.join(tempfile.mkdtemp(), "model")
+    save_softmax_model(spark, path, classes, w, b, m=64, salt="t1")
+    c2, w2, b2, m2, s2, bg2 = load_softmax_model(spark, path)
+    assert c2 == sorted(classes)
+    assert (m2, s2, bg2) == (64, "t1", True)
+    assert b2 == b
+    # weight dicts equal up to absent-vs-0.0 entries
+    for c in classes:
+        for bin_ in set(w[c]) | set(w2.get(c, {})):
+            assert w2.get(c, {}).get(bin_, 0.0) == w[c].get(bin_, 0.0)
+    a = sorted(
+        tuple(r)
+        for r in softmax_classifier_score(
+            df, "doc_id", "text", classes, w, b, m=64, salt="t1"
+        ).collect()
+    )
+    z = sorted(
+        tuple(r)
+        for r in softmax_classifier_score(
+            df, "doc_id", "text", c2, w2, b2, m=m2, salt=s2, bigrams=bg2
+        ).collect()
+    )
+    assert a == z
+
+
+def test_softmax_model_roundtrip_edges(spark):
+    """Empty-class and unseen-bin edges (the VERDICT ask names both):
+    a k=0 model round-trips to ([], {}, {}), and scoring docs whose
+    grams hit only bins the frozen table never saw still scores every
+    doc (bias-only softmax), identically pre- and post-freeze."""
+    import os
+    import tempfile
+
+    from slurm2sql_spark.operators.classifier import (
+        load_softmax_model,
+        save_softmax_model,
+        softmax_classifier_fit,
+        softmax_classifier_score,
+    )
+
+    # empty-class: all labels NULL -> no classes
+    nul = spark.createDataFrame(
+        [(1, "a b c", None)], "doc_id int, text string, lang string"
+    )
+    classes, w, b = softmax_classifier_fit(
+        nul, "doc_id", "text", "lang", m=16, epochs=1, salt="t2"
+    )
+    assert classes == [] and w == {} and b == {}
+    path = os.path.join(tempfile.mkdtemp(), "empty")
+    save_softmax_model(spark, path, classes, w, b, m=16, salt="t2")
+    c2, w2, b2, m2, _, _ = load_softmax_model(spark, path)
+    assert (c2, w2, b2) == ([], {}, {})
+
+    # unseen bins: train on one vocabulary, score a disjoint one
+    train = spark.createDataFrame(
+        [(i, f"aa{i % 2} aa{i % 2}", f"c{i % 2}") for i in range(10)],
+        "doc_id int, text string, lang string",
+    )
+    classes, w, b = softmax_classifier_fit(
+        train, "doc_id", "text", "lang", m=4096, epochs=2, salt="t3"
+    )
+    other = spark.createDataFrame(
+        [(100, "zz yy xx ww"), (101, "qq rr ss")],
+        "doc_id int, text string",
+    )
+    path = os.path.join(tempfile.mkdtemp(), "m")
+    save_softmax_model(spark, path, classes, w, b, m=4096, salt="t3")
+    c2, w2, b2, m2, s2, bg2 = load_softmax_model(spark, path)
+    a = sorted(
+        tuple(r)
+        for r in softmax_classifier_score(
+            other, "doc_id", "text", classes, w, b, m=4096, salt="t3"
+        ).collect()
+    )
+    z = sorted(
+        tuple(r)
+        for r in softmax_classifier_score(
+            other, "doc_id", "text", c2, w2, b2, m=m2, salt=s2, bigrams=bg2
+        ).collect()
+    )
+    assert a == z and len(a) == 2  # every doc scored, none dropped
+
+
+def test_binary_model_roundtrip(spark):
+    """save_classifier_model/load_classifier_model: binary twin —
+    weights/bias/params round-trip exactly and frozen scoring matches;
+    kind-mismatch loads raise."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from slurm2sql_spark.operators.classifier import (
+        hashed_classifier_fit,
+        hashed_classifier_score,
+        load_classifier_model,
+        load_softmax_model,
+        save_classifier_model,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 4} common text", float(i % 2)) for i in range(20)],
+        "doc_id int, text string, label double",
+    )
+    w, b = hashed_classifier_fit(
+        df, "doc_id", "text", "label", m=64, epochs=2, salt="t4"
+    )
+    path = os.path.join(tempfile.mkdtemp(), "bin")
+    save_classifier_model(spark, path, w, b, m=64, salt="t4")
+    w2, b2, m2, s2, bg2 = load_classifier_model(spark, path)
+    assert (b2, m2, s2, bg2) == (b, 64, "t4", True)
+    assert w2 == w
+    a = sorted(
+        tuple(r)
+        for r in hashed_classifier_score(
+            df, "doc_id", "text", w, b, m=64, salt="t4"
+        ).collect()
+    )
+    z = sorted(
+        tuple(r)
+        for r in hashed_classifier_score(
+            df, "doc_id", "text", w2, b2, m=m2, salt=s2, bigrams=bg2
+        ).collect()
+    )
+    assert a == z
+    with pytest.raises(ValueError, match="not a softmax artifact"):
+        load_softmax_model(spark, path)

@@ -153,3 +153,64 @@ def test_corpus_diff_matches_dict_reference_property(spark):
             else:
                 want[i] = "changed"
         assert got == want, (spec, got, want)
+
+
+def test_incremental_refresh_planted(spark):
+    """Planted add/edit/remove (VERDICT r12 #6): carried rows are the
+    PRIOR rows bit-for-bit, changed/added rows are recomputed, removed
+    ids drop, and the whole result equals the full recompute."""
+    from slurm2sql_spark.operators.diffing import incremental_refresh
+
+    old, new = _frames(spark)
+
+    def compute(df):
+        # a verdict pipeline with a visible run marker: n_chars is
+        # deterministic (so incremental == full recompute), run_id
+        # comes from the closure (so we can SEE which rows recomputed)
+        return df.select(
+            "doc_id",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias(
+                "n_chars"
+            ),
+            F.lit(compute.run_id).alias("run_id"),
+        )
+
+    compute.run_id = "prior"
+    prior = compute(old).collect()
+    prior_df = spark.createDataFrame(
+        prior, "doc_id int, n_chars int, run_id string"
+    )
+    compute.run_id = "fresh"
+    out = {
+        r["doc_id"]: r
+        for r in incremental_refresh(
+            old, new, prior_df, "doc_id", "text", compute
+        ).collect()
+    }
+    # v2 universe exactly: removed id 3 gone, added id 6 present
+    assert sorted(out) == [1, 2, 4, 5, 6]
+    # unchanged ids carried the PRIOR rows untouched
+    for i in (1, 4, 5):
+        assert out[i]["run_id"] == "prior", i
+    # changed/added ids were recomputed
+    assert out[2]["run_id"] == "fresh"
+    assert out[6]["run_id"] == "fresh"
+    # and the values equal the full recompute on v2
+    full = {r["doc_id"]: r["n_chars"] for r in compute(new).collect()}
+    assert {i: r["n_chars"] for i, r in out.items()} == full
+
+
+def test_incremental_refresh_null_text_edges(spark):
+    """NULL-vs-empty hashing: NULL text hashes as '' on both versions,
+    so NULL->'' and NULL->NULL are both 'unchanged' (the corpus_diff
+    contract) and must carry, never recompute."""
+    from slurm2sql_spark.operators.diffing import incremental_refresh
+
+    old, new = _frames(spark)
+    prior = old.select("doc_id", F.lit("P").alias("tag"))
+    out = incremental_refresh(
+        old, new, prior, "doc_id", "text",
+        lambda df: df.select("doc_id", F.lit("F").alias("tag")),
+    ).collect()
+    tags = {r["doc_id"]: r["tag"] for r in out}
+    assert tags == {1: "P", 2: "F", 4: "P", 5: "P", 6: "F"}

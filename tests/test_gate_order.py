@@ -33,3 +33,53 @@ def test_tail_entries_are_only_stable_micros():
     allowed = set(catalog._GATE_TAIL)
     stray = [n for n in tail if n not in allowed]
     assert not stray, f"non-tail entries fell outside the gate window: {stray}"
+
+
+def test_driver_row_staleness_rotation_policy():
+    """VERDICT r12 #5: rotation is POLICY, not memory. From the
+    committed CORRECTNESS_r*.json history, compute each current
+    entry's last driver-gated round and require that the current
+    window re-gates the stale cohort: at least min(8, |cohort|)
+    entries whose last row is >= 3 rounds old must sit INSIDE the
+    window (so they get a fresh row this round), and no entry may go
+    ungated longer than 7 rounds without being rotated in."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    last: dict[str, int] = {}
+    latest = 0
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        latest = max(latest, rnd)
+        try:
+            rows = json.load(open(f))
+        except ValueError:
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    if not last:  # fresh checkout without history: nothing to police
+        return
+    names = list(catalog.QUERIES)
+    window = set(names[: catalog._GATE_WINDOW])
+    current = latest + 1  # the round about to run gates the window
+    stale = sorted(
+        (n for n in names if current - last.get(n, 0) >= 3 and n in last),
+        key=lambda n: last[n],
+    )
+    in_window_stale = [n for n in stale if n in window]
+    need = min(8, len(stale))
+    assert len(in_window_stale) >= need, (
+        f"window re-gates only {len(in_window_stale)} of the "
+        f"{len(stale)} stale entries (need >= {need}); stalest: "
+        f"{[(n, last[n]) for n in stale[:10]]}"
+    )
+    # hard cap: nothing may rot past 7 rounds outside the window
+    rotten = [
+        (n, last[n])
+        for n in names
+        if n in last and current - last[n] > 7 and n not in window
+    ]
+    assert not rotten, f"entries ungated > 7 rounds, rotate in: {rotten}"
