@@ -1963,12 +1963,28 @@ def _session_key(spark: SparkSession):
         ) or id(spark)
 
 
+def _evict_other_sessions(skey) -> None:
+    """Bound stale-session growth WITHOUT nuking the live session's
+    memos: r13 found the old `drop_caches()`-on-overflow wiped
+    `_PY_CACHE` mid-pass once a sweep populated >24 frames, silently
+    re-running every shared fit (the bug showed up as bpe_frozen /
+    lang_frozen paying full training in SCALING walls)."""
+    for cache in (_RESULT_CACHE, _PY_CACHE):
+        for k in [k for k in cache if k[0] != skey]:
+            v = cache.pop(k)
+            try:
+                v.unpersist()
+            except Exception:
+                pass  # python value or dead session
+
+
 def _memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    key = (_session_key(spark), sf_dir, name)
+    skey = _session_key(spark)
+    key = (skey, sf_dir, name)
     df = _RESULT_CACHE.get(key)
     if df is None:
-        if len(_RESULT_CACHE) > 24:  # bound stale-session entries
-            drop_caches()
+        if len(_RESULT_CACHE) > 24:
+            _evict_other_sessions(skey)
         df = build().persist()
         _RESULT_CACHE[key] = df
     return df
@@ -1987,10 +2003,11 @@ _PY_CACHE: dict[tuple, object] = {}
 
 
 def _py_memo(spark: SparkSession, sf_dir: str, name: str, build):
-    key = (_session_key(spark), sf_dir, name)
+    skey = _session_key(spark)
+    key = (skey, sf_dir, name)
     if key not in _PY_CACHE:
-        if len(_PY_CACHE) > 24:  # bound stale-session entries
-            _PY_CACHE.clear()
+        if len(_PY_CACHE) > 24:
+            _evict_other_sessions(skey)
         _PY_CACHE[key] = build()
     return _PY_CACHE[key]
 

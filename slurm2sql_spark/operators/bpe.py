@@ -150,10 +150,21 @@ def bpe_train(
         .groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    # Round frames are VOCABULARY-sized (orders smaller than the
+    # corpus — module contract), so full shuffle-partition width is
+    # pure task-launch overhead per round (8 rounds x 2 stages x 32
+    # tasks on a KB-scale frame, measured ~40% of the fit wall at gate
+    # scale). Run rounds at a quarter of the cluster width, floor 8 —
+    # a 100M-word vocabulary still spreads, a toy one stops paying 64
+    # task launches per merge.
+    try:
+        width = max(8, spark.sparkContext.defaultParallelism // 4)
+    except Exception:  # Spark Connect exposes no sparkContext
+        width = 8
     cur = _persist(
         words.select(
             "_c", _char_symbols(F.col("_w"), eow).alias("_syms")
-        )
+        ).coalesce(width)
     )
     rows = []
     prev = None
@@ -206,7 +217,12 @@ def save_bpe_model(merges_df: DataFrame, path: str, eow: str | None = EOW) -> No
             "merge_round", "lhs", "rhs", "merged", "pair_count"
         )
         .withColumn("eow", F.lit(eow).cast("string"))
-        .coalesce(1)
+        # repartition(1), NOT coalesce(1): on a parallelize-backed
+        # local frame coalesce folds all k empty python partitions
+        # into ONE task that pays their worker handshakes SERIALLY
+        # (measured ~4 s for an 8-row table); the 1-slot shuffle runs
+        # them parallel (~0.3 s)
+        .repartition(1)
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -341,6 +341,45 @@ def hashed_classifier_score_inline(
     )
 
 
+def _score_frame(df, id_col, text_col, m, salt, bigrams):
+    """Per-doc hashed-bin instance arrays for the Arrow scoring
+    kernels: ``(id, _bins, _t)`` — same featurization single-source as
+    the fit (``gram_array`` + ``hash_bucket % m``), one exchange (the
+    doc grouping), not persisted (scoring reads it once)."""
+    from .sampling import gram_array, hash_bucket
+
+    occ = df.select(
+        F.col(id_col),
+        F.explode(gram_array(text_col, bigrams)).alias("_g"),
+    )
+    return occ.groupBy(id_col).agg(
+        F.collect_list(
+            (hash_bucket(F.col("_g"), salt) % F.lit(int(m))).cast("int")
+        ).alias("_bins"),
+        F.count(F.lit(1)).cast("double").alias("_t"),
+    )
+
+
+def _kernel_scores(pdf, W, B):
+    """Per-batch raw class scores ``exp((sum_i W[b_i]) / t + B)`` —
+    the shared numpy core of both Arrow scorers (the fit kernel's
+    scoring half, factored)."""
+    import numpy as np
+
+    n = len(pdf)
+    t = pdf["_t"].to_numpy(dtype=np.float64)
+    arrs = [np.asarray(a, dtype=np.int64) for a in pdf["_bins"]]
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+    flat = (
+        np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+    )
+    doc_idx = np.repeat(np.arange(n), lens)
+    S = np.zeros((n, W.shape[1]))
+    np.add.at(S, doc_idx, W[flat])
+    S /= t[:, None]
+    return np.exp(S + B[None, :])
+
+
 def hashed_classifier_score(
     df: DataFrame,
     id_col: str,
@@ -360,39 +399,63 @@ def hashed_classifier_score(
 
     ``weights`` is the bin->weight mapping from
     :func:`hashed_classifier_fit` (or any external fastText-style
-    export rehashed into the same m bins). The weight table is <= m
-    rows and BROADCASTS; the only corpus-sized shuffle is the per-doc
-    score aggregation (map-side combined). Every input document is
+    export rehashed into the same m bins). Every input document is
     scored — empty/NULL text featurizes as one empty-string unigram
-    (see ``_features``), it is never dropped.
+    (the shared ``gram_array`` contract), it is never dropped.
+
+    r13 plan shape: ONE exchange (the per-doc bin-array grouping) +
+    an Arrow-batched numpy projection — the scoring half of the fit
+    kernel (`_epoch_gradients`), replacing the broadcast-join +
+    aggregate chain whose stage floors dominated at gate scale. The
+    weight matrix ships in the closure (m doubles, a few KB). For
+    per-row-latency streaming use :func:`hashed_classifier_score_inline`
+    (stateless scan projection, no exchange at all).
     """
-    spark = df.sparkSession
-    feat = _features(df, id_col, text_col, m, salt, bigrams)
-    if weights:
-        wdf = F.broadcast(
-            spark.createDataFrame(sorted(weights.items()), "b int, _w double")
-        )
-        summed = (
-            feat.join(wdf, "b", "left")
-            .groupBy(id_col)
-            .agg(
-                F.sum(
-                    F.col("x") * F.coalesce(F.col("_w"), F.lit(0.0))
-                ).alias("_s")
+    import numpy as np
+    import pandas as pd
+
+    W = np.zeros((m, 1))
+    for b, wv in weights.items():
+        W[b, 0] = wv
+    bias_f = float(bias)
+    q = float(quantize)
+    thr = float(threshold)
+    id_type = dict(df.dtypes)[id_col]
+
+    # the sigmoid path wants raw S (not the softmax core's exp(S)),
+    # so the bin gather/scatter is restated here for the 1-D case
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            t = pdf["_t"].to_numpy(dtype=np.float64)
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["_bins"]]
+            lens = np.fromiter(
+                (len(a) for a in arrs), dtype=np.int64, count=n
             )
-        )
-    else:
-        summed = feat.groupBy(id_col).agg(F.lit(0.0).alias("_s"))
-    q = F.lit(float(quantize))
-    score = F.floor(
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_s") + F.lit(bias)))))
-        * q
-        + F.lit(1e-3)
-    ) / q
-    return summed.select(
-        F.col(id_col),
-        score.alias("score"),
-        (score >= F.lit(float(threshold))).alias("keep"),
+            flat = (
+                np.concatenate(arrs) if arrs
+                else np.empty(0, dtype=np.int64)
+            )
+            doc_idx = np.repeat(np.arange(n), lens)
+            S = np.zeros(n)
+            np.add.at(S, doc_idx, W[flat, 0])
+            S = S / t + bias_f
+            score = np.floor(
+                (1.0 / (1.0 + np.exp(-S))) * q + 1e-3
+            ) / q
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "score": score,
+                    "keep": score >= thr,
+                }
+            )
+
+    frame = _score_frame(df, id_col, text_col, m, salt, bigrams)
+    return frame.mapInPandas(
+        kernel, f"{id_col} {id_type}, score double, keep boolean"
     )
 
 
@@ -437,15 +500,16 @@ def softmax_classifier_fit(
     if epochs < 1:
         raise ValueError(f"epochs must be >= 1, got {epochs}")
 
-    labels = df.select(F.col(label_col).cast("string").alias("_y"))
-    classes = sorted(
-        r["_y"] for r in labels.distinct().collect()
-        if r["_y"] is not None
-    )
     feat = _doc_bins(
         df, id_col, text_col, label_col, m, salt, bigrams, "string"
     )
-    n_docs = feat.count()
+    n_docs = feat.count()  # materializes the persist
+    # class set off the CACHED frame (every doc featurizes — the
+    # gram_array >=1-instance contract — so this is df's label set)
+    classes = sorted(
+        r["_y"] for r in feat.select("_y").distinct().collect()
+        if r["_y"] is not None
+    )
     if n_docs == 0 or not classes:
         feat.unpersist()
         return classes, {}, {}
@@ -492,15 +556,19 @@ def softmax_classifier_score(
     tie-break: quantized probability DESC, class name ASC) and
     ``score`` its floor-quantized softmax probability.
 
-    Scale shape (r13 wide form): the (k x m) weight table broadcasts
-    as ONE wide (b, w_0..w_{k-1}) row set, all k score sums aggregate
-    map-side in a SINGLE per-doc groupBy, and softmax + argmax fold
-    into a k-array projection (array_max / array_position over k
-    elements — the FIRST maximal index is the smallest class name
-    because ``classes`` is sorted, the same total tie-break the old
-    per-(doc, class) window form ordered by p DESC, class ASC). One
-    doc-keyed exchange instead of the old grid + window chain."""
-    spark = df.sparkSession
+    Scale shape (r13 Arrow form): ONE exchange (the per-doc bin-array
+    grouping, `_score_frame`) + an Arrow-batched numpy projection —
+    the scoring half of the fit kernel (`_kernel_scores`): bin gather,
+    per-doc normalization, softmax, quantized argmax all per batch;
+    the (k x m) weight matrix ships in the closure (a few KB). The
+    argmax takes the FIRST maximal index = the smallest class name
+    (``classes`` is sorted), the same total tie-break the r11/r12
+    window and wide forms ordered by (quantized p DESC, class ASC).
+    For per-row streaming latency use
+    :func:`softmax_classifier_score_inline`."""
+    import numpy as np
+    import pandas as pd
+
     classes = sorted(classes)
     k = len(classes)
     if k == 0:
@@ -509,64 +577,35 @@ def softmax_classifier_score(
             F.lit(None).cast("string").alias("pred"),
             F.lit(None).cast("double").alias("score"),
         ).filter(F.lit(False))
-    feat = _features(df, id_col, text_col, m, salt, bigrams)
-    docs = feat.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nb"))
-    bins = sorted({b for c in classes for b in weights.get(c, {})})
-    if bins:
-        wdf = F.broadcast(
-            spark.createDataFrame(
-                [
-                    (
-                        int(b),
-                        *[
-                            float(weights.get(c, {}).get(b, 0.0))
-                            for c in classes
-                        ],
-                    )
-                    for b in bins
-                ],
-                "b int, " + ", ".join(f"_w{j} double" for j in range(k)),
+    W = np.zeros((m, k))
+    for j, c in enumerate(classes):
+        for b, wv in weights.get(c, {}).items():
+            W[b, j] = wv
+    B = np.array([float(biases.get(c, 0.0)) for c in classes])
+    q = float(quantize)
+    cls_arr = np.array(classes)
+    id_type = dict(df.dtypes)[id_col]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = _kernel_scores(pdf, W, B)
+            probs = np.floor(
+                E / E.sum(axis=1, keepdims=True) * q + 1e-3
+            ) / q
+            idx = probs.argmax(axis=1)  # first maximal index
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pred": cls_arr[idx],
+                    "score": probs[np.arange(len(pdf)), idx],
+                }
             )
-        )
-        summed = (
-            feat.join(wdf, "b")
-            .groupBy(id_col)
-            .agg(
-                *[
-                    F.sum(F.col("x") * F.col(f"_w{j}")).alias(f"_s{j}")
-                    for j in range(k)
-                ]
-            )
-        )
-        # docs whose bins all miss the weight table still score
-        # (bias-only softmax): rebuild the doc universe
-        scored = docs.join(summed, id_col, "left").select(
-            id_col,
-            *[
-                F.coalesce(F.col(f"_s{j}"), F.lit(0.0)).alias(f"_s{j}")
-                for j in range(k)
-            ],
-        )
-    else:
-        scored = docs.select(
-            id_col, *[F.lit(0.0).alias(f"_s{j}") for j in range(k)]
-        )
-    ex = [
-        F.exp(F.col(f"_s{j}") + F.lit(float(biases.get(c, 0.0))))
-        for j, c in enumerate(classes)
-    ]
-    den = ex[0]
-    for e in ex[1:]:
-        den = den + e
-    q = F.lit(float(quantize))
-    probs = F.array(*[F.floor(e / den * q + F.lit(1e-3)) / q for e in ex])
-    best = F.array_max(probs)
-    idx = F.array_position(probs, best).cast("int")
-    cls_arr = F.array(*[F.lit(c) for c in classes])
-    return scored.select(
-        F.col(id_col),
-        F.element_at(cls_arr, idx).alias("pred"),
-        best.alias("score"),
+
+    frame = _score_frame(df, id_col, text_col, m, salt, bigrams)
+    return frame.mapInPandas(
+        kernel, f"{id_col} {id_type}, pred string, score double"
     )
 
 
@@ -670,9 +709,13 @@ _MODEL_SCHEMA = (
 
 
 def _write_model_rows(spark, path: str, rows: list) -> None:
+    # repartition(1), NOT coalesce(1): coalesce on a parallelize-backed
+    # local frame folds all k empty python partitions into one task
+    # that pays their worker handshakes serially (~4 s measured for a
+    # KB-scale table); the 1-slot shuffle runs them parallel (~0.3 s)
     (
         spark.createDataFrame(rows, _MODEL_SCHEMA)
-        .coalesce(1)
+        .repartition(1)
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -127,6 +127,22 @@ DUCK_QUERIES = [
     "lang_classifier",
     "lang_mix_trained",
     "crawl_frontier",
+    # r13: the artifact round-trip (scores under the FROZEN model; the
+    # oracle replays the full fit, so duck pays training while Spark
+    # pays save+load+score) and the diff-gated refresh (Spark touches
+    # only the changed set; the oracle recomputes everything — the
+    # production asymmetry IS the thing measured). Listed after their
+    # memo siblings so the sweep regime matches a full catalog run.
+    "lang_classifier_frozen",
+    "incremental_refresh",
+    # r13 (second batch): the curation compositions — all linear
+    # oracles (Gopher signals + CCNet normalize + paragraph explode
+    # shapes already dual-measured piecewise via quality_filter /
+    # dedup_paragraph); measured whole so the aggregate covers the
+    # composition overhead, not just the pieces
+    "curation_pipeline",
+    "boilerplate_scrub",
+    "c4_clean",
     # r12 (second batch): normalized dedup + positional phrase search
     # (both single-shuffle), snapshot diff (one full-outer join on
     # pre-hashed ids), MW reweighting (m-bounded rounds over the
@@ -247,6 +263,12 @@ X100_QUERIES = [
     "bpe_frozen_counts",
     "lang_classifier",
     "lang_mix_trained",
+    # r13 additions (same rationale as the 1x/10x list)
+    "lang_classifier_frozen",
+    "incremental_refresh",
+    "curation_pipeline",
+    "boilerplate_scrub",
+    "c4_clean",
     # r12 (second batch): the round's new operator families get the
     # standard 100x cross-documentation
     "dedup_normalized",
@@ -301,6 +323,12 @@ X100_DUCK_AGG_WRAP = {
     "dedup_normalized",
     "phrase_search",
     "doc_novelty",
+    # r13: per-doc outputs (~500k rows at 100x)
+    "lang_classifier_frozen",
+    "incremental_refresh",
+    "curation_pipeline",
+    "boilerplate_scrub",
+    "c4_clean",
 }
 _AGG_WRAP_SQL = "SELECT count(*) AS n, sum(hash(t)) AS h FROM ({sql}) t"
 # r8 (VERDICT #4): prove subquadratic LSH growth at 100x. Spark-only —
