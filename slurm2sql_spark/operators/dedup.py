@@ -168,14 +168,17 @@ def normalize_aggressive(c: Column) -> Column:
     ``normalize_text`` already applies.
 
     Pipeline (order matters and is part of the key contract):
-    lowercase → accent-fold (``_FOLD_FROM``→``_FOLD_TO`` 1:1
-    translate) → ASCII digits→``0`` → strip punctuation (``_PUNCT_RE2``)
-    → trim + collapse whitespace. Pure scan-stage expressions — no
-    UDF, no shuffle; composes with ``exact_dedup`` by keying on
+    lowercase → accent-fold + ASCII-digit mask (ONE 1:1 ``translate``
+    — r13: the digit mask rides the same codepoint map as the fold,
+    byte-identical to the old ``[0-9] -> 0`` regexp pass at a third
+    of the regex work) → strip punctuation (``_PUNCT_RE2``) → trim +
+    collapse whitespace. Pure scan-stage expressions — no UDF, no
+    shuffle; composes with ``exact_dedup`` by keying on
     ``md5(normalize_aggressive(text))`` instead of the plain key.
     """
-    folded = F.translate(F.lower(c), _FOLD_FROM, _FOLD_TO)
-    masked = F.regexp_replace(folded, "[0-9]", "0")
+    masked = F.translate(
+        F.lower(c), _FOLD_FROM + "123456789", _FOLD_TO + "000000000"
+    )
     stripped = F.regexp_replace(masked, _PUNCT_RE2, "")
     # collapse FIRST, then trim: SQL trim removes spaces only, so a
     # trailing \t/\n would otherwise survive pass 1 as a trailing
@@ -190,9 +193,9 @@ def normalize_aggressive_sql(c: str) -> str:
     (A function, not a ``str.format`` template: ``\\p{L}`` braces
     collide with format syntax.)"""
     return (
-        "trim(regexp_replace(regexp_replace(regexp_replace("
-        f"translate(lower({c}), '{_FOLD_FROM}', '{_FOLD_TO}'), "
-        "'[0-9]', '0', 'g'), "
+        "trim(regexp_replace(regexp_replace("
+        f"translate(lower({c}), '{_FOLD_FROM}123456789', "
+        f"'{_FOLD_TO}000000000'), "
         f"'{_PUNCT_RE2}', '', 'g'), '{_WS_RE2}', ' ', 'g'))"
     )
 
