@@ -68,6 +68,25 @@ def _q(v: float, quantize: int) -> float:
     return math.floor(v * quantize + 1e-3) / quantize
 
 
+def _bin_index(b, m: int) -> int:
+    """Validate a model bin index against the feature width ``m``.
+
+    The Arrow kernels gather ``W[b]`` on a dense (m x k) matrix, so a
+    bin from a mismatched (model, m) pair would either IndexError past
+    the end or — worse — silently alias through Python negative
+    indexing (e.g. the on-disk artifact's ``-1`` bias pseudo-bin
+    adding itself into bin m-1). The broadcast-join formulation this
+    replaced dropped out-of-range bins silently; fail loudly instead.
+    """
+    b = int(b)
+    if not 0 <= b < m:
+        raise ValueError(
+            f"model bin {b} out of range for m={m} feature bins — "
+            "model artifact and scorer m disagree"
+        )
+    return b
+
+
 def _features(
     df: DataFrame,
     id_col: str,
@@ -183,7 +202,12 @@ def _epoch_gradients(feat, W, B, n_docs, m, k, binary, classes=None):
             if binary:
                 y = pdf["_y"].to_numpy(dtype=np.float64)
                 R = 1.0 / (1.0 + np.exp(-(S[:, 0] + B[0]))) - y
-                R = R[:, None]
+                # NULL labels arrive as NaN; the join formulation this
+                # replaced dropped them via SQL SUM's NULL-skip and the
+                # softmax twin zero-one-hots them — zero the residual so
+                # unlabeled docs contribute nothing instead of NaN-ing
+                # the whole gradient (ADVICE r13).
+                R = np.where(np.isnan(y), 0.0, R)[:, None]
             else:
                 E = np.exp(S + B[None, :])
                 P = E / E.sum(axis=1, keepdims=True)
@@ -264,7 +288,7 @@ def hashed_classifier_fit(
     for _ in range(int(epochs)):
         W = np.zeros((m, 1))
         for b, wv in w.items():
-            W[b, 0] = wv
+            W[_bin_index(b, m), 0] = wv
         grads = _epoch_gradients(
             feat, W, np.array([bias]), n_docs, m, 1, binary=True
         )
@@ -416,7 +440,7 @@ def hashed_classifier_score(
 
     W = np.zeros((m, 1))
     for b, wv in weights.items():
-        W[b, 0] = wv
+        W[_bin_index(b, m), 0] = wv
     bias_f = float(bias)
     q = float(quantize)
     thr = float(threshold)
@@ -522,7 +546,7 @@ def softmax_classifier_fit(
         W = np.zeros((m, k))
         for j, c in enumerate(classes):
             for b, wv in w[c].items():
-                W[b, j] = wv
+                W[_bin_index(b, m), j] = wv
         B = np.array([bias[c] for c in classes])
         grads = _epoch_gradients(
             feat, W, B, n_docs, m, k, binary=False, classes=classes
@@ -580,7 +604,7 @@ def softmax_classifier_score(
     W = np.zeros((m, k))
     for j, c in enumerate(classes):
         for b, wv in weights.get(c, {}).items():
-            W[b, j] = wv
+            W[_bin_index(b, m), j] = wv
     B = np.array([float(biases.get(c, 0.0)) for c in classes])
     q = float(quantize)
     cls_arr = np.array(classes)

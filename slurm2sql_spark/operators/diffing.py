@@ -115,20 +115,45 @@ def incremental_refresh(
     pipeline runs over the CHANGED SET only — the full corpus is never
     re-scored. At 100 TB with a 1% daily churn this is the difference
     between a 1 TB job and a 100 TB one.
+
+    Robustness (ADVICE r13): a duplicate id in ``old`` no longer
+    multiplies ``new`` rows (old hashes pre-aggregate per id on the
+    same join key — a conflicting duplicate counts as changed, which
+    is always safe: recompute), and an unchanged id that ``prior``
+    does not cover (filtered/partial prior output) routes through
+    ``compute`` instead of silently dropping, so the
+    ``result == compute(new)`` contract survives imperfect priors.
     """
-    oldh = old.select(
-        F.col(id_col),
-        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h_old"),
+    hcol = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    # pre-aggregate on the join key: groupBy and join share the id
+    # hash-partitioning, so this adds no exchange over the plain join
+    oldh = (
+        old.select(F.col(id_col), hcol.alias("_h"))
+        .groupBy(id_col)
+        .agg(
+            F.min("_h").alias("_h_old"),
+            F.max("_h").alias("_h_old_max"),
+        )
     )
-    tagged = new.withColumn(
-        "_h_new", F.md5(F.coalesce(F.col(text_col), F.lit("")))
-    ).join(oldh, id_col, "left")
-    unchanged_ids = tagged.filter(
-        F.col("_h_old").isNotNull() & (F.col("_h_old") == F.col("_h_new"))
-    ).select(id_col)
+    tagged = new.withColumn("_h_new", hcol).join(oldh, id_col, "left")
+    is_unchanged = (
+        F.col("_h_old").isNotNull()
+        & (F.col("_h_old") == F.col("_h_new"))
+        & (F.col("_h_old_max") == F.col("_h_new"))
+    )
+    aux = ["_h_old", "_h_old_max", "_h_new"]
+    unchanged = tagged.filter(is_unchanged)
+    # unchanged ids prior doesn't cover still need a verdict: recompute
+    uncovered = unchanged.join(
+        prior.select(F.col(id_col)), id_col, "left_anti"
+    )
+    # is_unchanged is never NULL (the isNotNull guard short-circuits
+    # to false and md5(coalesce(..)) can't be NULL), so ~is_unchanged
+    # catches added rows too
     fresh = compute(
-        tagged.filter(
-            F.col("_h_old").isNull() | (F.col("_h_old") != F.col("_h_new"))
-        ).drop("_h_old", "_h_new")
+        tagged.filter(~is_unchanged).unionByName(uncovered).drop(*aux)
     )
-    return prior.join(unchanged_ids, id_col).unionByName(fresh)
+    carried = prior.join(
+        unchanged.select(F.col(id_col)), id_col, "left_semi"
+    )
+    return carried.unionByName(fresh)

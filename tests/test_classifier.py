@@ -490,3 +490,61 @@ def test_binary_model_roundtrip(spark):
     assert a == z
     with pytest.raises(ValueError, match="not a softmax artifact"):
         load_softmax_model(spark, path)
+
+
+def test_binary_fit_null_labels_skip_like_sql_sum(spark):
+    """ADVICE r13: NULL labels reach the Arrow kernel as NaN and must
+    contribute NOTHING to the gradient (the replaced join formulation
+    skipped them via SQL SUM's NULL-skip; the softmax twin zero-
+    one-hots them) while still counting in the mean's N. At epoch 1
+    from w=0,b=0 a y=0.5 label also has residual sigmoid(0)-0.5 = 0,
+    so fit(NULL labels) must equal fit(same rows labeled 0.5) exactly.
+    Before the fix this path raised TypeError (NoneType / int)."""
+    from slurm2sql_spark.operators.classifier import hashed_classifier_fit
+
+    labeled = [
+        (i, f"good science words {i}", 1.0) for i in range(6)
+    ] + [(10 + i, f"spam casino click {i}", 0.0) for i in range(6)]
+    extra = [(100 + i, f"mystery unlabeled text {i}") for i in range(4)]
+    with_null = spark.createDataFrame(
+        labeled + [(i, t, None) for i, t in extra],
+        "doc_id int, text string, label double",
+    )
+    with_half = spark.createDataFrame(
+        labeled + [(i, t, 0.5) for i, t in extra],
+        "doc_id int, text string, label double",
+    )
+    wa, ba = hashed_classifier_fit(
+        with_null, "doc_id", "text", "label", m=128, epochs=1, salt="n"
+    )
+    wb, bb = hashed_classifier_fit(
+        with_half, "doc_id", "text", "label", m=128, epochs=1, salt="n"
+    )
+    assert all(v == v for v in wa.values()) and ba == ba  # no NaN
+    assert (wa, ba) == (wb, bb)
+
+
+def test_score_rejects_out_of_range_model_bins(spark):
+    """ADVICE r13: a model/m mismatch must fail loudly — W[m] would
+    IndexError and W[-1] (the artifact's bias pseudo-bin) would
+    silently alias into bin m-1 via negative indexing."""
+    import pytest
+
+    from slurm2sql_spark.operators.classifier import (
+        hashed_classifier_score,
+        softmax_classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some text")], "doc_id int, text string"
+    )
+    for bad in ({64: 1.0}, {-1: 1.0}):
+        with pytest.raises(ValueError, match="out of range"):
+            hashed_classifier_score(
+                df, "doc_id", "text", bad, 0.0, m=64
+            ).collect()
+        with pytest.raises(ValueError, match="out of range"):
+            softmax_classifier_score(
+                df, "doc_id", "text", ["a", "b"],
+                {"a": bad, "b": {}}, {"a": 0.0, "b": 0.0}, m=64,
+            ).collect()

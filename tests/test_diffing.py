@@ -214,3 +214,56 @@ def test_incremental_refresh_null_text_edges(spark):
     ).collect()
     tags = {r["doc_id"]: r["tag"] for r in out}
     assert tags == {1: "P", 2: "F", 4: "P", 5: "P", 6: "F"}
+
+
+def test_incremental_refresh_partial_prior_recomputes(spark):
+    """ADVICE r13: an unchanged id the prior output does not cover
+    (filtered or partial prior) must route through compute — the old
+    inner-join carry silently dropped it and the result no longer
+    equalled compute(new)."""
+    from slurm2sql_spark.operators.diffing import incremental_refresh
+
+    old, new = _frames(spark)
+    # prior is MISSING id 4 (e.g. a filtered previous run)
+    prior = old.filter(F.col("doc_id") != 4).select(
+        "doc_id", F.lit("P").alias("tag")
+    )
+    tags = {
+        r["doc_id"]: r["tag"]
+        for r in incremental_refresh(
+            old, new, prior, "doc_id", "text",
+            lambda df: df.select("doc_id", F.lit("F").alias("tag")),
+        ).collect()
+    }
+    # id 4 is unchanged but uncovered -> recomputed, NOT dropped
+    assert tags == {1: "P", 2: "F", 4: "F", 5: "P", 6: "F"}
+
+
+def test_incremental_refresh_duplicate_old_ids(spark):
+    """ADVICE r13: duplicate ids in old must not multiply new rows
+    through the hash join; a conflicting duplicate (two texts for one
+    id) counts as changed (recompute is always safe)."""
+    from slurm2sql_spark.operators.diffing import incremental_refresh
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha"), (1, "alpha"),   # benign duplicate
+            (2, "beta"), (2, "BETA!"),    # conflicting duplicate
+        ],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id int, text string"
+    )
+    prior = spark.createDataFrame(
+        [(1, "P"), (2, "P")], "doc_id int, tag string"
+    )
+    rows = incremental_refresh(
+        old, new, prior, "doc_id", "text",
+        lambda df: df.select("doc_id", F.lit("F").alias("tag")),
+    ).collect()
+    tags = {r["doc_id"]: r["tag"] for r in rows}
+    # exactly one row per new id — no join fan-out
+    assert len(rows) == 2
+    # benign dup carries; conflicting dup is treated as changed
+    assert tags == {1: "P", 2: "F"}
