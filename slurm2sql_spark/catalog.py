@@ -5175,15 +5175,11 @@ _LANG_TRAIN_SALT = "lt1"
 _LANG_CLF_CORE = _softmax_oracle_core(_LANG_CLF_EPOCHS)
 
 
-def _lang_aug_docs(spark, sf_dir):
-    """The planted-signal corpus both lang entries train on (see
-    _softmax_oracle_core): 4 of 5 docs have their text REPLACED by
-    eight xq<lang> marker tokens + two shared words (marker bins then
-    dominate the per-doc-normalized features, so the trained margins
-    dwarf the 1e-6 quantum — a near-tied argmax would be
-    engine-unstable), the rest stay raw and fall to the learned
-    prior."""
-    docs = _t(spark, sf_dir, "documents")
+def _lang_mark(docs):
+    """Plant the xq<lang> marker signal on any (doc_id, text, lang)
+    frame — see _softmax_oracle_core: 4 of 5 docs have their text
+    REPLACED by eight marker tokens + two shared words, the rest stay
+    raw and fall to the learned prior."""
     i = F.col("doc_id")
     mark = F.concat(F.lit(" xq"), F.coalesce(F.col("lang"), F.lit("")))
     marked = F.concat(*([mark] * 8), F.lit(" the data"))
@@ -5191,6 +5187,39 @@ def _lang_aug_docs(spark, sf_dir):
         i % 5 == 0, F.coalesce(F.col("text"), F.lit(""))
     ).otherwise(marked)
     return docs.select("doc_id", aug.alias("text"), "lang")
+
+
+def _lang_aug_docs(spark, sf_dir):
+    """The planted-signal corpus the lang entries TRAIN on (see
+    _softmax_oracle_core): markers dominate the per-doc-normalized
+    features, so the trained margins dwarf the 1e-6 quantum — a
+    near-tied argmax would be engine-unstable."""
+    return _lang_mark(_t(spark, sf_dir, "documents"))
+
+
+def _lang_docs_v2(spark, sf_dir):
+    """The SCORING corpus for the cross-corpus frozen-model gate: the
+    corpus_diff v2 universe (every 7th doc removed, every remaining
+    5th edited with a ' [v2]' suffix, every 13th cloned under a new
+    id) with the same marker planting — a different doc-id universe
+    and text distribution than the training corpus, so scoring it
+    under frozen weights is a genuine train-on-A / score-on-B run."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    edited = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+    ).otherwise(F.col("text"))
+    newv = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id", edited.alias("text"), "lang")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" new")).alias("text"),
+                "lang",
+            )
+        )
+    )
+    return _lang_mark(newv)
 
 
 def _lang_fit_shared(spark, sf_dir):
@@ -5330,25 +5359,143 @@ def lang_mix_trained_q(spark, sf_dir):
     "training slice and any number of scoring corpora.",
 )
 def lang_classifier_frozen_q(spark, sf_dir):
+    docs = _lang_aug_docs(spark, sf_dir)
+    return _lang_frozen_score(spark, sf_dir, docs)
+
+
+# Cross-corpus scoring tail appended to _LANG_CLF_CORE: featurize the
+# corpus_diff v2 universe (newv -> augB -> featB, the SAME tokenizer /
+# hash / marker chain as the training corpus) and run the final
+# scoring pass under the trained w{kf}/bi{kf} weights over corpus B —
+# the SQL replay of train-on-A / score-on-B. The core's corpus-A
+# `pred` CTE goes unreferenced here; DuckDB prunes it.
+_LANG_CROSS_TAIL = (
+    """
+    , newv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]'
+                  ELSE text END AS text,
+             lang
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' new', lang
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    augB AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '')
+                  ELSE repeat(' xq' || coalesce(lang, ''), 8)
+                       || ' the data' END AS text
+      FROM newv
+    ),
+    tokB AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(coalesce(text, ''))),
+                                '[ \t\n\n\x0c]+') AS w
+      FROM augB
+    ),
+    gramsB AS (
+      SELECT doc_id, unnest(w) AS g FROM tokB
+      UNION ALL
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      FROM tokB, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    ),
+    occB AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g || 'l1'), 1, 8))::BIGINT % 256 AS b
+      FROM gramsB
+    ),
+    grainB AS (SELECT doc_id, b, count(*) AS n FROM occB GROUP BY 1, 2),
+    totsB AS (SELECT doc_id, sum(n) AS t FROM grainB GROUP BY 1),
+    featB AS (SELECT g.doc_id, g.b, g.n / CAST(t.t AS DOUBLE) AS x
+              FROM grainB g JOIN totsB t USING (doc_id)),
+"""
+    + f"""
+    sX AS (SELECT f.doc_id, w{_LANG_CLF_EPOCHS}.c, sum(f.x * w{_LANG_CLF_EPOCHS}.w) AS s
+           FROM featB f JOIN w{_LANG_CLF_EPOCHS} USING (b) GROUP BY 1, 2),
+    gridX AS (SELECT t.doc_id, c.c FROM totsB t CROSS JOIN cls c),
+    eX AS (SELECT g.doc_id, g.c,
+                  exp(coalesce(sX.s, 0.0) + bi{_LANG_CLF_EPOCHS}.bi) AS e
+           FROM gridX g LEFT JOIN sX ON g.doc_id = sX.doc_id AND g.c = sX.c
+                   JOIN bi{_LANG_CLF_EPOCHS} ON g.c = bi{_LANG_CLF_EPOCHS}.c),
+    denX AS (SELECT doc_id, sum(e) AS den FROM eX GROUP BY 1),
+    pX AS (SELECT eX.doc_id, eX.c,
+                  floor((eX.e / denX.den) * 1000000 + 0.001)
+                    / 1000000 AS p
+           FROM eX JOIN denX USING (doc_id)),
+    predX AS (SELECT doc_id, c, p FROM (
+               SELECT doc_id, c, p,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY p DESC, c) AS rn
+               FROM pX) WHERE rn = 1)
+    SELECT predX.doc_id, lb.lang, predX.c AS pred, predX.p AS score
+    FROM predX JOIN (SELECT doc_id, lang FROM newv) lb USING (doc_id)
+"""
+)
+
+
+@register(
+    "lang_classifier_cross",
+    _LANG_CLF_CORE + _LANG_CROSS_TAIL,
+    doc="Cross-corpus frozen-model scoring (VERDICT r13 #6 — the "
+    "deployment story lang_classifier_frozen proves only half of): "
+    "the softmax language-ID model trains ONCE on the documents "
+    "corpus (the shared l1 fit), round-trips through the parquet "
+    "artifact (save_softmax_model -> load_softmax_model), and then "
+    "scores a DIFFERENT corpus — the corpus_diff v2 universe (every "
+    "7th doc removed, every remaining 5th edited, every 13th cloned "
+    "under a new id), i.e. a shifted doc-id universe and text "
+    "distribution the fit never saw. The oracle replays "
+    "fit-on-A/score-on-B as generated chained CTEs (the training "
+    "rounds unchanged, a B-side featurization + scoring tail), so "
+    "the hash match proves BOTH the artifact round-trip and the "
+    "train-once/score-many seam. At 100 TB this is the production "
+    "shape: the few-KB artifact is the only thing that moves between "
+    "the training slice and every corpus/stream it filters; scoring "
+    "is one Arrow-batched exchange over corpus B regardless of how "
+    "corpus A scaled.",
+)
+def lang_classifier_cross_q(spark, sf_dir):
+    return _lang_frozen_score(spark, sf_dir, _lang_docs_v2(spark, sf_dir))
+
+
+def _lang_frozen_params(spark, sf_dir):
+    """Memoized save->load round-trip of the shared l1 fit: the fitted
+    softmax model is WRITTEN as a self-describing parquet artifact
+    (save_softmax_model: one row per (class, bin) weight + per-class
+    bias rows + the m/salt/bigrams featurization params) and RELOADED
+    from disk (a model-bounded collect). Both frozen gates score under
+    the RELOADED parameters, so their oracle hash matches prove the
+    artifact round-trip is lossless."""
     import os
 
     from slurm2sql_spark.operators.classifier import (
         load_softmax_model,
         save_softmax_model,
+    )
+
+    def build():
+        work = _parity_workdir("langmodel", sf_dir)
+        model_path = os.path.join(work, "model")
+        classes, w, b = _lang_fit_shared(spark, sf_dir)
+        save_softmax_model(
+            spark, model_path, classes, w, b, m=256, salt="l1"
+        )
+        return load_softmax_model(spark, model_path)
+
+    return _py_memo(spark, sf_dir, "lang_frozen_l1", build)
+
+
+def _lang_frozen_score(spark, sf_dir, docs):
+    """Classify ``docs`` under the frozen (reloaded) language model."""
+    from slurm2sql_spark.operators.classifier import (
         softmax_classifier_score,
     )
 
-    work = _parity_workdir("langmodel", sf_dir)
-    model_path = os.path.join(work, "model")
-    classes, w, b = _lang_fit_shared(spark, sf_dir)
-    save_softmax_model(spark, model_path, classes, w, b, m=256, salt="l1")
-    classes2, w2, b2, m2, salt2, bigrams2 = load_softmax_model(
-        spark, model_path
-    )
-    docs = _lang_aug_docs(spark, sf_dir)
+    classes, w, b, m, salt, bigrams = _lang_frozen_params(spark, sf_dir)
     pred = softmax_classifier_score(
-        docs, "doc_id", "text", classes2, w2, b2,
-        m=m2, salt=salt2, bigrams=bigrams2,
+        docs, "doc_id", "text", classes, w, b,
+        m=m, salt=salt, bigrams=bigrams,
     )
     return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "pred", "score"
@@ -8067,63 +8214,38 @@ def url_domain_psl_q(spark, sf_dir):
 _GATE_WINDOW = 50
 
 _GATE_PRIORITY = [
-    # new this round (r13):
-    "lang_classifier_frozen",
-    "incremental_refresh",
-    # re-gated r13 (operator churn this round): the classifier fits
-    # moved to the Arrow one-exchange-per-epoch kernel and slice
-    # training (every consumer below), the softmax scorer went wide,
-    # the lang entries share the memoized l1 fit, the BPE entries
-    # share the memoized merge table, doc_novelty keys its shuffles on
-    # xxhash64(shingle), domain_reweight/reweighted_sample share the
-    # memoized loss table, crawl_frontier's urls cache gained
-    # data-version invalidation (ADVICE r12), bpe_stream_parity reads
-    # the whole sink, funnel_conversion / ngram_heavy_hitters oracle
-    # tie-break portability (ADVICE r12)
+    # new this round (r14):
+    "lang_classifier_cross",
+    # churn re-gates r14: the classifier kernels gained NULL-label
+    # masking + model-bin validation (ADVICE r13, every consumer
+    # below), the frozen artifact round-trip moved behind the shared
+    # _lang_frozen_params memo, incremental_refresh gained the
+    # dup-old-id / partial-prior robustness (ADVICE r13), and the
+    # r14 perf levers touch ngram_heavy_hitters / funnel_conversion /
+    # phrase_search / dedup_normalized / c4_clean / curation_pipeline
+    # (VERDICT r13 #3-#5)
     "lang_classifier",
     "lang_mix_trained",
+    "lang_classifier_frozen",
     "classifier_score",
     "classifier_calibration",
     "classifier_stream_parity",
-    "bpe_train",
-    "bpe_token_counts",
-    "bpe_frozen_counts",
-    "bpe_stream_parity",
-    "doc_novelty",
-    "domain_reweight",
-    "reweighted_sample",
-    "crawl_frontier",
-    "url_normalize",
-    "funnel_conversion",
+    "incremental_refresh",
     "ngram_heavy_hitters",
-    # r13 window-staleness rotation (VERDICT r12 #5): last driver row
-    # r10 — back in-window for a fresh CORRECTNESS row (all were
-    # judge-green at sf0.01 in r12, so this is evidence hygiene)
-    "sim_topk_cosine",
-    "sim_lsh_topk",
-    "sim_lsh_recall",
-    "sim_ivf_topk",
-    "sim_ivf_recall",
-    "embedding_quantize",
-    "sim_quantized_recall",
-    "dedup_embedding",
-    "dedup_components",
-    "pack_sequences",
-]
-
-_GATE_TAIL = [
-    # Every tail entry also has in-repo oracle-parity coverage via
-    # tests/test_oracle_parity.py::test_gate_tail_oracle_parity
-    # (VERDICT r8 / ADVICE r8: rotation must not leave correctness to
-    # the judge's external re-run alone).
-    #
-    # single-operator micros, multi-round green with no code churn
-    # (q3 r1-r8, q5/deidentify/sample_stratified r5-r8, the Group-A
-    # micros r1-r8):
-    "q3_top_revenue",
-    # rotated r9 to make room for the q13/q15/q17 + stream-parity
-    # additions: all multi-round green (r6+r8 or r1-r8) with no churn
-    # since their last gate row
+    "funnel_conversion",
+    "phrase_search",
+    "dedup_normalized",
+    "c4_clean",
+    "curation_pipeline",
+    # rows-only fast twins stay IN-WINDOW every round (r12 lesson):
+    # the tail's coverage contract is the oracle-parity pytest, which
+    # cannot express a no-oracle entry — the driver's rows-only check
+    # plus the pair-equality pytest are their gate
+    "dedup_simhash_fast",
+    "dedup_winnow_fast",
+    "dedup_exact_substring_fast",
+    # r14 staleness rotation (test_gate_order policy): last driver
+    # row r8 — the full 8-round cohort
     "q1_pricing_summary",
     "q4_order_priority",
     "q7_nation_volume",
@@ -8132,95 +8254,70 @@ _GATE_TAIL = [
     "sample_exact_k",
     "split_assign",
     "dedup_exact",
-    # rotated r9 (second batch) to make room for the 8 TPC-H
-    # completions (q8/q9/q11/q12/q16/q19/q20/q21): the similarity
-    # family + mix_fractions, all green r5-r8 with no code churn
-    # rotated r9 (fourth batch) to make room for dsir_selection and
-    # boilerplate_scrub: green r1-r8 / r5-r8 with no churn,
-    # vocab_top_terms with 100x evidence on its SCALING row
     "pivot_event_counts",
     "vocab_top_terms",
-    "doc_winnow",
-    "dedup_keep_best",
     "mix_fractions",
-    # rotated r9 (third batch): `sacct_eff` is registered outside
-    # @register and was not counted when the second batch was sized —
-    # one more slot needed. dedup_ngram_jaccard is green r1-r8 and its
-    # operator path (shingles + pair join) has had no churn since r2.
+    "doc_winnow",
     "dedup_ngram_jaccard",
-    # rotated r10 to make room for dedup_exact_substring /
-    # lm_perplexity_buckets / transitions_stream_parity and the three
-    # re-gates (q21/c4_clean/curation_pipeline): source_overlap,
-    # q22_global_sales and doc_repetition are green r8+r9 with no
-    # churn since; q6/q14 are single-shape micros green r9 plus every
-    # earlier round under the same plan (the r9 re-gate was an oracle
-    # recomposition, not an operator change).
-    "q22_global_sales",
-    "q6_forecast_revenue",
-    "q14_promo_share",
-    # rotated r10 (second batch): green r8+r9 under unchanged plans,
-    # both with SCALING evidence at their largest measured scale
+    "dedup_keep_best",
+    # last driver row r9
     "text_profile",
-    # rotated r11 (first batch, to make room for html_extract/
-    # html_clean/classifier_score): green r9+r10 under unchanged plans
+    "q6_forecast_revenue",
+    "q22_global_sales",
+    "q14_promo_share",
+    # last driver row r10 (15 of the 18 fit; q17/q19/q20 rotate r15)
+    "converters_roundtrip",
+    "grouping_sets_counts",
+    "quality_filter",
+    "dedup_simhash",
+    "moving_avg_events",
+    "unpivot_source_stats",
+    "source_lang_mix",
     "q2_min_cost_supplier",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    # rotated r11 (second batch, to make room for the staleness
-    # rotation above): all green r9+r10 under unchanged plans
     "q8_market_share",
     "q9_product_profit",
     "q11_important_stock",
     "q12_late_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
     "q16_supplier_cnt",
-    "q20_heavy_shippers",
-    "converters_roundtrip",
-    "grouping_sets_counts",
-    "quality_filter",
-    # rotated r11 (third batch, for export_pipeline/bpe_token_counts/
-    # classifier_stream_parity): green r1-r10 with no churn since r6
-    "moving_avg_events",
-    "unpivot_source_stats",
-    "source_lang_mix",
-    "dedup_simhash",
-    # rotated r12 (first batch): the r10-new entries after their
-    # second green round (r10+r11) under unchanged plans, and the
-    # two earliest stream-parity gates (the judge tail re-run
-    # replays the full streaming path via check_oracle).
-    # dedup_exact_substring_fast stays IN-WINDOW: it is rows-only (no
-    # SQL oracle by design) and the tail's coverage contract is the
-    # oracle-parity pytest, which cannot express it — the driver's
-    # rows-only check plus the pair-equality pytest are its gate.
-    "dedup_exact_substring",
-    "scrub_exact_substrings",
-    "lm_perplexity_buckets",
-    "transitions_stream_parity",
-    "dedup_semantic",
+]
+
+_GATE_TAIL = [
+    # Every tail entry also has in-repo oracle-parity coverage via
+    # tests/test_oracle_parity.py::test_gate_tail_oracle_parity
+    # (VERDICT r8 / ADVICE r8: rotation must not leave correctness to
+    # the judge's external re-run alone).
+    #
+    # long-stable micros, last gated r11 (multi-round green, no churn
+    # since):
+    "q3_top_revenue",
+    "q5_nation_revenue",
     "q21_waiting_supplier",
-    "c4_clean",
-    "curation_pipeline",
-    "multimodal_pipeline",
-    "quality_stream_parity",
-    "text_transforms",
-    # rotated r12 (second batch): the r11 staleness-rotation set got
-    # its fresh driver rows in r11; green r11 + judge-green r10 under
-    # plans unchanged since
     "conditional_first",
     "deidentify",
     "distinct_values",
     "group_concat",
     "json_props",
     "latest_event_per_user",
-    "q5_nation_revenue",
     "sample_stratified",
     "sessionize",
     "setops_users",
     "windowed_event_counts",
-    # rotated r13 (to make room for the r12 staleness set above plus
-    # the two new entries): the r12-gated entries below are green r12
-    # under plans unchanged in r13
+    "dedup_exact_substring",
+    "scrub_exact_substrings",
+    "lm_perplexity_buckets",
+    "transitions_stream_parity",
+    "dedup_semantic",
+    "multimodal_pipeline",
+    "quality_stream_parity",
+    "text_transforms",
+    # staleness-4 remainder (last gated r10; rotate in r15 — the
+    # r14 window took 15 of the 18-entry r10 cohort)
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    # rotated r13/r14: green r12 under plans unchanged since
     "url_domain_psl",
     "export_stream_parity",
     "html_extract",
@@ -8233,6 +8330,46 @@ _GATE_TAIL = [
     "doc_repetition",
     "shard_assign",
     "export_pipeline",
+    # rotated r14 (to make room for the staleness cohort + the churn
+    # re-gates above): all green r13 under plans UNTOUCHED by the r14
+    # diffs — the bpe/novelty/reweight/crawl/url/sim families, the
+    # sacct views, the join kernels and the remaining r13 re-gates
+    "bpe_train",
+    "bpe_token_counts",
+    "bpe_frozen_counts",
+    "bpe_stream_parity",
+    "doc_novelty",
+    "domain_reweight",
+    "reweighted_sample",
+    "crawl_frontier",
+    "url_normalize",
+    "sim_topk_cosine",
+    "sim_lsh_topk",
+    "sim_lsh_recall",
+    "sim_ivf_topk",
+    "sim_ivf_recall",
+    "embedding_quantize",
+    "sim_quantized_recall",
+    "dedup_embedding",
+    "dedup_components",
+    "pack_sequences",
+    "q18_large_orders",
+    "sacct_eff",
+    "sacct_eff_typed",
+    "sacct_user_rollup",
+    "hot_key_rollup",
+    "corpus_diff",
+    "dedup_minhash_lsh",
+    "html_clean",
+    "export_manifest",
+    "dedup_incremental",
+    "asof_join_events",
+    "range_join_events",
+    "range_count_events",
+    "dedup_winnow",
+    "decontaminate",
+    "doc_tfidf_terms",
+    "boilerplate_scrub",
 ]
 
 
