@@ -7786,19 +7786,23 @@ def _phrase_oracle() -> str:
     "serving-index path (tests/test_invindex.py asserts the plan).",
 )
 def phrase_search(spark, sf_dir):
-    from slurm2sql_spark.operators.invindex import phrase_match_counts
+    from slurm2sql_spark.operators.invindex import (
+        phrase_match_counts_multi,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    outs = [
-        phrase_match_counts(docs, "doc_id", "text", list(ph)).select(
-            F.lit(" ".join(ph)).alias("phrase"),
-            "doc_id",
-            F.col("n_matches").cast("long").alias("n_matches"),
-            F.col("first_pos").cast("long").alias("first_pos"),
-        )
-        for ph in _PHRASES
-    ]
-    return outs[0].unionAll(outs[1])
+    # r14: both phrases ride ONE postings pass (one scan + one
+    # shuffle, per-term lists shared) — the per-phrase union paid a
+    # full tokenize + exchange per phrase
+    out = phrase_match_counts_multi(
+        docs, "doc_id", "text", [list(ph) for ph in _PHRASES]
+    )
+    return out.select(
+        "phrase",
+        "doc_id",
+        F.col("n_matches").cast("long").alias("n_matches"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+    )
 
 
 @register(

@@ -84,13 +84,25 @@ def curate(
     classes = exact_dedup(passed, id_col, text_col).select(
         F.col("content_hash").alias("_h"), "keep_id"
     )
-    reps = passed.withColumn(
-        "_h", F.md5(normalize_text(F.col(text_col)))
-    ).join(classes, "_h")
+    # narrow (id, hash) join — document text NEVER rides an exchange:
+    # the old form joined the full passed corpus (text included) to
+    # classes on _h just to read back rep texts (r14)
+    keep_ids = (
+        passed.select(
+            F.col(id_col),
+            F.md5(normalize_text(F.col(text_col))).alias("_h"),
+        )
+        .join(classes, "_h")
+        .select(id_col, "keep_id")
+    )
+    # decontaminate ALL quality-passing docs, not just the reps: the
+    # status chain reports 'duplicate' before 'contaminated', so the
+    # verdicts are identical, and with the broadcast benchmark the
+    # corpus side streams through shingling with NO exchange — where
+    # the rep-only form had to move every passed document's text
+    # through the hash join first
     hits = decontaminate(
-        reps.filter(F.col(id_col) == F.col("keep_id")).select(
-            id_col, text_col
-        ),
+        passed.select(id_col, text_col),
         benchmark,
         id_col,
         text_col,
@@ -99,7 +111,7 @@ def curate(
     ).select(F.col("id").alias(id_col), F.lit(True).alias("_hit"))
     return (
         qf.select(id_col, *passthrough, "keep")
-        .join(reps.select(id_col, "keep_id"), id_col, "left")
+        .join(keep_ids, id_col, "left")
         .join(hits, id_col, "left")
         .select(
             id_col,

@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 
 from slurm2sql_spark.operators.dedup import _WS_RE2
 
-__all__ = ["postings", "phrase_match_counts"]
+__all__ = [
+    "postings",
+    "phrase_match_counts",
+    "phrase_match_counts_multi",
+]
 
 
 def _tokens(text_col: str) -> Column:
@@ -86,6 +90,73 @@ def phrase_match_counts(
             "doc_id",
             F.size(match_pos).alias("n_matches"),
             F.array_min(match_pos).alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def phrase_match_counts_multi(
+    df: DataFrame, id_col: str, text_col: str, phrases: list[list[str]]
+) -> DataFrame:
+    """Every phrase in ``phrases`` against ONE postings pass — the
+    multi-query batch shape: a single corpus tokenize + posexplode, a
+    single candidate-term filter (the union of all phrases' terms),
+    ONE per-doc grouping with one position list per DISTINCT term, and
+    then each phrase's positional intersection as a whole-stage array
+    expression over the shared lists (r14: the per-phrase form paid a
+    full scan + shuffle PER phrase; sharing the postings pass is the
+    batch-lookup posture a 100 TB serving index runs anyway).
+
+    Returns ``(phrase, doc_id, n_matches, first_pos)`` — identical
+    rows to unioning :func:`phrase_match_counts` per phrase (a doc
+    matching only another phrase's terms yields empty lists, zero
+    matches, and is filtered the same way).
+    """
+    if not phrases or any(not p for p in phrases):
+        raise ValueError("phrases must be non-empty lists of terms")
+    terms = sorted({t for p in phrases for t in p})
+    idx = {t: i for i, t in enumerate(terms)}
+    post = postings(df, id_col, text_col)
+    cand = post.filter(F.col("term").isin(terms))
+    lists = cand.groupBy("doc_id").agg(
+        *[
+            F.collect_list(
+                F.when(F.col("term") == t, F.col("pos"))
+            ).alias(f"t{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    def _match_pos(ph):
+        # a def, not a default-arg lambda: F.filter dispatches on the
+        # lambda's ARITY (a 2-parameter lambda gets the element index
+        # as its second argument)
+        return F.filter(
+            F.col(f"t{idx[ph[0]]}"),
+            lambda p: reduce(
+                lambda acc, i: acc
+                & F.array_contains(F.col(f"t{idx[ph[i]]}"), p + F.lit(i)),
+                range(1, len(ph)),
+                F.lit(True),
+            ),
+        )
+
+    outs = []
+    for ph in phrases:
+        match_pos = _match_pos(ph)
+        outs.append(
+            F.struct(
+                F.lit(" ".join(ph)).alias("phrase"),
+                F.size(match_pos).alias("n_matches"),
+                F.array_min(match_pos).alias("first_pos"),
+            )
+        )
+    return (
+        lists.select("doc_id", F.explode(F.array(*outs)).alias("m"))
+        .select(
+            "m.phrase",
+            "doc_id",
+            "m.n_matches",
+            "m.first_pos",
         )
         .filter(F.col("n_matches") > 0)
     )

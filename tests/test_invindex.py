@@ -143,3 +143,36 @@ def test_phrase_search_matches_python_scan_property(spark):
             if hits:
                 want[i] = (len(hits), hits[0])
         assert got == want, (docs, phrase, got, want)
+
+
+def test_phrase_multi_equals_per_phrase_union(spark):
+    """r14: the batched multi-phrase form (one postings pass) must
+    return exactly the per-phrase union — including the overlapping
+    'a a' self-phrase and docs matching only one phrase's terms."""
+    from slurm2sql_spark.operators.invindex import (
+        phrase_match_counts,
+        phrase_match_counts_multi,
+    )
+
+    rows = [
+        (1, "the table holds a value in the table value slot"),
+        (2, "a a a"),
+        (3, "table without the second word"),
+        (4, "value table reversed order"),
+        (5, ""),
+        (6, "a lone article"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    phrases = [["table", "value"], ["a", "a"]]
+    got = sorted(
+        tuple(r)
+        for r in phrase_match_counts_multi(
+            df, "doc_id", "text", phrases
+        ).collect()
+    )
+    want = sorted(
+        (" ".join(ph), r["doc_id"], r["n_matches"], r["first_pos"])
+        for ph in phrases
+        for r in phrase_match_counts(df, "doc_id", "text", ph).collect()
+    )
+    assert got == want
