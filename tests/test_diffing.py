@@ -267,3 +267,44 @@ def test_incremental_refresh_duplicate_old_ids(spark):
     assert len(rows) == 2
     # benign dup carries; conflicting dup is treated as changed
     assert tags == {1: "P", 2: "F"}
+
+
+def test_incremental_refresh_bucketed_versions_no_diff_exchange(
+    spark, tmp_path
+):
+    """VERDICT r13 #7: with old/new/prior written id-bucketed
+    (write_bucketed), the refresh's diff join, prior-coverage
+    anti-join and carry semi-join all co-locate — the only exchanges
+    left belong to the caller's compute pipeline (none here: a scan
+    projection)."""
+    from slurm2sql_spark.operators.diffing import incremental_refresh
+    from slurm2sql_spark.sinks.parquet_sink import write_bucketed
+
+    old, new = _frames(spark)
+    prior = old.select("doc_id", F.length("text").alias("n"))
+    write_bucketed(old, "ir_old", str(tmp_path / "o"), "doc_id", 4)
+    write_bucketed(new, "ir_new", str(tmp_path / "n"), "doc_id", 4)
+    write_bucketed(prior, "ir_prior", str(tmp_path / "p"), "doc_id", 4)
+    # at toy scale the planner would otherwise pick broadcast joins
+    # (which disable bucketed scans entirely); force the co-located
+    # sort-merge path the bucketing exists for
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = incremental_refresh(
+            spark.table("ir_old"),
+            spark.table("ir_new"),
+            spark.table("ir_prior"),
+            "doc_id",
+            "text",
+            lambda df: df.select(
+                "doc_id", F.length("text").alias("n")
+            ),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        assert out.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        for t in ("ir_old", "ir_new", "ir_prior"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
