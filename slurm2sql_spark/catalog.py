@@ -2524,7 +2524,12 @@ def windowed_event_counts(spark, sf_dir):
     "operator, where the naive formulation pays k-1 events-to-events "
     "self-joins. Per-user rollup map-side-combines. Ties are "
     "impossible by construction (event_id breaks them), so 'after' "
-    "is engine-independent.",
+    "is engine-independent. r14 A/B (VERDICT r13 #5, 10M events at "
+    "100x, min-of-3): this one-shuffle window plan 1.41s (scan 0.43, "
+    "shuffle+agg 0.91, +sort+window 1.26) vs a sort-free 2-shuffle "
+    "conditional-aggregate reformulation (min-view join then "
+    "conditional mins) 2.11s — the window form stands; the r13 2.9x "
+    "row was sweep interleaving (same-session remeasure ~1.4x).",
 )
 def funnel_conversion(spark, sf_dir):
     from slurm2sql_spark.operators.funnel import funnel_stages
@@ -2660,7 +2665,13 @@ def _dedup_normalized_oracle() -> str:
     "expressions into a 16-byte md5 hash-groupBy, one shuffle, "
     "map-side combined; the stronger key costs zero extra exchanges. "
     "Oracle generated from the exported SQL twin of the same "
-    "normalizer.",
+    "normalizer. r14 closed-as-floor profile (VERDICT r13 #5, 100x "
+    "corpus, cumulative scan-stage walls): 3.2x-corpus scan+union "
+    "1.13s, +lower 0.97, +translate 1.46, +punct regex 1.70, +ws "
+    "regex 2.09, +md5 ~2.0 — the two regex passes add only ~0.6s of "
+    "the 3.4s entry; a tried explicit-range punct class (no \\p{L}) "
+    "ran 25x SLOWER (51s). The residual ~2x is string-kernel "
+    "throughput spread evenly across the chain, not a fixable pass.",
 )
 def dedup_normalized(spark, sf_dir):
     from slurm2sql_spark.operators.dedup import (
@@ -4181,7 +4192,11 @@ def transitions_stream_parity(spark, sf_dir):
     "lines, every 2nd terminated; javascript/brace/lorem planted by "
     "doc_id residue so every rule fires). ONE scan-stage projection - "
     "no explode, no join, no shuffle (plan-asserted Exchange-free); "
-    "byte-for-byte text parity with the SQL twin.",
+    "byte-for-byte text parity with the SQL twin. r14 (VERDICT r13 "
+    "#4): profiling showed the SYNTHESIS dominated (slice-per-chunk "
+    "HOF, 3.15 s of the 3.62 s 100x wall — the filter rules cost "
+    "~0.5 s); the one-regex chunking pass cut the 100x wall to "
+    "~1.7 s, gap 3.5x -> ~1.4x.",
 )
 def c4_clean(spark, sf_dir):
     from slurm2sql_spark.operators.textstats import c4_filter
@@ -4304,12 +4319,16 @@ def c4_clean(spark, sf_dir):
     "duplicate, contaminated, kept}}, first failing stage wins. "
     "Demonstrates operator COMPOSITION under one optimizer pass: the "
     "quality decision stays a scan-stage projection, dedup classes "
-    "shuffle 16-byte md5 keys once, contamination is a broadcast "
-    "semi-structure over representatives only (already-deduped, "
-    "strictly smaller side), and the three stage verdicts re-join on "
-    "the doc id. Every stage reuses the shared SQL fragments of its "
-    "standalone entry, so the composed oracle cannot drift from the "
-    "per-stage oracles.",
+    "shuffle 16-byte md5 keys once, keep_id attribution joins a "
+    "narrow (id, hash) frame, and contamination shingles the passing "
+    "corpus against the BROADCAST benchmark — r14: document text "
+    "never rides an exchange anywhere (the old form moved every "
+    "passed doc's text through the hash join to read back rep texts; "
+    "since 'duplicate' outranks 'contaminated', decontaminating all "
+    "passing docs is verdict-identical and exchange-free — 100x wall "
+    "18.9 -> 11.6 s, gap 2.08 -> ~1.3). Every stage reuses the "
+    "shared SQL fragments of its standalone entry, so the composed "
+    "oracle cannot drift from the per-stage oracles.",
 )
 def curation_pipeline(spark, sf_dir):
     from slurm2sql_spark.operators.curation import curate
@@ -7781,9 +7800,13 @@ def _phrase_oracle() -> str:
     "occurrences, which the 'a a' phrase exercises. No k-1 self-join "
     "chain (one exchange instead of k-1), no skew (doc_id grain), "
     "non-candidate docs dropped before the shuffle by the exploded "
-    "term filter. Persisted term-bucketed via write_bucketed, "
-    "postings() serves point lookups with zero exchanges — the "
-    "serving-index path (tests/test_invindex.py asserts the plan).",
+    "term filter. r14: BOTH gate phrases ride one postings pass "
+    "(phrase_match_counts_multi — one tokenize, one exchange, "
+    "per-term position lists shared; union-equivalence pytest-pinned; "
+    "100x wall 2.16 -> 1.17 s, gap ~1.2x). Persisted term-bucketed "
+    "via write_bucketed, postings() serves point lookups with zero "
+    "exchanges — the serving-index path (tests/test_invindex.py "
+    "asserts the plan).",
 )
 def phrase_search(spark, sf_dir):
     from slurm2sql_spark.operators.invindex import (
@@ -7839,7 +7862,16 @@ def phrase_search(spark, sf_dir):
     "ever pushes the vocabulary past task memory, the documented "
     "escape is the two-stage candidate protocol (per-partition "
     "top-m -> exact rescan of the candidate union) — same answer, "
-    "one extra bounded pass.",
+    "one extra bounded pass. r14 closed-as-floor A/B (VERDICT r13 "
+    "#3, measured at the 100x corpus, min-of-3 warm): the proposed "
+    "xxhash64-key lever LOSES here — unlike shingle_novelty the "
+    "output needs the strings, so they ride the combiner either way: "
+    "string-key agg 1.54s (this plan) vs xxhash64+min(bigram) 1.95s "
+    "vs xxhash64+first 1.80s vs two-pass pairhash-count + candidate "
+    "string rescan 3.27s. The remaining ~3x vs DuckDB is the "
+    "hash-agg kernel (26.5M UTF8String probes into a 9k-key table) — "
+    "the adjudicated join/agg-kernel floor class, and the shape that "
+    "scales out at 100 TB.",
 )
 def ngram_heavy_hitters(spark, sf_dir):
     from slurm2sql_spark.operators.textstats import WS_RE2

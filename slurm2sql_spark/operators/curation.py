@@ -8,8 +8,10 @@ curation operators (textstats.quality_filter, dedup.exact_dedup,
 dedup.decontaminate) into the decision pipeline those operators exist
 for. Each stage keeps its own scale posture: the quality gate is a
 scan-stage projection, dedup shuffles 16-byte content hashes once,
-decontamination broadcasts the benchmark against the already-deduped
-representatives, and the three verdicts re-join on the document id.
+decontamination shingles the quality-passing corpus against the
+BROADCAST benchmark (exchange-free on the corpus side), and the
+verdicts re-join on narrow (id, flag) frames — document text never
+rides an exchange anywhere in the composition (r14).
 """
 
 from __future__ import annotations

@@ -357,3 +357,26 @@ def test_q11_grouped_frame_computed_once(spark, catalog):
         .toString()
     )
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_classifier_score_plans_are_arrow_one_exchange(spark, catalog):
+    """VERDICT r13 #2: the r13 Arrow rewrite's plan shape, pinned —
+    the scoring half of the classifier family is ONE corpus exchange
+    (the per-doc bin-array grouping) feeding an Arrow-batched kernel
+    (MapInPandas), never the dead r12 broadcast-join chains (which
+    planned 32-135 shuffles and BroadcastNestedLoopJoin stacks)."""
+    catalog.drop_caches()
+    for name in ("classifier_score", "lang_classifier"):
+        df = catalog.QUERIES[name].spark(spark, SF_DIR)
+        plan = _plan(spark, df)
+        assert (
+            "MapInPandas" in plan or "ArrowEvalPython" in plan
+        ), (name, plan[:1500])
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        # corpus-side exchanges: the feature grouping (+ the final
+        # label join's two sides at most) — the r12 join formulation
+        # planned dozens
+        n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+        assert n_ex <= 5, (name, n_ex, plan[:2000])
+    catalog.drop_caches()

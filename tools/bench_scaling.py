@@ -134,6 +134,10 @@ DUCK_QUERIES = [
     # production asymmetry IS the thing measured). Listed after their
     # memo siblings so the sweep regime matches a full catalog run.
     "lang_classifier_frozen",
+    # r14: frozen model scores a DIFFERENT corpus (the diff v2
+    # universe) — same asymmetry class as _frozen (duck replays the
+    # whole fit, Spark pays save+load+score-on-B)
+    "lang_classifier_cross",
     "incremental_refresh",
     # r13 (second batch): the curation compositions — all linear
     # oracles (Gopher signals + CCNet normalize + paragraph explode
