@@ -8284,6 +8284,13 @@ _GATE_PRIORITY = [
     "dedup_normalized",
     "c4_clean",
     "curation_pipeline",
+    # r14 second batch: bpe_train grew the adaptive small-vocab local
+    # loop (same table, pytest-pinned equal) — churn means the whole
+    # bpe family re-gates
+    "bpe_train",
+    "bpe_token_counts",
+    "bpe_frozen_counts",
+    "bpe_stream_parity",
     # rows-only fast twins stay IN-WINDOW every round (r12 lesson):
     # the tail's coverage contract is the oracle-parity pytest, which
     # cannot express a no-oracle entry — the driver's rows-only check
@@ -8312,7 +8319,8 @@ _GATE_PRIORITY = [
     "q6_forecast_revenue",
     "q22_global_sales",
     "q14_promo_share",
-    # last driver row r10 (15 of the 18 fit; q17/q19/q20 rotate r15)
+    # last driver row r10 (11 of the 18 fit after the bpe churn
+    # re-gates took 4 slots; q12/q13/q15/q16/q17/q19/q20 rotate r15)
     "converters_roundtrip",
     "grouping_sets_counts",
     "quality_filter",
@@ -8324,10 +8332,6 @@ _GATE_PRIORITY = [
     "q8_market_share",
     "q9_product_profit",
     "q11_important_stock",
-    "q12_late_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
 ]
 
 _GATE_TAIL = [
@@ -8360,7 +8364,12 @@ _GATE_TAIL = [
     "quality_stream_parity",
     "text_transforms",
     # staleness-4 remainder (last gated r10; rotate in r15 — the
-    # r14 window took 15 of the 18-entry r10 cohort)
+    # r14 window took 11 of the 18-entry r10 cohort, the bpe churn
+    # re-gates took the other 4 slots)
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
     "q20_heavy_shippers",
@@ -8379,12 +8388,10 @@ _GATE_TAIL = [
     "export_pipeline",
     # rotated r14 (to make room for the staleness cohort + the churn
     # re-gates above): all green r13 under plans UNTOUCHED by the r14
-    # diffs — the bpe/novelty/reweight/crawl/url/sim families, the
+    # diffs — the novelty/reweight/crawl/url/sim families, the
     # sacct views, the join kernels and the remaining r13 re-gates
-    "bpe_train",
-    "bpe_token_counts",
-    "bpe_frozen_counts",
-    "bpe_stream_parity",
+    # (the bpe family moved BACK in-window when the r14 second batch
+    # touched bpe_train)
     "doc_novelty",
     "domain_reweight",
     "reweighted_sample",

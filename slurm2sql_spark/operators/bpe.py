@@ -111,6 +111,29 @@ def _merge_pair(syms: Column, left: str, right: str) -> Column:
 
     return F.aggregate(syms, init, step, finish)
 
+#: Adaptive small-vocab threshold for :func:`bpe_train` (r14): a
+#: vocabulary at most this large collects once (a few MB, bounded by
+#: this CONSTANT) and the merge loop runs in-process; larger
+#: vocabularies take the distributed per-round path unchanged.
+_LOCAL_BPE_MAX_VOCAB = 100_000
+
+
+def _merge_local(syms: list[str], left: str, right: str) -> list[str]:
+    """In-process twin of :func:`_merge_pair`: greedy leftmost,
+    non-overlapping (a merged symbol never re-merges within the same
+    round)."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
 
 def bpe_train(
     df: DataFrame,
@@ -150,19 +173,57 @@ def bpe_train(
         .groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    # Round frames are VOCABULARY-sized (orders smaller than the
-    # corpus — module contract), so full shuffle-partition width is
-    # pure task-launch overhead per round (8 rounds x 2 stages x 32
-    # tasks on a KB-scale frame, measured ~40% of the fit wall at gate
-    # scale). Run rounds at a quarter of the cluster width, floor 8 —
-    # a 100M-word vocabulary still spreads, a toy one stops paying 64
-    # task launches per merge.
+    schema = (
+        "merge_round int, lhs string, rhs string, "
+        "merged string, pair_count long"
+    )
+    # Adaptive small-vocab path (r14, the classifier _LOCAL_FIT
+    # precedent): the round frames are VOCABULARY-sized by module
+    # contract, so when the vocabulary fits the threshold the whole
+    # merge loop runs in-process on ONE collect (threshold-bounded —
+    # a few MB — never corpus-scaling): identical pair counts, the
+    # same total (count DESC, lhs, rhs) argmax and the same
+    # greedy-leftmost non-overlapping merge, zero Spark jobs per
+    # round. At gate scale the loop was ~2 stages x 8 rounds of pure
+    # task-launch floor on a 31-word frame. Above the threshold the
+    # distributed loop runs unchanged (vocab frame persisted either
+    # way, so the corpus aggregates once).
+    wordsp = _persist(words)
+    if wordsp.count() <= _LOCAL_BPE_MAX_VOCAB:
+        vocab = [
+            (
+                int(r["_c"]),
+                list(r["_w"]) + ([eow] if eow is not None else []),
+            )
+            for r in wordsp.collect()
+        ]
+        wordsp.unpersist()
+        rows = []
+        for rnd in range(1, int(merges) + 1):
+            cnt: dict[tuple[str, str], int] = {}
+            for c, syms in vocab:
+                for i in range(len(syms) - 1):
+                    key = (syms[i], syms[i + 1])
+                    cnt[key] = cnt.get(key, 0) + c
+            if not cnt:
+                break
+            (left, right), best = min(
+                cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            rows.append((rnd, left, right, left + right, int(best)))
+            vocab = [
+                (c, _merge_local(syms, left, right)) for c, syms in vocab
+            ]
+        return spark.createDataFrame(rows, schema)
+    # Distributed rounds at a quarter of the cluster width, floor 8 —
+    # a 100M-word vocabulary still spreads, while the KB-scale frames
+    # stop paying 64 task launches per merge (r13).
     try:
         width = max(8, spark.sparkContext.defaultParallelism // 4)
     except Exception:  # Spark Connect exposes no sparkContext
         width = 8
     cur = _persist(
-        words.select(
+        wordsp.select(
             "_c", _char_symbols(F.col("_w"), eow).alias("_syms")
         ).coalesce(width)
     )
@@ -196,11 +257,7 @@ def bpe_train(
         prev, cur = cur, _persist(
             cur.select("_c", _merge_pair(F.col("_syms"), left, right).alias("_syms"))
         )
-    return spark.createDataFrame(
-        rows,
-        "merge_round int, lhs string, rhs string, "
-        "merged string, pair_count long",
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 def save_bpe_model(merges_df: DataFrame, path: str, eow: str | None = EOW) -> None:

@@ -68,6 +68,50 @@ def _q(v: float, quantize: int) -> float:
     return math.floor(v * quantize + 1e-3) / quantize
 
 
+#: Adaptive small-fit threshold (r14): a fit over at most this many
+#: documents collects the feature frame ONCE (Arrow toPandas — a few
+#: MB, bounded by this CONSTANT, never corpus-scaling) and runs every
+#: epoch's kernel in-process — identical math (same kernel function),
+#: zero Spark jobs per epoch. Above the threshold the distributed
+#: one-exchange-per-epoch path runs unchanged, so the 10x/100x
+#: SCALING rows measure the real cluster shape. At gate scale the
+#: epoch loop was pure stage-scheduling floor (~0.5 s/epoch on a
+#: 1000-doc slice).
+_LOCAL_FIT_MAX_DOCS = 20_000
+
+
+def _local_feat(feat, n_docs: int):
+    """The threshold-gated local copy of the feature frame, or None
+    to take the distributed epoch path."""
+    if n_docs > _LOCAL_FIT_MAX_DOCS:
+        return None
+    return feat.toPandas()
+
+
+def _fan_feat(feat, n_rows: int, per_task: int = 1250):
+    """Re-spread an AQE-coalesced per-doc feature frame before the
+    epoch loop: at gate scale the doc-grouping exchange coalesces to
+    ONE partition, which serializes every epoch's Arrow kernel on a
+    single task (measured at sf0.1: 4 epochs 2.3 s serial vs 1.2 s at
+    4 partitions). Target ~``per_task`` docs per task, capped at the
+    default parallelism; at scale the grouping already yields >= that
+    many partitions and this returns the frame untouched — the
+    repartition exchange is only ever paid on a tiny frame."""
+    from .dedup import _persist
+
+    spark = feat.sparkSession
+    target = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, -(-int(n_rows) // per_task)),
+    )
+    if target <= 1 or feat.rdd.getNumPartitions() >= target:
+        return feat
+    spread = _persist(feat.repartition(target))
+    spread.count()
+    feat.unpersist()
+    return spread
+
+
 def _bin_index(b, m: int) -> int:
     """Validate a model bin index against the feature width ``m``.
 
@@ -153,7 +197,9 @@ def _doc_bins(
     return _persist(docs.select("_y", "_bins", "_t"))
 
 
-def _epoch_gradients(feat, W, B, n_docs, m, k, binary, classes=None):
+def _epoch_gradients(
+    feat, W, B, n_docs, m, k, binary, classes=None, local_pdf=None
+):
     """ONE epoch's mean gradients in a single Arrow-batched pass over
     the persisted ``_doc_bins`` frame — the kernel the fit loops call
     per epoch. Scores, softmax/sigmoid residuals and the per-bin
@@ -168,6 +214,13 @@ def _epoch_gradients(feat, W, B, n_docs, m, k, binary, classes=None):
     Summation order differs from the SQL oracle's; the O(1e-15)
     relative FP noise dies in the 1e-3 quantize nudge (module
     docstring).
+
+    ``local_pdf``: the adaptive small-fit path (r14) — when the fit
+    loop collected the (threshold-bounded, see ``_LOCAL_FIT_MAX_DOCS``)
+    feature frame once, the SAME kernel runs in-process on that single
+    batch: identical math, zero Spark jobs per epoch. At gate scale a
+    4-epoch fit paid ~0.5 s of pure stage-scheduling floor PER EPOCH
+    on a 1000-doc slice.
     """
     import numpy as np
     import pandas as pd
@@ -228,6 +281,16 @@ def _epoch_gradients(feat, W, B, n_docs, m, k, binary, classes=None):
             out[f"g{j}"] = G[idx, j]
         yield pd.DataFrame(out)
 
+    if local_pdf is not None:
+        parts = list(kernel([local_pdf]))
+        if not parts:
+            return []
+        out = parts[0]
+        return [
+            (int(row["b"]), [float(row[f"g{j}"]) / n_docs for j in range(k)])
+            for _, row in out.iterrows()
+        ]
+
     sums = [F.sum(f"g{j}").alias(f"g{j}") for j in range(k)]
     rows = (
         feat.mapInPandas(kernel, schema)
@@ -280,6 +343,9 @@ def hashed_classifier_fit(
     if n_docs == 0:
         feat.unpersist()
         return {}, 0.0
+    local_pdf = _local_feat(feat, n_docs)
+    if local_pdf is None:
+        feat = _fan_feat(feat, n_docs)
 
     import numpy as np
 
@@ -290,7 +356,8 @@ def hashed_classifier_fit(
         for b, wv in w.items():
             W[_bin_index(b, m), 0] = wv
         grads = _epoch_gradients(
-            feat, W, np.array([bias]), n_docs, m, 1, binary=True
+            feat, W, np.array([bias]), n_docs, m, 1, binary=True,
+            local_pdf=local_pdf,
         )
         for b, (g,) in grads:
             if b == -1:
@@ -537,6 +604,9 @@ def softmax_classifier_fit(
     if n_docs == 0 or not classes:
         feat.unpersist()
         return classes, {}, {}
+    local_pdf = _local_feat(feat, n_docs)
+    if local_pdf is None:
+        feat = _fan_feat(feat, n_docs)
     k = len(classes)
     import numpy as np
 
@@ -549,7 +619,8 @@ def softmax_classifier_fit(
                 W[_bin_index(b, m), j] = wv
         B = np.array([bias[c] for c in classes])
         grads = _epoch_gradients(
-            feat, W, B, n_docs, m, k, binary=False, classes=classes
+            feat, W, B, n_docs, m, k, binary=False, classes=classes,
+            local_pdf=local_pdf,
         )
         for b, gs in grads:
             for j, c in enumerate(classes):

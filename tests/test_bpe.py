@@ -256,3 +256,24 @@ def test_tokenize_stream_projection_matches_vocab_join(spark):
         .split("== Initial Plan ==")[0]
     )
     assert "Exchange" not in plan
+
+
+def test_bpe_local_loop_equals_distributed_exactly(spark, monkeypatch):
+    """r14 adaptive small-vocab path: below _LOCAL_BPE_MAX_VOCAB the
+    merge loop runs in-process; the learned table must equal the
+    distributed per-round path exactly (counts, tie-breaks, early
+    stop, greedy-leftmost non-overlap — the 'aaaa' run case)."""
+    from slurm2sql_spark.operators import bpe as B
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("aaaa aa the banana",),
+         ("na na na banana",), ("",)],
+        "text string",
+    )
+    for eow in (B.EOW, None):
+        local = [tuple(r) for r in B.bpe_train(df, "text", merges=6, eow=eow).collect()]
+        monkeypatch.setattr(B, "_LOCAL_BPE_MAX_VOCAB", 0)
+        dist = [tuple(r) for r in B.bpe_train(df, "text", merges=6, eow=eow).collect()]
+        monkeypatch.undo()
+        assert local == dist, (eow, local, dist)
+        assert local, "no merges learned"

@@ -548,3 +548,31 @@ def test_score_rejects_out_of_range_model_bins(spark):
                 df, "doc_id", "text", ["a", "b"],
                 {"a": bad, "b": {}}, {"a": 0.0, "b": 0.0}, m=64,
             ).collect()
+
+
+def test_local_fit_path_equals_distributed_exactly(spark, monkeypatch):
+    """r14 adaptive small-fit: below _LOCAL_FIT_MAX_DOCS the epoch
+    loop runs the SAME kernel in-process (zero Spark jobs/epoch); the
+    quantized weights must equal the distributed path bit-for-bit
+    (the 1e-3 quantize nudge absorbs summation-order FP noise)."""
+    from pyspark.sql import functions as F
+
+    from slurm2sql_spark.operators import classifier as C
+
+    docs = _planted(spark, reps=15)
+    sdocs = docs.withColumn("lang", (F.col("label") > 0.5).cast("string"))
+    got_local_b = C.hashed_classifier_fit(
+        docs, "doc_id", "text", "label", m=128, epochs=3, salt="lv"
+    )
+    got_local_s = C.softmax_classifier_fit(
+        sdocs, "doc_id", "text", "lang", m=128, epochs=3, salt="lv"
+    )
+    monkeypatch.setattr(C, "_LOCAL_FIT_MAX_DOCS", 0)
+    got_dist_b = C.hashed_classifier_fit(
+        docs, "doc_id", "text", "label", m=128, epochs=3, salt="lv"
+    )
+    got_dist_s = C.softmax_classifier_fit(
+        sdocs, "doc_id", "text", "lang", m=128, epochs=3, salt="lv"
+    )
+    assert got_local_b == got_dist_b
+    assert got_local_s == got_dist_s
