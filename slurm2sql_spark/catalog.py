@@ -7874,6 +7874,16 @@ def phrase_search(spark, sf_dir):
     "scales out at 100 TB.",
 )
 def ngram_heavy_hitters(spark, sf_dir):
+    return (
+        _bigram_grain(spark, sf_dir)
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.md5("bigram").asc())
+        .limit(50)
+    )
+
+
+def _bigram_grain(spark, sf_dir):
     from slurm2sql_spark.operators.textstats import WS_RE2
 
     toks = F.split(
@@ -7886,12 +7896,51 @@ def ngram_heavy_hitters(spark, sf_dir):
             x, F.lit(" "), F.element_at(F.col("w"), i + F.lit(2))
         ),
     )
-    return (
-        docs.select(F.explode(big).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy(F.desc("n"), F.md5("bigram").asc())
-        .limit(50)
+    return docs.select(F.explode(big).alias("bigram"))
+
+
+@register(
+    "heavy_hitters_protocol",
+    r"""
+    WITH tok AS (
+      SELECT string_split_regex(trim(lower(coalesce(text, ''))),
+                                '[ \t\n\r\f]+') AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT w[i] || ' ' || w[i+1] AS bigram
+      FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1 ORDER BY n DESC, md5(bigram) LIMIT 50
+    """,
+    doc="The two-stage EXACT heavy-hitter protocol "
+    "(operators/heavyhitters.py — Misra-Gries per-task summaries + "
+    "mergeable bounds + candidate rescan; Misra & Gries 1982, "
+    "Agarwal et al. 2013), driver-gated against the SAME top-50 "
+    "bigram oracle as ngram_heavy_hitters: the hash match proves "
+    "protocol == exact single-pass cross-engine, including the "
+    "md5 tie-break at the cutoff. This is the memory-bounded escape "
+    "the exact aggregate's docstring promises for vocabularies that "
+    "outgrow task memory at 100 TB: pass 1 emits <= m+1 rows per "
+    "task regardless of distinct-item count (m=4096 counters), the "
+    "merge is summary-scale, pass 2 recounts only the provably "
+    "sufficient candidate set (exactness is structural — module "
+    "doc), and a candidate budget refuses a starved m instead of "
+    "re-creating the blowup. Slower than the exact single pass at "
+    "gate vocabulary (9k distinct bigrams fit any combiner — the "
+    "protocol exists for when they don't), so it is deliberately "
+    "NOT in the dual-measured perf set; correctness-gated only.",
+)
+def heavy_hitters_protocol(spark, sf_dir):
+    from slurm2sql_spark.operators.heavyhitters import (
+        heavy_hitters_exact_topk,
+    )
+
+    grain = _bigram_grain(spark, sf_dir)
+    top = heavy_hitters_exact_topk(grain, "bigram", k=50, m=4096)
+    return top.select(
+        F.col("item").alias("bigram"), F.col("n").cast("long").alias("n")
     )
 
 
@@ -8263,6 +8312,7 @@ _GATE_WINDOW = 50
 _GATE_PRIORITY = [
     # new this round (r14):
     "lang_classifier_cross",
+    "heavy_hitters_protocol",
     # churn re-gates r14: the classifier kernels gained NULL-label
     # masking + model-bin validation (ADVICE r13, every consumer
     # below), the frozen artifact round-trip moved behind the shared
@@ -8331,7 +8381,6 @@ _GATE_PRIORITY = [
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",
-    "q11_important_stock",
 ]
 
 _GATE_TAIL = [
@@ -8364,8 +8413,9 @@ _GATE_TAIL = [
     "quality_stream_parity",
     "text_transforms",
     # staleness-4 remainder (last gated r10; rotate in r15 — the
-    # r14 window took 11 of the 18-entry r10 cohort, the bpe churn
-    # re-gates took the other 4 slots)
+    # r14 window took 10 of the 18-entry r10 cohort, the bpe churn
+    # re-gates and the second new entry took the other slots)
+    "q11_important_stock",
     "q12_late_priority",
     "q13_customer_distribution",
     "q15_top_supplier",

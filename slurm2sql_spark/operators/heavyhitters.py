@@ -1,0 +1,184 @@
+"""Two-stage heavy-hitter protocol for vocabularies that outgrow task
+memory — the escape hatch the exact single-pass aggregates
+(``ngram_heavy_hitters``, ``vocab_top_terms``) document.
+
+The exact plan (groupBy item + TakeOrdered) holds as long as each
+combiner's hash table — bounded by the DISTINCT items a task sees —
+fits in task memory. On a 100 TB corpus with an open vocabulary
+(URLs, n-grams with typos, user ids) that stops being true; this
+module is the standard answer, kept EXACT via a post-hoc proof:
+
+1. **Summarize** — one pass: each task runs a Misra–Gries summary
+   with ``m`` counters over its partition (bounded memory by
+   construction). A task's summary under-counts any item by at most
+   that task's decrement total ``d_p``, and an item absent from the
+   summary has local count <= ``d_p``.
+2. **Merge** — summaries are additive: ``mg(x) = sum_p mg_p(x)`` and
+   ``D = sum_p d_p`` give the global bounds
+   ``mg(x) <= true(x) <= mg(x) + D`` for every item (absent items
+   count as mg 0). Merged size <= m x P rows — summary-scale, not
+   corpus-scale.
+3. **Candidates** — with ``T`` = k-th largest merged lower bound,
+   every true top-k item must satisfy ``mg(x) + D >= T``: the k
+   top-mg items all have true >= mg >= T, so the true k-th count
+   >= T, so a true top-k item has mg >= true - D >= T - D. The
+   candidate set (all items with ``mg + D >= T``) therefore ALWAYS
+   contains the true top-k — exactness is structural, not
+   probabilistic.
+4. **Rescan** — one more pass counts the candidates EXACTLY (the
+   semi-join keeps the combiner candidate-bounded), and the top-k of
+   those exact counts is the true top-k.
+
+What a too-small ``m`` degrades is the CANDIDATE-SET SIZE (D grows,
+the ``mg + D >= T`` filter stops pruning) — i.e. exactly the memory
+the protocol exists to bound — so the implementation enforces a
+candidate budget and raises with "raise m" guidance instead of
+letting pass 2 re-create the blowup. The one unprovable corner
+(merged summary smaller than k items while D > 0 — absent items
+cannot be candidate-filtered back in) also raises.
+
+No reference analog (the reference's single sqlite process never
+sheds state); this is the Misra–Gries / mergeable-summaries family
+(Misra & Gries 1982; Agarwal et al. 2013, "Mergeable Summaries" —
+public papers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["heavy_hitters_exact_topk", "misra_gries_summaries"]
+
+
+def _mg_update(counts: dict, item, c: int, m: int) -> int:
+    """Weighted Misra–Gries step (``c`` arrivals of ``item`` at
+    once — the per-batch ``value_counts`` grain, so the Python loop
+    runs over DISTINCT items per Arrow batch, not rows). Returns the
+    decrement total applied to every counter — the task's error-bound
+    contribution (any item's true local count exceeds its counter by
+    at most the sum of these)."""
+    if item in counts:
+        counts[item] += c
+        return 0
+    d = 0
+    while c > 0:
+        if len(counts) < m:
+            counts[item] = c
+            return d
+        step = min(min(counts.values()), c)
+        dead = []
+        for k2 in counts:
+            counts[k2] -= step
+            if counts[k2] == 0:
+                dead.append(k2)
+        for k2 in dead:
+            del counts[k2]
+        d += step
+        c -= step
+    return d
+
+
+def misra_gries_summaries(
+    df: DataFrame, item_col: str, m: int = 4096
+) -> DataFrame:
+    """Per-partition Misra–Gries summaries over ``df[item_col]``:
+    one pass, ``m`` counters per task (bounded memory regardless of
+    vocabulary size). Returns ``(item, mg, d)`` rows — ``mg`` the
+    summary's lower-bound count, ``d`` the task's decrement total
+    (replicated per row; aggregate with ``max`` per task, but tasks
+    are unidentified downstream so the protocol sums one ``_d`` row
+    per task instead — see the sentinel row).
+
+    Each task also emits ONE sentinel row ``(NULL, 0, d_p)`` carrying
+    its decrement total, so the merge can compute the global bound
+    ``D = sum(sentinel d)`` without a task id column.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counts: dict = {}
+        d = 0
+        for pdf in batches:
+            vc = pdf["item"].dropna().value_counts()
+            for item, c in vc.items():
+                d += _mg_update(counts, item, int(c), m)
+        out = pd.DataFrame(
+            {
+                "item": list(counts.keys()) + [None],
+                "mg": list(counts.values()) + [0],
+                "d": [0] * len(counts) + [d],
+            }
+        )
+        yield out
+
+    sel = df.select(F.col(item_col).cast("string").alias("item"))
+    return sel.mapInPandas(summarize, "item string, mg long, d long")
+
+
+def heavy_hitters_exact_topk(
+    df: DataFrame,
+    item_col: str,
+    k: int = 50,
+    m: int = 4096,
+    max_candidates: int = 262_144,
+) -> DataFrame:
+    """EXACT top-``k`` items by count via the two-stage candidate
+    protocol (module doc) — use when the distinct-item count per task
+    outgrows the exact aggregate's combiner.
+
+    Returns ``(item, n)`` rows, count DESC, md5(item) ASC (the
+    engine-portable tie-break the exact entries use). The result is
+    the true top-k whenever the call returns (exactness is structural
+    — module doc); an ``m`` too small for the distribution makes the
+    candidate set exceed ``max_candidates`` and raises with guidance
+    instead of re-creating the memory blowup in pass 2.
+
+    Scale: pass 1 is one corpus scan emitting <= (m+1) rows per task;
+    the merge aggregates <= m x P rows; pass 2 re-scans with a
+    candidate-bounded combiner (broadcast semi-join, candidates are
+    summary-scale). Driver traffic: D, the candidate count and the
+    k-row result — never the vocabulary.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    summaries = misra_gries_summaries(df, item_col, m)
+    merged = (
+        summaries.groupBy("item")
+        .agg(F.sum("mg").alias("mg"), F.sum("d").alias("d"))
+    )
+    parts = merged.filter(F.col("item").isNull()).select(
+        F.coalesce(F.sum("d"), F.lit(0)).alias("D")
+    )
+    items = merged.filter(F.col("item").isNotNull()).drop("d")
+    # T = k-th largest merged lower bound (bounded collect: k rows)
+    top_mg = items.orderBy(F.desc("mg")).limit(k).collect()
+    if not top_mg:
+        return df.sparkSession.createDataFrame([], "item string, n long")
+    d_total = int(parts.collect()[0]["D"])
+    if len(top_mg) < k:
+        if d_total > 0:
+            # absent items (true count <= D) cannot be recovered by
+            # filtering the summary — the one unprovable corner
+            raise ValueError(
+                f"merged summary holds {len(top_mg)} < k={k} items "
+                f"with decrements (D={d_total}); raise m"
+            )
+        t_bound = 0  # no decrements anywhere: summaries are exact
+    else:
+        t_bound = min(r["mg"] for r in top_mg)
+    cand = items.filter(F.col("mg") + F.lit(d_total) >= F.lit(t_bound))
+    n_cand = cand.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"candidate set {n_cand} exceeds budget {max_candidates} "
+            f"(MG error bound D={d_total} vs threshold {t_bound}); "
+            "raise m"
+        )
+    exact = (
+        df.select(F.col(item_col).cast("string").alias("item"))
+        .join(F.broadcast(cand.select("item")), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return exact.orderBy(F.desc("n"), F.md5("item").asc()).limit(k)

@@ -1,0 +1,103 @@
+"""Two-stage exact heavy hitters (operators/heavyhitters.py): the
+memory-bounded escape hatch the exact single-pass aggregates document
+(ngram_heavy_hitters' two-stage candidate protocol, made real)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from slurm2sql_spark.operators.heavyhitters import (
+    heavy_hitters_exact_topk,
+    misra_gries_summaries,
+)
+
+
+def _corpus(spark, seed=7, n=20_000, vocab=400, zipf=1.4):
+    rnd = random.Random(seed)
+    weights = [1.0 / (i + 1) ** zipf for i in range(vocab)]
+    items = rnd.choices([f"w{i}" for i in range(vocab)], weights, k=n)
+    return spark.createDataFrame([(x,) for x in items], "item string")
+
+
+def _exact_topk(df, k):
+    rows = (
+        df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return sorted(
+        ((r["item"], r["n"]) for r in rows),
+        key=lambda t: (-t[1], hashlib.md5(t[0].encode()).hexdigest()),
+    )[:k]
+
+
+def test_exact_topk_matches_groupby(spark):
+    df = _corpus(spark)
+    got = [
+        (r["item"], r["n"])
+        for r in heavy_hitters_exact_topk(df, "item", k=25, m=512).collect()
+    ]
+    assert got == _exact_topk(df, 25)
+
+
+def test_fewer_distinct_than_k_is_trivially_exact(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("c",)], "item string"
+    )
+    got = [
+        (r["item"], r["n"])
+        for r in heavy_hitters_exact_topk(df, "item", k=10, m=64).collect()
+    ]
+    assert got == _exact_topk(df, 10)
+    assert len(got) == 3
+
+
+def test_small_m_returns_exact_or_raises(spark):
+    """Exactness is structural: whenever the protocol RETURNS, the
+    answer equals the full groupBy — a starved m may only raise."""
+    df = _corpus(spark, seed=11, n=10_000, vocab=1500, zipf=1.1)
+    want = _exact_topk(df, 10)
+    try:
+        got = [
+            (r["item"], r["n"])
+            for r in heavy_hitters_exact_topk(
+                df, "item", k=10, m=32
+            ).collect()
+        ]
+    except ValueError as e:
+        assert "raise m" in str(e)
+    else:
+        assert got == want
+
+
+def test_candidate_budget_raises_on_starved_m(spark):
+    # near-uniform high-cardinality: tiny m cannot prune, the
+    # candidate budget must refuse rather than re-create the blowup
+    df = _corpus(spark, seed=3, n=8_000, vocab=4000, zipf=0.1)
+    with pytest.raises(ValueError, match="raise m"):
+        heavy_hitters_exact_topk(df, "item", k=5, m=8, max_candidates=16)
+
+
+def test_mg_merge_bounds_hold(spark):
+    """Merged summary invariant: mg(x) <= true(x) <= mg(x) + D for
+    every item (absent items count as mg 0)."""
+    df = _corpus(spark, seed=5, n=5_000, vocab=300, zipf=1.0)
+    true = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    s = misra_gries_summaries(df, "item", m=64)
+    merged = {
+        r["item"]: (r["mg"], r["d"])
+        for r in s.groupBy("item")
+        .agg(F.sum("mg").alias("mg"), F.sum("d").alias("d"))
+        .collect()
+    }
+    D = merged.pop(None)[1]
+    for item, n in true.items():
+        mg = merged.get(item, (0, 0))[0]
+        assert mg <= n <= mg + D, (item, mg, n, D)
