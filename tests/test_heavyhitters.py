@@ -101,3 +101,30 @@ def test_mg_merge_bounds_hold(spark):
     for item, n in true.items():
         mg = merged.get(item, (0, 0))[0]
         assert mg <= n <= mg + D, (item, mg, n, D)
+
+
+def test_high_cardinality_vocabulary_stays_bounded(spark):
+    """The regime the protocol exists for: a skewed head over a
+    LARGE distinct-item tail (~100k distinct here). Per-task state is
+    m counters regardless; the candidate set stays near k; and the
+    result still equals the exact aggregate."""
+    from pyspark.sql import functions as F2
+
+    # 60k head rows over 30 hot items + 100k unique-tail rows,
+    # deterministic (seeded by row id, no RNG)
+    head = spark.range(60_000).select(
+        F2.concat(F2.lit("hot"), (F2.col("id") % 30).cast("string")).alias(
+            "item"
+        )
+    )
+    tail = spark.range(100_000).select(
+        F2.concat(F2.lit("u"), F2.col("id").cast("string")).alias("item")
+    )
+    df = head.unionAll(tail).repartition(16)
+    got = [
+        (r["item"], r["n"])
+        for r in heavy_hitters_exact_topk(df, "item", k=20, m=2048).collect()
+    ]
+    assert got == _exact_topk(df, 20)
+    # every winner is a head item with its exact count (60000/30)
+    assert all(item.startswith("hot") and n == 2000 for item, n in got)
