@@ -100,11 +100,15 @@ def _fan_feat(feat, n_rows: int, per_task: int = 1250):
     from .dedup import _persist
 
     spark = feat.sparkSession
-    target = min(
-        spark.sparkContext.defaultParallelism,
-        max(1, -(-int(n_rows) // per_task)),
-    )
-    if target <= 1 or feat.rdd.getNumPartitions() >= target:
+    try:  # Spark Connect exposes no sparkContext / DataFrame.rdd
+        target = min(
+            spark.sparkContext.defaultParallelism,
+            max(1, -(-int(n_rows) // per_task)),
+        )
+        current = feat.rdd.getNumPartitions()
+    except Exception:  # ADVICE r14 #3: fall back like bpe_train does
+        return feat
+    if target <= 1 or current >= target:
         return feat
     spread = _persist(feat.repartition(target))
     spread.count()

@@ -19,23 +19,34 @@ module is the standard answer, kept EXACT via a post-hoc proof:
    count as mg 0). Merged size <= m x P rows — summary-scale, not
    corpus-scale.
 3. **Candidates** — with ``T`` = k-th largest merged lower bound,
-   every true top-k item must satisfy ``mg(x) + D >= T``: the k
-   top-mg items all have true >= mg >= T, so the true k-th count
-   >= T, so a true top-k item has mg >= true - D >= T - D. The
-   candidate set (all items with ``mg + D >= T``) therefore ALWAYS
-   contains the true top-k — exactness is structural, not
-   probabilistic.
+   every true top-k item PRESENT in the merged summary must satisfy
+   ``mg(x) + D >= T``: the k top-mg items all have true >= mg >= T,
+   so the true k-th count >= T, so a true top-k item has
+   mg >= true - D >= T - D. When ``T > D`` this is the whole story —
+   an item ABSENT from the summary has true <= D < T and cannot be
+   top-k — so the candidate set (all summary items with
+   ``mg + D >= T``) contains the true top-k structurally.
 4. **Rescan** — one more pass counts the candidates EXACTLY (the
    semi-join keeps the combiner candidate-bounded), and the top-k of
    those exact counts is the true top-k.
+5. **Absent-item verification** (ADVICE r14 #1) — when ``T <= D`` the
+   structural argument above has a hole: an item absent from the
+   merged summary (true <= D) could still rank top-k, and no filter
+   over summary rows can recover it. The rescan result is therefore
+   VERIFIED: if the k-th exact candidate count is strictly greater
+   than ``D``, every absent item (true <= D) ranks below it — md5
+   tie-breaks included — and the result is proven exact; otherwise
+   the call raises with "raise m" guidance instead of returning a
+   possibly-wrong top-k.
 
 What a too-small ``m`` degrades is the CANDIDATE-SET SIZE (D grows,
 the ``mg + D >= T`` filter stops pruning) — i.e. exactly the memory
 the protocol exists to bound — so the implementation enforces a
 candidate budget and raises with "raise m" guidance instead of
-letting pass 2 re-create the blowup. The one unprovable corner
-(merged summary smaller than k items while D > 0 — absent items
-cannot be candidate-filtered back in) also raises.
+letting pass 2 re-create the blowup. The two unprovable corners
+(merged summary smaller than k items while D > 0; k-th exact
+candidate count <= D — both mean absent items cannot be ruled out)
+also raise.
 
 No reference analog (the reference's single sqlite process never
 sheds state); this is the Misra–Gries / mergeable-summaries family
@@ -129,9 +140,11 @@ def heavy_hitters_exact_topk(
 
     Returns ``(item, n)`` rows, count DESC, md5(item) ASC (the
     engine-portable tie-break the exact entries use). The result is
-    the true top-k whenever the call returns (exactness is structural
-    — module doc); an ``m`` too small for the distribution makes the
-    candidate set exceed ``max_candidates`` and raises with guidance
+    the true top-k whenever the call returns — structural when the
+    threshold beats the error bound (T > D), rescan-verified
+    otherwise (module doc steps 3/5). An ``m`` too small for the
+    distribution makes the candidate set exceed ``max_candidates``
+    (or leaves absent items unprovable) and raises with guidance
     instead of re-creating the memory blowup in pass 2.
 
     Scale: pass 1 is one corpus scan emitting <= (m+1) rows per task;
@@ -181,4 +194,22 @@ def heavy_hitters_exact_topk(
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return exact.orderBy(F.desc("n"), F.md5("item").asc()).limit(k)
+    result = exact.orderBy(F.desc("n"), F.md5("item").asc()).limit(k)
+    if d_total > 0 and d_total >= t_bound:
+        # Absent-item corner (module doc step 5 / ADVICE r14 #1):
+        # T <= D means an item absent from the merged summary
+        # (true count <= D) could rank top-k yet can never enter the
+        # candidate set. Verify the rescan: the k-th exact candidate
+        # count must be STRICTLY greater than D (ties lose to an
+        # unknowable md5 order), else the result is unprovable.
+        rows = result.collect()  # bounded: k rows
+        kth = rows[-1]["n"] if len(rows) == k else 0
+        if kth <= d_total:
+            raise ValueError(
+                f"k-th exact candidate count {kth} <= MG error bound "
+                f"D={d_total}: items absent from the summary cannot "
+                "be ruled out of the top-k; raise m"
+            )
+        # reuse the verified rows instead of recomputing the plan
+        return df.sparkSession.createDataFrame(rows, result.schema)
+    return result

@@ -33,6 +33,51 @@ def test_tail_entries_are_only_stable_micros():
     allowed = set(catalog._GATE_TAIL)
     stray = [n for n in tail if n not in allowed]
     assert not stray, f"non-tail entries fell outside the gate window: {stray}"
+    # Since r15 the tail is computed, so additionally pin the policy
+    # intent directly: no never-gated entry may sit in the tail.
+    last, _latest = catalog._gate_history()
+    if last:
+        never = [n for n in tail if n not in last]
+        assert not never, f"never-gated entries rotated to the tail: {never}"
+
+
+def test_rotation_survives_next_driver_write():
+    """VERDICT r14 #1/#6: the static window was red at every judge
+    boundary by construction — rotated FOR round N, stale the moment
+    the driver wrote CORRECTNESS_rN. Simulate that boundary: extend
+    the on-disk history with a synthetic round covering exactly the
+    current window, recompute the rotation, and assert the staleness
+    policy still holds for the round AFTER next. This must stay green
+    for any number of simulated future rounds."""
+    last, latest = catalog._gate_history()
+    if not last:
+        return
+    names = list(catalog.QUERIES)
+    sim = dict(last)
+    rnd = latest
+    for _ in range(5):  # five future judge boundaries
+        rnd += 1
+        front, _tail = catalog._compute_gate_rotation(sim)
+        window = set(front[: catalog._GATE_WINDOW])
+        current = rnd + 1  # round the NEXT driver run would gate
+        stale = [
+            n for n in names if n in sim and current - sim[n] >= 3
+        ]
+        in_window_stale = [n for n in stale if n in window]
+        need = min(8, len(stale))
+        assert len(in_window_stale) >= need, (
+            f"simulated round {rnd}: window re-gates only "
+            f"{len(in_window_stale)} of {len(stale)} stale entries"
+        )
+        rotten = [
+            n
+            for n in names
+            if n in sim and current - sim[n] > 7 and n not in window
+        ]
+        assert not rotten, f"simulated round {rnd}: rotten {rotten}"
+        # the driver gates the window: those entries get fresh rows
+        for n in front[: catalog._GATE_WINDOW]:
+            sim[n] = rnd
 
 
 def test_driver_row_staleness_rotation_policy():

@@ -82,6 +82,56 @@ def test_candidate_budget_raises_on_starved_m(spark):
         heavy_hitters_exact_topk(df, "item", k=5, m=8, max_candidates=16)
 
 
+def test_absent_item_corner_never_returns_wrong_topk(spark):
+    """ADVICE r14 #1 reproduction: one partition [a x5, b, c, d],
+    m=2, k=2. The merged summary is {a:...} with D >= 1 and T <= D,
+    so the true #2 item (c by md5 tie-break, count 1) is ABSENT from
+    the summary and can never be a candidate. The protocol used to
+    return [(a,5),(d,1)] — wrong — it must now raise instead (the
+    k-th exact candidate count cannot beat D)."""
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",), ("c",), ("d",)], "item string"
+    ).coalesce(1)
+    want = _exact_topk(df, 2)
+    try:
+        got = [
+            (r["item"], r["n"])
+            for r in heavy_hitters_exact_topk(df, "item", k=2, m=2).collect()
+        ]
+    except ValueError as e:
+        assert "raise m" in str(e)
+    else:
+        assert got == want
+    # and a sufficient m on the same data returns the exact answer
+    ok = [
+        (r["item"], r["n"])
+        for r in heavy_hitters_exact_topk(df, "item", k=2, m=8).collect()
+    ]
+    assert ok == want
+
+
+def test_tied_kth_at_error_bound_raises_not_lies(spark):
+    """Property sweep of the T <= D regime: for several skewed
+    single-partition corpora with starved m, the protocol either
+    raises or returns the exact md5-tie-broken top-k — never a
+    silently wrong set."""
+    for seed in (1, 2, 3, 4, 5):
+        df = _corpus(spark, seed=seed, n=2_000, vocab=900, zipf=0.8)
+        df = df.coalesce(1)
+        want = _exact_topk(df, 5)
+        try:
+            got = [
+                (r["item"], r["n"])
+                for r in heavy_hitters_exact_topk(
+                    df, "item", k=5, m=16
+                ).collect()
+            ]
+        except ValueError as e:
+            assert "raise m" in str(e)
+        else:
+            assert got == want, f"seed {seed}"
+
+
 def test_mg_merge_bounds_hold(spark):
     """Merged summary invariant: mg(x) <= true(x) <= mg(x) + D for
     every item (absent items count as mg 0)."""

@@ -120,6 +120,44 @@ def test_gate_tail_oracle_parity(spark, duck_sf001, name):
     )
 
 
+def test_oracle_whitespace_classes_are_canonical():
+    """ADVICE r14 #4: a tokenizer class in a generated oracle carried
+    ``[ \\t\\n\\n\\x0c]`` — \\r missing, \\n doubled — diverging from
+    the engine's ``WS_RE2 = [ \\t\\n\\r\\f]+`` for CR-bearing docs.
+    Pin it catalog-wide: every word-split whitespace class (the ones
+    opening with ``[ `` — paragraph splitters open with \\n and are
+    exempt) in every oracle must be exactly the canonical class,
+    whether spelled with RE2 escapes or literal control characters."""
+    import re
+
+    from slurm2sql_spark import catalog
+
+    canonical = {frozenset(" \t\n\r\f")}
+    seen = 0
+    for name, spec in catalog.QUERIES.items():
+        if not spec.oracle:
+            continue
+        for m in re.finditer(r"'(\[ [^\]]*\])\+?'", spec.oracle):
+            cls = m.group(1)[1:-1]
+            # normalize RE2 escapes to the characters they match
+            chars = re.sub(
+                r"\\([tnrf])",
+                lambda g: {"t": "\t", "n": "\n", "r": "\r", "f": "\f"}[
+                    g.group(1)
+                ],
+                cls,
+            )
+            chars = chars.replace("\\x0c", "\f").replace("\\x0b", "\x0b")
+            if "\t" not in chars:
+                continue  # not a whitespace tokenizer class (e.g. '[ -]')
+            assert frozenset(chars) in canonical, (
+                f"{name}: non-canonical whitespace class {cls!r} "
+                f"(chars {sorted(map(ord, set(chars)))})"
+            )
+            seen += 1
+    assert seen >= 10, f"only {seen} classes scanned — pattern drifted?"
+
+
 def test_quality_filter_oracle_parity_cr_docs(spark, tmp_path):
     """CR/CRLF/FF-bearing docs tokenize identically in both engines
     (ADVICE r8: the oracle's whitespace class must carry \\r)."""
