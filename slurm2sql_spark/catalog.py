@@ -8382,6 +8382,9 @@ _GATE_PINNED = [
     "lang_classifier",
     "lang_mix_trained",
     "lang_classifier_frozen",
+    # r15: entry code moved into the refresh_spec factory (results
+    # identical, but the path re-gates on churn like any other)
+    "incremental_refresh",
 ]
 
 

@@ -48,6 +48,19 @@ letting pass 2 re-create the blowup. The two unprovable corners
 candidate count <= D — both mean absent items cannot be ruled out)
 also raise.
 
+Measured (BASELINE r15 #4, tools/bench_heavyhitters.py, x100 URL
+grain: 27.1M rows / 11.4M distinct / 32 tasks): the exact single-pass
+wins the WALL everywhere it can run (2.3 s vs ~24 s — the MG update
+is a per-distinct-item Python loop, plus a second scan), at a
+measured ~400k combiner entries/task; the protocol holds m+1
+rows/task at any vocabulary, with d_p <= rows_p/(m+1) tight in
+practice (measured D 1089/224/32 vs bound 1664/416/96 at
+m=16k/64k/256k). The crossover is a MEMORY cliff, not a wall
+crossing: switch to the protocol when distinct-per-task x entry
+bytes approaches task memory. On a weak head (k-th count 24, x10
+shingles) m=16384 fires the absent-item guard instead of returning a
+wrong set; m=65536 returns verified-exact.
+
 No reference analog (the reference's single sqlite process never
 sheds state); this is the Misra–Gries / mergeable-summaries family
 (Misra & Gries 1982; Agarwal et al. 2013, "Mergeable Summaries" —
@@ -133,6 +146,7 @@ def heavy_hitters_exact_topk(
     k: int = 50,
     m: int = 4096,
     max_candidates: int = 262_144,
+    stats: dict | None = None,
 ) -> DataFrame:
     """EXACT top-``k`` items by count via the two-stage candidate
     protocol (module doc) — use when the distinct-item count per task
@@ -152,6 +166,10 @@ def heavy_hitters_exact_topk(
     candidate-bounded combiner (broadcast semi-join, candidates are
     summary-scale). Driver traffic: D, the candidate count and the
     k-row result — never the vocabulary.
+
+    ``stats``, if given, is filled with the protocol's bounded
+    diagnostics (D, T, candidate count, verification margin) — the
+    numbers the m-sizing math runs on (tools/bench_heavyhitters.py).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -182,6 +200,8 @@ def heavy_hitters_exact_topk(
         t_bound = min(r["mg"] for r in top_mg)
     cand = items.filter(F.col("mg") + F.lit(d_total) >= F.lit(t_bound))
     n_cand = cand.count()
+    if stats is not None:
+        stats.update(D=d_total, T=t_bound, n_candidates=n_cand)
     if n_cand > max_candidates:
         raise ValueError(
             f"candidate set {n_cand} exceeds budget {max_candidates} "
@@ -204,6 +224,8 @@ def heavy_hitters_exact_topk(
         # unknowable md5 order), else the result is unprovable.
         rows = result.collect()  # bounded: k rows
         kth = rows[-1]["n"] if len(rows) == k else 0
+        if stats is not None:
+            stats.update(kth_exact=kth, verified=kth > d_total)
         if kth <= d_total:
             raise ValueError(
                 f"k-th exact candidate count {kth} <= MG error bound "
