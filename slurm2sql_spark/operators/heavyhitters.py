@@ -50,16 +50,20 @@ also raise.
 
 Measured (BASELINE r15 #4, tools/bench_heavyhitters.py, x100 URL
 grain: 27.1M rows / 11.4M distinct / 32 tasks): the exact single-pass
-wins the WALL everywhere it can run (2.3 s vs ~24 s — the MG update
-is a per-distinct-item Python loop, plus a second scan), at a
-measured ~400k combiner entries/task; the protocol holds m+1
-rows/task at any vocabulary, with d_p <= rows_p/(m+1) tight in
-practice (measured D 1089/224/32 vs bound 1664/416/96 at
-m=16k/64k/256k). The crossover is a MEMORY cliff, not a wall
-crossing: switch to the protocol when distinct-per-task x entry
-bytes approaches task memory. On a weak head (k-th count 24, x10
-shingles) m=16384 fires the absent-item guard instead of returning a
-wrong set; m=65536 returns verified-exact.
+wins the WALL everywhere it can run (2.3 s vs 13.0 s), at a measured
+~400k combiner entries/task; the protocol holds <= m summary rows per
+task at any vocabulary, with d_p <= rows_p/(m+1) comfortably loose in
+practice (measured D 288/64/32 vs bound 1664/416/96 at
+m=16k/64k/256k). The summarize kernel was A/B'd through three shapes
+on that corpus: per-item Python dict loop 23.7 s -> pandas deferred
+concat/groupby merge 17.2 s -> all-Arrow mapInArrow value_counts +
+group_by + amortized prune 13.0 s (no Python object per item
+anywhere; identical deterministic summaries). The crossover is a
+MEMORY cliff, not a wall crossing: switch to the protocol when
+distinct-per-task x entry bytes approaches task memory. On a weak
+head (k-th count 24, x10 shingles) m=16384 fires the absent-item
+guard instead of returning a wrong set; m=65536 returns
+verified-exact.
 
 No reference analog (the reference's single sqlite process never
 sheds state); this is the Misra–Gries / mergeable-summaries family
@@ -75,32 +79,39 @@ from pyspark.sql import functions as F
 __all__ = ["heavy_hitters_exact_topk", "misra_gries_summaries"]
 
 
-def _mg_update(counts: dict, item, c: int, m: int) -> int:
-    """Weighted Misra–Gries step (``c`` arrivals of ``item`` at
-    once — the per-batch ``value_counts`` grain, so the Python loop
-    runs over DISTINCT items per Arrow batch, not rows). Returns the
-    decrement total applied to every counter — the task's error-bound
-    contribution (any item's true local count exceeds its counter by
-    at most the sum of these)."""
-    if item in counts:
-        counts[item] += c
-        return 0
-    d = 0
-    while c > 0:
-        if len(counts) < m:
-            counts[item] = c
-            return d
-        step = min(min(counts.values()), c)
-        dead = []
-        for k2 in counts:
-            counts[k2] -= step
-            if counts[k2] == 0:
-                dead.append(k2)
-        for k2 in dead:
-            del counts[k2]
-        d += step
-        c -= step
-    return d
+def _mg_prune(acc, m: int):
+    """Mergeable-summaries prune (Agarwal et al. 2013 §3: after
+    combining MG summaries, subtract the (m+1)-th largest counter
+    from every entry and drop the non-positive ones). ``acc`` is an
+    arrow table (item, n) with ``len(acc) > m``; returns
+    ``(pruned, t)`` where ``t`` is the decrement applied — the
+    error-bound contribution of this prune.
+
+    Bound preservation (r15 — this replaced a per-item decrement
+    loop): with ``excess = len(acc) - m``, ``t`` is the excess-th
+    smallest count, i.e. the (m+1)-th LARGEST. At most ``excess - 1``
+    entries are strictly below ``t``, so at least ``m + 1`` entries
+    lose the full ``t`` each — every prune removes >= (m+1) x t mass,
+    giving the classic sum(t) = d_p <= rows_p / (m+1) regardless of
+    how much transient slack the accumulator ran with. Any dropped
+    item x satisfies true_so_far(x) <= count(x) + d_prev < t + d_prev
+    = d_new, so the absent-item bound (true <= d) survives too."""
+    import numpy as np
+    import pyarrow as pa
+
+    excess = len(acc) - m
+    counts = acc.column("n").to_numpy(zero_copy_only=False)
+    t = int(np.partition(counts, excess - 1)[excess - 1])
+    mask = counts > t
+    return (
+        pa.table(
+            {
+                "item": acc.column("item").filter(pa.array(mask)),
+                "n": pa.array(counts[mask] - t, pa.int64()),
+            }
+        ),
+        t,
+    )
 
 
 def misra_gries_summaries(
@@ -118,26 +129,89 @@ def misra_gries_summaries(
     its decrement total, so the merge can compute the global bound
     ``D = sum(sentinel d)`` without a task id column.
     """
-    import pandas as pd
-
     def summarize(batches):
-        counts: dict = {}
+        # Deferred-merge accumulation, all-Arrow (r15): per batch,
+        # only a C-speed pyarrow value_counts + a list append — zero
+        # Python-object work (the A/B on 27M rows measured the
+        # per-item dict loop at ~24 s, the pandas deferred merge at
+        # ~17 s — the residual was 27M Arrow->pandas string
+        # allocations, which mapInArrow avoids entirely). When the
+        # pending parts exceed 4m entries, one C-speed concat +
+        # group_by merges them and a single prune restores <= m rows,
+        # so compaction is amortized O(1) per arrival and transient
+        # state caps at ~4m + one batch of entries: task-bounded,
+        # vocabulary-independent. The prune always runs on FULLY
+        # merged counts (a prune on stale/partial counts would
+        # inflate mg past true and break the proof; the multi-batch-
+        # prune pytest pins the invariant).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        parts: list = []
+        pending = 0
         d = 0
-        for pdf in batches:
-            vc = pdf["item"].dropna().value_counts()
-            for item, c in vc.items():
-                d += _mg_update(counts, item, int(c), m)
-        out = pd.DataFrame(
+
+        def compact(parts, d):
+            acc = (
+                pa.concat_tables(parts)
+                .group_by("item")
+                .aggregate([("n", "sum")])
+                .rename_columns(["item", "n"])
+                .combine_chunks()
+            )
+            if len(acc) > m:
+                acc, t = _mg_prune(acc, m)
+                d += t
+            return acc, d
+
+        for rb in batches:
+            vc = pc.value_counts(pc.drop_null(rb.column(0)))
+            if len(vc):
+                parts.append(
+                    pa.table(
+                        {
+                            "item": vc.field("values"),
+                            "n": pc.cast(
+                                vc.field("counts"), pa.int64()
+                            ),
+                        }
+                    )
+                )
+                pending += len(vc)
+            if pending > 4 * m:
+                acc, d = compact(parts, d)
+                parts = [acc]
+                pending = len(acc)
+        if parts:
+            acc, d = compact(parts, d)
+        else:
+            acc = pa.table(
+                {
+                    "item": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        n = len(acc)
+        item_arr = acc.column("item").combine_chunks()
+        if item_arr.type != pa.string():
+            item_arr = item_arr.cast(pa.string())
+        yield pa.RecordBatch.from_pydict(
             {
-                "item": list(counts.keys()) + [None],
-                "mg": list(counts.values()) + [0],
-                "d": [0] * len(counts) + [d],
+                "item": pa.concat_arrays(
+                    [item_arr, pa.array([None], pa.string())]
+                ),
+                "mg": pa.concat_arrays(
+                    [
+                        acc.column("n").combine_chunks(),
+                        pa.array([0], pa.int64()),
+                    ]
+                ),
+                "d": pa.array([0] * n + [d], pa.int64()),
             }
         )
-        yield out
 
     sel = df.select(F.col(item_col).cast("string").alias("item"))
-    return sel.mapInPandas(summarize, "item string, mg long, d long")
+    return sel.mapInArrow(summarize, "item string, mg long, d long")
 
 
 def heavy_hitters_exact_topk(

@@ -132,6 +132,59 @@ def test_tied_kth_at_error_bound_raises_not_lies(spark):
             assert got == want, f"seed {seed}"
 
 
+def test_mg_bounds_hold_across_multi_batch_prunes(spark):
+    """r15 regression: with prunes interleaved between Arrow batches
+    IN ONE TASK, every counter must still satisfy mg <= true <= mg+D.
+    (A stale dict-method binding once survived _mg_prune's dict
+    replacement and re-added pre-prune counts — inflating mg past
+    true and returning a wrong top-k at x100 URL grain. Forcing tiny
+    Arrow batches on a single partition reproduces that interleaving
+    at pytest scale.)"""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "500")
+    try:
+        # skewed head + wide tail, ONE partition, many 500-row batches
+        df = _corpus(spark, seed=9, n=20_000, vocab=3_000, zipf=0.9)
+        df = df.coalesce(1)
+        true = {
+            r["item"]: r["n"]
+            for r in df.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        s = misra_gries_summaries(df, "item", m=256)
+        merged = {
+            r["item"]: (r["mg"], r["d"])
+            for r in s.groupBy("item")
+            .agg(F.sum("mg").alias("mg"), F.sum("d").alias("d"))
+            .collect()
+        }
+        D = merged.pop(None)[1]
+        assert D > 0  # prunes actually happened
+        for item, n in true.items():
+            mg = merged.get(item, (0, 0))[0]
+            assert mg <= n <= mg + D, (item, mg, n, D)
+        # and the full protocol returns the exact top-k (or raises)
+        want = _exact_topk(df, 10)
+        try:
+            got = [
+                (r["item"], r["n"])
+                for r in heavy_hitters_exact_topk(
+                    df, "item", k=10, m=256
+                ).collect()
+            ]
+        except ValueError as e:
+            assert "raise m" in str(e)
+        else:
+            assert got == want
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def test_mg_merge_bounds_hold(spark):
     """Merged summary invariant: mg(x) <= true(x) <= mg(x) + D for
     every item (absent items count as mg 0)."""
