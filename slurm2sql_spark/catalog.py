@@ -7919,20 +7919,27 @@ def ngram_heavy_hitters(spark, sf_dir):
     )
 
 
-def _bigram_grain(spark, sf_dir):
+def _bigram_of(docs):
+    """Bigram-occurrence fan-out over any (text)-bearing frame —
+    batch tables and streaming micro-batches share it (the
+    heavy-hitter family + its stream-parity twin)."""
     from slurm2sql_spark.operators.textstats import WS_RE2
 
     toks = F.split(
         F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), WS_RE2
     )
-    docs = _t(spark, sf_dir, "documents").select(toks.alias("w"))
+    w = docs.select(toks.alias("w"))
     big = F.transform(
         F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
         lambda x, i: F.concat(
             x, F.lit(" "), F.element_at(F.col("w"), i + F.lit(2))
         ),
     )
-    return docs.select(F.explode(big).alias("bigram"))
+    return w.select(F.explode(big).alias("bigram"))
+
+
+def _bigram_grain(spark, sf_dir):
+    return _bigram_of(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -7975,6 +7982,106 @@ def heavy_hitters_protocol(spark, sf_dir):
 
     grain = _bigram_grain(spark, sf_dir)
     top = heavy_hitters_exact_topk(grain, "bigram", k=50, m=4096)
+    return top.select(
+        F.col("item").alias("bigram"), F.col("n").cast("long").alias("n")
+    )
+
+
+@register(
+    "heavy_hitters_stream_parity",
+    r"""
+    WITH tok AS (
+      SELECT string_split_regex(trim(lower(coalesce(text, ''))),
+                                '[ \t\n\r\f]+') AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT w[i] || ' ' || w[i+1] AS bigram
+      FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1 ORDER BY n DESC, md5(bigram) LIMIT 50
+    """,
+    doc="Streaming twin of heavy_hitters_protocol (L85, r15): the "
+    "documents corpus is split into THREE disjoint doc_id-range "
+    "files and replayed availableNow with maxFilesPerTrigger=1; "
+    "each micro-batch lands its per-task Misra-Gries summaries in "
+    "an idempotent per-batch parquet sink "
+    "(streaming/stream.py:heavy_hitters_stream), and the final "
+    "merge -> threshold -> candidates -> exact rescan runs the SAME "
+    "exact_topk_from_summaries math as the batch protocol over the "
+    "summary UNION. The hash match against the exact top-50 oracle "
+    "proves the mergeable-summaries claim the protocol's 100-TB "
+    "posture rests on (Agarwal et al. 2013): summaries combine "
+    "across MICRO-BATCHES exactly as across tasks — D sums over "
+    "every (task x batch) sentinel and the bounds survive — so a "
+    "continuous top-k needs only a summary-scale sink, never "
+    "corpus-scale state. The streaming analog of the reference's "
+    "incremental-vs-batch equivalence protocol (test.py:329-357), "
+    "on the one family whose state is provably sublinear.",
+)
+def heavy_hitters_stream_parity_q(spark, sf_dir):
+    import glob
+    import os
+    import time
+
+    from slurm2sql_spark.operators.heavyhitters import (
+        exact_topk_from_summaries,
+    )
+    from slurm2sql_spark.streaming.stream import heavy_hitters_stream
+
+    batch = _t(spark, sf_dir, "documents")
+    work = _parity_workdir("hh", sf_dir)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    # three disjoint doc_id ranges: counts are order-independent, so
+    # any partition works — three files force three micro-batches,
+    # i.e. summary merges ACROSS batches, the thing under test
+    c1, c2 = batch.agg(
+        F.expr("percentile(doc_id, array(0.34D, 0.67D))").alias("c")
+    ).first()["c"]
+    now = time.time()
+    conds = [
+        F.col("doc_id") <= c1,
+        (F.col("doc_id") > c1) & (F.col("doc_id") <= c2),
+        F.col("doc_id") > c2,
+    ]
+    for i, cond in enumerate(conds):
+        stage = os.path.join(work, f"stage{i}")
+        batch.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            stage
+        )
+        [pf] = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        os.rename(pf, dst)
+        # FileStreamSource orders new files by modification time
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        heavy_hitters_stream(
+            _bigram_of(stream), "bigram", f"{work}/summaries", m=4096
+        )
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    if n_batches < 3:
+        raise AssertionError(
+            f"summary-stream replay ran {n_batches} micro-batches; "
+            "the gate requires cross-batch merges (>= 3)"
+        )
+    summaries = spark.read.parquet(f"{work}/summaries").select(
+        "item", "mg", "d"
+    )
+    top = exact_topk_from_summaries(
+        summaries, _bigram_grain(spark, sf_dir), "bigram", k=50
+    )
     return top.select(
         F.col("item").alias("bigram"), F.col("n").cast("long").alias("n")
     )

@@ -76,7 +76,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters_exact_topk", "misra_gries_summaries"]
+__all__ = [
+    "exact_topk_from_summaries",
+    "heavy_hitters_exact_topk",
+    "misra_gries_summaries",
+]
 
 
 def _mg_prune(acc, m: int):
@@ -248,6 +252,33 @@ def heavy_hitters_exact_topk(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     summaries = misra_gries_summaries(df, item_col, m)
+    return exact_topk_from_summaries(
+        summaries, df, item_col, k,
+        max_candidates=max_candidates, stats=stats,
+    )
+
+
+def exact_topk_from_summaries(
+    summaries: DataFrame,
+    rescan_df: DataFrame,
+    item_col: str,
+    k: int,
+    max_candidates: int = 262_144,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Finish the protocol from an ALREADY-MATERIALIZED summary union
+    (merge -> threshold -> candidates -> exact rescan -> absent-item
+    verification). Split out of ``heavy_hitters_exact_topk`` (r15) so
+    the SAME math serves both its one-job form and the streaming
+    form, where each micro-batch lands its per-task ``(item, mg, d)``
+    summaries in an append sink: MG summaries are mergeable across
+    tasks and micro-batches identically (Agarwal et al. 2013), so the
+    global bounds — with ``D`` summed over every (task x batch)
+    sentinel — and the exactness proof are unchanged.
+
+    ``rescan_df`` is the corpus the exact pass-2 recount runs over;
+    for a stream it is the landed/batch view of everything the
+    summaries saw (the parity gate proves that equivalence)."""
     merged = (
         summaries.groupBy("item")
         .agg(F.sum("mg").alias("mg"), F.sum("d").alias("d"))
@@ -259,7 +290,9 @@ def heavy_hitters_exact_topk(
     # T = k-th largest merged lower bound (bounded collect: k rows)
     top_mg = items.orderBy(F.desc("mg")).limit(k).collect()
     if not top_mg:
-        return df.sparkSession.createDataFrame([], "item string, n long")
+        return rescan_df.sparkSession.createDataFrame(
+            [], "item string, n long"
+        )
     d_total = int(parts.collect()[0]["D"])
     if len(top_mg) < k:
         if d_total > 0:
@@ -283,7 +316,7 @@ def heavy_hitters_exact_topk(
             "raise m"
         )
     exact = (
-        df.select(F.col(item_col).cast("string").alias("item"))
+        rescan_df.select(F.col(item_col).cast("string").alias("item"))
         .join(F.broadcast(cand.select("item")), "item", "left_semi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -307,5 +340,7 @@ def heavy_hitters_exact_topk(
                 "be ruled out of the top-k; raise m"
             )
         # reuse the verified rows instead of recomputing the plan
-        return df.sparkSession.createDataFrame(rows, result.schema)
+        return rescan_df.sparkSession.createDataFrame(
+            rows, result.schema
+        )
     return result

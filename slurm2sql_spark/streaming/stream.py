@@ -37,6 +37,7 @@ __all__ = [
     "quality_stream",
     "scrub_stream",
     "export_stream",
+    "heavy_hitters_stream",
     "lang_id_stream",
     "tokenize_stream",
     "tokenize_stream_batched",
@@ -415,6 +416,46 @@ def scrub_stream(
     return scrub_paragraphs_inline(
         doc_stream, id_col, text_col, blocked_hashes
     )
+
+
+def heavy_hitters_stream(
+    item_stream: DataFrame,
+    item_col: str,
+    summaries_path: str,
+    m: int = 4096,
+):
+    """Pass 1 of the EXACT heavy-hitter protocol over a stream
+    (operators/heavyhitters.py): each micro-batch lands its per-task
+    Misra-Gries summaries ``(item, mg, d)`` in an append parquet
+    sink. MG summaries are MERGEABLE (Agarwal et al. 2013) across
+    tasks and micro-batches identically — the global bounds
+    ``mg(x) <= true(x) <= mg(x) + D`` hold with ``D`` summed over
+    every (task x batch) sentinel row — so after the stream drains,
+    ``exact_topk_from_summaries`` finishes with the UNCHANGED
+    merge -> threshold -> candidate -> rescan proof. This is the
+    continuous-top-k shape: the summary sink stays summary-scale
+    (<= m+1 rows per task per batch) no matter how long the stream
+    runs or how open the vocabulary is.
+
+    Delivery contract: foreachBatch may re-run a batch on failure;
+    the sink is a per-batch subdirectory written with mode=overwrite,
+    so a replayed batch id overwrites its own summaries instead of
+    double-counting them — idempotent per batch, exactly-once
+    end-to-end under availableNow.
+
+    Returns the ``DataStreamWriter`` (caller picks trigger/checkpoint
+    and calls ``start()``).
+    """
+    from slurm2sql_spark.operators.heavyhitters import (
+        misra_gries_summaries,
+    )
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        misra_gries_summaries(batch_df, item_col, m).write.mode(
+            "overwrite"
+        ).parquet(f"{summaries_path}/batch={batch_id}")
+
+    return item_stream.writeStream.foreachBatch(_land)
 
 
 def export_stream(

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from slurm2sql_spark.operators.heavyhitters import (
+    exact_topk_from_summaries,
     heavy_hitters_exact_topk,
     misra_gries_summaries,
 )
@@ -204,6 +205,30 @@ def test_mg_merge_bounds_hold(spark):
     for item, n in true.items():
         mg = merged.get(item, (0, 0))[0]
         assert mg <= n <= mg + D, (item, mg, n, D)
+
+
+def test_summaries_merge_across_splits_like_across_tasks(spark):
+    """Mergeable-summaries claim (the streaming entry's foundation):
+    summaries computed on DISJOINT SPLITS of the corpus, unioned and
+    fed to exact_topk_from_summaries with a full-corpus rescan, give
+    the exact top-k — identical to the one-job protocol. D sums over
+    every (task x split) sentinel."""
+    df = _corpus(spark, seed=21, n=15_000, vocab=700, zipf=1.2)
+    want = _exact_topk(df, 15)
+    halves = [
+        df.filter(F.md5("item").substr(1, 1) < "8"),
+        df.filter(F.md5("item").substr(1, 1) >= "8"),
+    ]
+    summaries = misra_gries_summaries(halves[0], "item", m=512).unionAll(
+        misra_gries_summaries(halves[1], "item", m=512)
+    )
+    got = [
+        (r["item"], r["n"])
+        for r in exact_topk_from_summaries(
+            summaries, df, "item", k=15
+        ).collect()
+    ]
+    assert got == want
 
 
 def test_high_cardinality_vocabulary_stays_bounded(spark):
