@@ -4022,6 +4022,43 @@ def _parity_workdir(prefix: str, sf_dir: str) -> str:
     return d
 
 
+def _stage_replay_files(
+    work: str, src_dir: str, df: DataFrame, bucket: Column, n: int = 3
+) -> None:
+    """Materialize ``df`` as ``n`` single-file parquet drops (one per
+    ``bucket`` value 0..n-1) under ``src_dir``, mtime-staggered so
+    FileStreamSource replays file i as micro-batch i.
+
+    ONE Spark job via a partitioned write (optimization r15, guide
+    §2.4/§2.6): the former shape was n serial ``filter -> coalesce(1)
+    -> write`` jobs, i.e. n scans of the source and n job latencies.
+    ``repartition(bucket)`` puts each bucket wholly in one task, so
+    ``partitionBy`` emits exactly one file per bucket dir. Row order
+    within a file differs from the old per-filter scan order; every
+    parity consumer is order-insensitive within a micro-batch (counts,
+    per-doc projections, or an explicit in-batch sort) — the landed
+    results are identical, which the oracle gate re-proves.
+    """
+    import glob
+    import os
+    import time
+
+    stage = os.path.join(work, "stage")
+    (
+        df.withColumn("_b", bucket)
+        .repartition(F.col("_b"))
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    now = time.time()
+    for i in range(n):
+        [pf] = glob.glob(os.path.join(stage, f"_b={i}", "*.parquet"))
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        os.rename(pf, dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+
+
 @register(
     "quality_stream_parity",
     _QUALITY_FILTER_ORACLE,
@@ -4101,9 +4138,7 @@ def quality_stream_parity(spark, sf_dir):
     "(test.py:329-357).",
 )
 def transitions_stream_parity(spark, sf_dir):
-    import glob
     import os
-    import time
 
     from slurm2sql_spark.streaming.stream import job_state_transitions
 
@@ -4119,28 +4154,19 @@ def transitions_stream_parity(spark, sf_dir):
     c1, c2 = b2.agg(
         F.expr("percentile(_tsu, array(0.34D, 0.67D))").alias("c")
     ).first()["c"]
-    now = time.time()
-    for i, (lo, hi) in enumerate([(None, c1), (c1, c2), (c2, None)]):
-        part = b2
-        if lo is not None:
-            part = part.filter(F.col("_tsu") >= F.lit(lo))
-        if hi is not None:
-            # NULL ts rides in file 0 (a null-rejecting range filter
-            # would silently drop such rows from the replay while the
-            # batch oracle keeps them — r11 review; the corpus has no
-            # NULL ts today, this is schema-robustness)
-            cond = F.col("_tsu") < F.lit(hi)
-            if lo is None:
-                cond = cond | F.col("_tsu").isNull()
-            part = part.filter(cond)
-        stage = os.path.join(work, f"stage{i}")
-        part.drop("_tsu").coalesce(1).write.mode("overwrite").parquet(stage)
-        [pf] = glob.glob(os.path.join(stage, "part-*.parquet"))
-        dst = os.path.join(src_dir, f"{i:03d}.parquet")
-        os.rename(pf, dst)
-        # FileStreamSource orders new files by modification time:
-        # stagger mtimes so file i is micro-batch i deterministically
-        os.utime(dst, (now + 10 * i, now + 10 * i))
+    # NULL ts rides in file 0 (a null-rejecting range bucket would
+    # silently drop such rows from the replay while the batch oracle
+    # keeps them — r11 review; the corpus has no NULL ts today, this
+    # is schema-robustness). One partitioned write stages all three
+    # files in a single job (r15: was 3 serial filter+coalesce jobs).
+    bucket = (
+        F.when(F.col("_tsu").isNull() | (F.col("_tsu") < F.lit(c1)), 0)
+        .when(F.col("_tsu") < F.lit(c2), 1)
+        .otherwise(2)
+    )
+    _stage_replay_files(
+        work, src_dir, b2.withColumn("_b", bucket).drop("_tsu"), F.col("_b")
+    )
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
@@ -5954,9 +5980,7 @@ def export_pipeline_q(spark, sf_dir):
     "export_pipeline.",
 )
 def export_stream_parity_q(spark, sf_dir):
-    import glob
     import os
-    import time
 
     from slurm2sql_spark.streaming.stream import export_stream
 
@@ -5964,19 +5988,8 @@ def export_stream_parity_q(spark, sf_dir):
     work = _parity_workdir("export", sf_dir)
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
-    now = time.time()
-    for i in range(3):
-        stage = os.path.join(work, f"stage{i}")
-        (
-            batch.filter(F.col("doc_id") % 3 == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        [pf] = glob.glob(os.path.join(stage, "part-*.parquet"))
-        dst = os.path.join(src_dir, f"{i:03d}.parquet")
-        os.rename(pf, dst)
-        os.utime(dst, (now + 10 * i, now + 10 * i))
+    # one partitioned write, not 3 serial filter+coalesce jobs (r15)
+    _stage_replay_files(work, src_dir, batch, F.col("doc_id") % 3)
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
@@ -8021,9 +8034,7 @@ def heavy_hitters_protocol(spark, sf_dir):
     "on the one family whose state is provably sublinear.",
 )
 def heavy_hitters_stream_parity_q(spark, sf_dir):
-    import glob
     import os
-    import time
 
     from slurm2sql_spark.operators.heavyhitters import (
         exact_topk_from_summaries,
@@ -8036,26 +8047,17 @@ def heavy_hitters_stream_parity_q(spark, sf_dir):
     os.makedirs(src_dir)
     # three disjoint doc_id ranges: counts are order-independent, so
     # any partition works — three files force three micro-batches,
-    # i.e. summary merges ACROSS batches, the thing under test
+    # i.e. summary merges ACROSS batches, the thing under test. One
+    # partitioned write, not 3 serial filter+coalesce jobs (r15).
     c1, c2 = batch.agg(
         F.expr("percentile(doc_id, array(0.34D, 0.67D))").alias("c")
     ).first()["c"]
-    now = time.time()
-    conds = [
-        F.col("doc_id") <= c1,
-        (F.col("doc_id") > c1) & (F.col("doc_id") <= c2),
-        F.col("doc_id") > c2,
-    ]
-    for i, cond in enumerate(conds):
-        stage = os.path.join(work, f"stage{i}")
-        batch.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-            stage
-        )
-        [pf] = glob.glob(os.path.join(stage, "part-*.parquet"))
-        dst = os.path.join(src_dir, f"{i:03d}.parquet")
-        os.rename(pf, dst)
-        # FileStreamSource orders new files by modification time
-        os.utime(dst, (now + 10 * i, now + 10 * i))
+    bucket = (
+        F.when(F.col("doc_id") <= c1, 0)
+        .when(F.col("doc_id") <= c2, 1)
+        .otherwise(2)
+    )
+    _stage_replay_files(work, src_dir, batch, bucket)
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)

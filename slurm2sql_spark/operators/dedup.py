@@ -847,11 +847,15 @@ def winnow_overlap_pairs(
     fp_fn = winnow_fingerprints if kernel == "md5" else winnow_fingerprints_fast
 
     # fan the narrow (id, text) projection out first — same seam as
-    # shingles(): the Arrow md5 kernel dominates, and a single-row-group
-    # scan would run it nearly serial
+    # shingles(): the winnow kernel dominates, and a single-row-group
+    # scan would run it nearly serial. The md5 kernel hashes EVERY gram
+    # through a per-call md5 (~0.5 us/gram, ~10 s/MB single-thread —
+    # r15 profile), so unlike the cheap shingle/fast kernels there is
+    # no corpus small enough for the fan-out shuffle to cost more than
+    # the serial kernel: never skip the spread for it.
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     narrow = fan_out(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
-        min_bytes=4 << 20,
+        narrow, min_bytes=None if kernel == "md5" else 4 << 20
     )
     fped = fp_fn(narrow, "_t", out_col="_wfp", k=k, w=w)
     # no distinct: the kernel emits a sorted SET per doc, so
@@ -906,9 +910,11 @@ def _repeated_span_frame(
         else winnow_fingerprint_positions_fast
     )
     gap = max(int(gap), int(k) - 1)  # disjoint-span invariant, see above
+    # md5 kernel: ~0.5 us/gram serial — always spread (see
+    # winnow_overlap_pairs); fast kernel keeps the tiny-corpus skip
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     narrow = fan_out(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
-        min_bytes=4 << 20,
+        narrow, min_bytes=None if kernel == "md5" else 4 << 20
     )
     fped = fp_fn(narrow, "_t", out_col="_pf", k=k, w=w)
     sel = _persist(
