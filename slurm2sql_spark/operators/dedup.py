@@ -260,7 +260,10 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
     return narrow.select(
         "id",
-        F.explode(_shingle(F.col("_t"))).alias("shingle"),
+        # asNondeterministic: deterministic kernel; stops the optimizer
+        # cloning it below the explode's inferred size()>0 filter and
+        # the fan-out exchange (2x ArrowEvalPython — r15 plan audit)
+        F.explode(_shingle.asNondeterministic()(F.col("_t"))).alias("shingle"),
     )
 
 
@@ -536,7 +539,12 @@ def _verify_jaccard(
         return pd.DataFrame(rows, columns=["shared", "sz_a", "sz_b", "jaccard"])
 
     return (
-        pairs.withColumn("_j", _jac(F.col("_ta"), F.col("_tb")))
+        # asNondeterministic: the jaccard filter below otherwise pushes
+        # past the projection and re-evaluates the kernel per row pair
+        # (2x ArrowEvalPython — r15 plan audit, guide §4.4)
+        pairs.withColumn(
+            "_j", _jac.asNondeterministic()(F.col("_ta"), F.col("_tb"))
+        )
         .select("id_a", "id_b", "_j.shared", "_j.sz_a", "_j.sz_b", "_j.jaccard")
         .filter(F.col("jaccard") >= threshold)
     )

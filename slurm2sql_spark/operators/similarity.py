@@ -176,7 +176,12 @@ def _band_key_rows(
 
     return df.select(
         F.col(id_col).alias("id"),
-        _keys(F.col(vec_col).cast("array<double>")).alias("_ks"),
+        # asNondeterministic: deterministic kernel; stops the optimizer
+        # cloning the matmul below the posexplode's inferred filter
+        # (plans showed 4-8x ArrowEvalPython — r15 audit, guide §4.4)
+        _keys.asNondeterministic()(
+            F.col(vec_col).cast("array<double>")
+        ).alias("_ks"),
     ).select("id", F.posexplode("_ks").alias("band", "key"))
 
 
@@ -699,7 +704,13 @@ def ivf_assign(
         order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype(np.int32)))
 
-    out = df.withColumn("_cells", _cells(F.col(vec_col).cast("array<double>")))
+    # asNondeterministic: deterministic kernel; stops the optimizer
+    # cloning the centroid matmul below the explode's inferred filter
+    # (2-4x ArrowEvalPython — r15 plan audit, guide §4.4)
+    out = df.withColumn(
+        "_cells",
+        _cells.asNondeterministic()(F.col(vec_col).cast("array<double>")),
+    )
     if nprobe == 1:
         return out.withColumn("cell", F.element_at("_cells", 1)).drop("_cells")
     return out.withColumn("cell", F.explode("_cells")).drop("_cells")

@@ -277,7 +277,14 @@ def winnow_fingerprints(
 
         return texts.map(one)
 
-    return df.withColumn(out_col, _kernel(F.col(text_col)))
+    # asNondeterministic: the kernel IS deterministic; the mark stops
+    # the optimizer cloning it below inferred Generate/Filter nodes and
+    # the fan-out exchange, which ran the whole hash pass twice — once
+    # nearly serial (guide §4.4; r15 plan audit: 2x ArrowEvalPython in
+    # every downstream-explode consumer plan).
+    return df.withColumn(
+        out_col, _kernel.asNondeterministic()(F.col(text_col))
+    )
 
 
 #: Fixed multilinear-hash coefficients for the fast winnow kernel: one
@@ -355,7 +362,14 @@ def winnow_fingerprints_fast(
 
         return texts.map(one)
 
-    return df.withColumn(out_col, _kernel(F.col(text_col)))
+    # asNondeterministic: the kernel IS deterministic; the mark stops
+    # the optimizer cloning it below inferred Generate/Filter nodes and
+    # the fan-out exchange, which ran the whole hash pass twice — once
+    # nearly serial (guide §4.4; r15 plan audit: 2x ArrowEvalPython in
+    # every downstream-explode consumer plan).
+    return df.withColumn(
+        out_col, _kernel.asNondeterministic()(F.col(text_col))
+    )
 
 
 def winnow_fingerprint_positions(
@@ -430,7 +444,14 @@ def winnow_fingerprint_positions(
 
         return texts.map(one)
 
-    return df.withColumn(out_col, _kernel(F.col(text_col)))
+    # asNondeterministic: the kernel IS deterministic; the mark stops
+    # the optimizer cloning it below inferred Generate/Filter nodes and
+    # the fan-out exchange, which ran the whole hash pass twice — once
+    # nearly serial (guide §4.4; r15 plan audit: 2x ArrowEvalPython in
+    # every downstream-explode consumer plan).
+    return df.withColumn(
+        out_col, _kernel.asNondeterministic()(F.col(text_col))
+    )
 
 
 def winnow_fingerprint_positions_fast(
@@ -509,7 +530,14 @@ def winnow_fingerprint_positions_fast(
 
         return texts.map(one)
 
-    return df.withColumn(out_col, _kernel(F.col(text_col)))
+    # asNondeterministic: the kernel IS deterministic; the mark stops
+    # the optimizer cloning it below inferred Generate/Filter nodes and
+    # the fan-out exchange, which ran the whole hash pass twice — once
+    # nearly serial (guide §4.4; r15 plan audit: 2x ArrowEvalPython in
+    # every downstream-explode consumer plan).
+    return df.withColumn(
+        out_col, _kernel.asNondeterministic()(F.col(text_col))
+    )
 
 
 def doc_frequency_topk(
