@@ -730,6 +730,66 @@ def simhash_near_dup_pairs(
     )
 
 
+#: Edge-count ceiling for the driver-local union-find path of
+#: :func:`connected_components`. 100k (src, dst) id pairs is ~a few MB
+#: on the driver — the same bounded-model-state class as the bpe merge
+#: loop's 100k-vocab cap. Past it, the iterative distributed
+#: propagation (unchanged) takes over.
+_LOCAL_CC_MAX_EDGES = 100_000
+
+
+def _cc_local(e0: DataFrame, nodes: DataFrame | None) -> DataFrame:
+    """Driver-local union-find over a bounded, already-materialized
+    edge frame; labels match the distributed propagation bit-for-bit
+    (component = min reachable node id). Singletons come from
+    ``nodes`` via a broadcast left join (or are absent-by-construction
+    when ``nodes`` is None, matching the distributed path's
+    edge-endpoint universe)."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in e0.collect():
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for x in parent:
+        rx = find(x)
+        if rx not in comp_min or x < comp_min[rx]:
+            comp_min[rx] = x
+    mapping = [(x, comp_min[find(x)]) for x in parent]
+    node_type = e0.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", node_type, False),
+            T.StructField("component", node_type, False),
+        ]
+    )
+    spark = e0.sparkSession
+    mapped = spark.createDataFrame(mapping, schema)
+    if nodes is None:
+        return mapped
+    return nodes.select("id").join(
+        F.broadcast(mapped.withColumnRenamed("component", "_c")), "id", "left"
+    ).select(
+        "id", F.coalesce(F.col("_c"), F.col("id")).alias("component")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -763,6 +823,20 @@ def connected_components(
     e0 = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint(eager=True)
+    # Adaptive local path (r15, guide §2.4 — remove shuffles outright):
+    # every propagation round is a shuffle join + an eager checkpoint +
+    # a convergence count, i.e. 3+ scheduling-bound jobs that cost the
+    # same whether the graph has 300 edges or 300M. Below the edge
+    # threshold, collect the (bounded) edge list and run union-find on
+    # the driver — the same threshold-bounded adaptive pattern as the
+    # classifier local fit (<= 20k docs) and the bpe local merge loop
+    # (<= 100k vocab): the collect is capped by the constant, the
+    # distributed shape above it is unchanged, and the labels are
+    # BIT-IDENTICAL (min reachable id) — pytest-pinned equal on random
+    # graphs. The count() is ~free: e0 is already checkpoint-
+    # materialized.
+    if e0.count() <= _LOCAL_CC_MAX_EDGES:
+        return _cc_local(e0, nodes)
     sym = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

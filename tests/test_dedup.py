@@ -290,6 +290,49 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         assert got == want, f"trial {trial}: mismatch"
 
 
+def test_connected_components_local_path_matches_distributed(
+    spark, monkeypatch
+):
+    """The r15 driver-local union-find path (edge count <=
+    _LOCAL_CC_MAX_EDGES) must label bit-identically to the iterative
+    distributed propagation — same seeded graphs, threshold forced to
+    0 for the distributed run; also pins the nodes=None universe
+    (edge endpoints only) on both paths."""
+    import random
+
+    from slurm2sql_spark.operators import dedup
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = 50
+        m = rng.randrange(10, 70)
+        edges = [
+            (a, b)
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            )
+            if a != b
+        ] or [(0, 1)]
+        edf = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        for node_frame in (nodes, None):
+            local = {
+                (r.id, r.component)
+                for r in dedup.connected_components(
+                    edf, nodes=node_frame
+                ).collect()
+            }
+            monkeypatch.setattr(dedup, "_LOCAL_CC_MAX_EDGES", 0)
+            dist = {
+                (r.id, r.component)
+                for r in dedup.connected_components(
+                    edf, nodes=node_frame
+                ).collect()
+            }
+            monkeypatch.undo()
+            assert local == dist, f"trial {trial}: local != distributed"
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """A corpus doc embedding a benchmark 5-gram is flagged with the
     distinct-shingle hit count; clean docs are absent; bad hint raises."""
