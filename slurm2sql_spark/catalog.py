@@ -2987,22 +2987,31 @@ def sim_topk_cosine(spark, sf_dir):
 
 
 def _sim_topk_cosine_build(spark, sf_dir):
-    from slurm2sql_spark.operators.similarity import cosine
+    from slurm2sql_spark.operators.similarity import (
+        _cosine_prenormed,
+        l2_norm,
+    )
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
+    qd = F.col("embedding").cast("array<double>")
     qs = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("q_id"),
+        qd.alias("q_vec"),
+        l2_norm(qd).alias("_qn"),
     )
-    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    cs = emb.select(
+        F.col("vec_id").alias("c_id"),
+        qd.alias("c_vec"),
+        l2_norm(qd).alias("_cn"),
+    )
     qsim = F.floor(F.col("sim_raw") * 10000)
     sim = (
         cs.join(F.broadcast(qs), F.col("q_id") != F.col("c_id"))
         .withColumn(
             "sim_raw",
-            cosine(
-                F.col("q_vec").cast("array<double>"),
-                F.col("c_vec").cast("array<double>"),
+            _cosine_prenormed(
+                F.col("q_vec"), F.col("c_vec"), F.col("_qn"), F.col("_cn")
             ),
         )
         .select("q_id", "c_id", "sim_raw", qsim.alias("sim_q"))
