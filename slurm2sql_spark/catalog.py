@@ -24,6 +24,8 @@ normalized on both sides (BIGINT for counts, DOUBLE for measures).
 
 from __future__ import annotations
 
+import contextlib
+
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -4031,6 +4033,44 @@ def _parity_workdir(prefix: str, sf_dir: str) -> str:
     return d
 
 
+@contextlib.contextmanager
+def _stream_state_partitions(spark, n_rows: int):
+    """Scale the STATE STORE partition count with the replayed data,
+    not the core count, for the duration of one streaming query
+    (optimization r15, guide §2.1/§5).
+
+    A stateful micro-batch pays one state-store load + delta-commit
+    (fsync) per partition per batch regardless of how little state it
+    holds; at the gate's replay size (~100k rows, ~1.5k live keys) the
+    session default of one partition per core measured ~1 s of commit
+    time per partition per batch — 32x the state actually present.
+    Partitions are derived as ceil(rows / 50k), floored at 4 (keeps
+    multi-core execution exercised at gate scale) and capped at the
+    session's ``spark.sql.shuffle.partitions`` so a production session
+    (where that conf is sized for the cluster) is never reduced below
+    its own setting's intent; ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``
+    overrides the derivation outright. The conf is restored in
+    ``finally`` — state partition count is pinned into the checkpoint
+    at the stream's first run, and every parity gate starts from a
+    fresh checkpoint, so this never re-shapes an existing stream.
+    """
+    import math
+    import os
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        n = max(1, int(env))
+    else:
+        n = min(max(4, math.ceil(n_rows / 50_000)), int(old))
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _stage_replay_files(
     work: str, src_dir: str, df: DataFrame, bucket: Column, n: int = 3
 ) -> None:
@@ -4160,9 +4200,11 @@ def transitions_stream_parity(spark, sf_dir):
     # the cross-batch replay order per key equals the batch window
     # order (the operator sorts (End, Start, State) WITHIN a batch).
     b2 = batch.withColumn("_tsu", _ts_us(batch))
-    c1, c2 = b2.agg(
-        F.expr("percentile(_tsu, array(0.34D, 0.67D))").alias("c")
-    ).first()["c"]
+    cuts = b2.agg(
+        F.expr("percentile(_tsu, array(0.34D, 0.67D))").alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    (c1, c2), n_rows = cuts["c"], cuts["n"]
     # NULL ts rides in file 0 (a null-rejecting range bucket would
     # silently drop such rows from the replay while the batch oracle
     # keeps them — r11 review; the corpus has no NULL ts today, this
@@ -4189,15 +4231,16 @@ def transitions_stream_parity(spark, sf_dir):
         ts_key.alias("End"),
     )
     out = job_state_transitions(jobs)
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", f"{work}/data")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark, n_rows):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{work}/data")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     n_batches = len(q.recentProgress)
     if n_batches < 3:
         raise AssertionError(
