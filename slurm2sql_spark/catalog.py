@@ -6071,16 +6071,20 @@ def export_stream_parity_q(spark, sf_dir):
         )
     landed = spark.read.parquet(f"{work}/data")
     # the writer's balance contract, checked per micro-batch: shard
-    # token spread <= n_groups * largest item (batches x shards rows)
-    per = (
-        landed.groupBy("batch", "shard")
-        .agg(F.sum("n_tokens").alias("tot"))
-        .groupBy("batch")
-        .agg((F.max("tot") - F.min("tot")).alias("spread"))
+    # token spread <= n_groups * largest item (batches x shards rows).
+    # ONE aggregation chain over one scan (optimization r15, guide
+    # §2.2): the per-shard partial carries max(n_tokens), whose
+    # batch-level max IS the batch's largest item, so the former
+    # second scan + batch-key join is pure duplicate work.
+    per = landed.groupBy("batch", "shard").agg(
+        F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mxs")
     )
-    mx = landed.groupBy("batch").agg(F.max("n_tokens").alias("mx"))
     bad = (
-        per.join(mx, "batch")
+        per.groupBy("batch")
+        .agg(
+            (F.max("tot") - F.min("tot")).alias("spread"),
+            F.max("mxs").alias("mx"),
+        )
         .filter(F.col("spread") > n_groups * F.col("mx"))
         .count()
     )
