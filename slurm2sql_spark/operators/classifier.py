@@ -185,12 +185,23 @@ def _doc_bins(
     shared ``gram_array`` + ``hash_bucket % m`` expression every
     hashed-n-gram consumer uses — the parity single-source."""
     from .dedup import _persist
-    from .sampling import gram_array, hash_bucket
+    from .sampling import hash_bucket, with_bigrams, words_array
 
+    # Two-step projection (the with_bigrams perf contract): bind the
+    # word array first so the bigram transform reads a computed
+    # attribute instead of re-splitting per element. Grams identical.
     occ = df.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).cast(label_type).alias("_y"),
-        F.explode(gram_array(text_col, bigrams)).alias("_g"),
+        words_array(text_col).alias("_w"),
+    ).select(
+        "_id",
+        "_y",
+        F.explode(
+            with_bigrams(F.col("_w"))
+            if bigrams
+            else F.col("_w")
+        ).alias("_g"),
     )
     docs = occ.groupBy("_id", "_y").agg(
         F.collect_list(
@@ -441,11 +452,16 @@ def _score_frame(df, id_col, text_col, m, salt, bigrams):
     kernels: ``(id, _bins, _t)`` — same featurization single-source as
     the fit (``gram_array`` + ``hash_bucket % m``), one exchange (the
     doc grouping), not persisted (scoring reads it once)."""
-    from .sampling import gram_array, hash_bucket
+    from .sampling import hash_bucket, with_bigrams, words_array
 
+    # Two-step projection — see _features (the with_bigrams contract).
     occ = df.select(
+        F.col(id_col), words_array(text_col).alias("_w")
+    ).select(
         F.col(id_col),
-        F.explode(gram_array(text_col, bigrams)).alias("_g"),
+        F.explode(
+            with_bigrams(F.col("_w")) if bigrams else F.col("_w")
+        ).alias("_g"),
     )
     return occ.groupBy(id_col).agg(
         F.collect_list(

@@ -217,6 +217,14 @@ def gram_array(text_col: str, bigrams: bool = True) -> Column:
     t = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_RE2)
     if not bigrams:
         return t
+    # NOTE: this single-expression form must keep the zip_with(slice,
+    # slice) build: ``t`` here is an arbitrary (often inline-split)
+    # expression tree, and every top-level reference to it is shared
+    # by codegen subexpression elimination — whereas referencing it
+    # inside a transform lambda (the ``with_bigrams`` fast form) would
+    # re-evaluate the split PER ELEMENT. Consumers that can project
+    # the word array first should use ``words_array`` +
+    # ``with_bigrams`` instead (see the perf contract there).
     n = F.size(t)
     bi = F.when(
         n >= 2,
@@ -227,6 +235,49 @@ def gram_array(text_col: str, bigrams: bool = True) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.concat(t, bi)
+
+
+def words_array(text_col: str) -> Column:
+    """The shared tokenization (lowercase, trim, whitespace split) as
+    a bare word-array Column — project this FIRST, then feed the bound
+    attribute to :func:`with_bigrams`, so the split evaluates once per
+    row while the bigram build runs the cheap bound-reference form."""
+    from .textstats import WS_RE2
+
+    return F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_RE2
+    )
+
+
+def with_bigrams(words: Column) -> Column:
+    """``words ++ adjacent bigrams`` from a word-array Column.
+
+    PERF CONTRACT: pass a BOUND column (a projected attribute), not an
+    inline expression tree. Every reference to ``words`` at the TOP
+    level of this expression is shared by codegen subexpression
+    elimination, but ``element_at(words, i)`` inside the transform
+    lambda is re-evaluated PER ELEMENT — an inline ``split(...)``
+    there turns the bigram build O(n^2) in the document length
+    (measured: the sf0.1 gram explode went 0.6 s -> 6.1 s when the
+    split expression was inlined into the lambda). With a bound
+    attribute the lambda reference is a cheap slot read and this form
+    beats the former ``zip_with(slice, slice)`` build 0.32 s vs
+    0.57 s on the same stream (no two intermediate array copies).
+
+    The ``n >= 2`` guard is load-bearing: ``sequence(2, 1)`` counts
+    DOWN (step defaults to -1 when start > stop), not empty.
+    """
+    n = F.size(words)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: F.concat(
+                F.element_at(words, i - 1), F.lit(" "), F.element_at(words, i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(words, bi)
 
 
 def _hashed_ngram_occurrences(
@@ -248,8 +299,24 @@ def _hashed_ngram_occurrences(
     explode in the scan stage — no shuffle; the fan-out is bounded by
     2x tokens per doc.
     """
-    g = F.explode(gram_array(text_col, bigrams)).alias("gram")
-    occ = df.select(F.col(id_col), g)
+    if bigrams:
+        # Two-step projection: bind the word array first so the
+        # bigram transform references a computed attribute (the
+        # with_bigrams perf contract — the split runs once per row,
+        # not once per bigram element). The optimizer keeps the
+        # projection boundary because the alias is referenced more
+        # than once and split() is not cheap (CollapseProject's
+        # duplication guard). Gram strings are bit-identical to the
+        # single-expression gram_array form.
+        words = df.select(F.col(id_col), words_array(text_col).alias("_w"))
+        occ = words.select(
+            F.col(id_col), F.explode(with_bigrams(F.col("_w"))).alias("gram")
+        )
+    else:
+        occ = df.select(
+            F.col(id_col),
+            F.explode(gram_array(text_col, bigrams)).alias("gram"),
+        )
     return occ.select(
         F.col(id_col),
         (hash_bucket(F.col("gram"), salt) % F.lit(m)).alias("b"),
