@@ -217,6 +217,21 @@ def main() -> None:
     if errors:
         compact["queries_failed"] = len(errors)
         compact["partial"] = True
+    # VERDICT r15 #1: the driver's comparator cannot decode walls_z, so
+    # PERF per_query/geomean sat empty two rounds. Carry the SLOWEST
+    # walls additionally as a PLAIN dict ("queries", wall-descending) —
+    # greedy fill up to the 1950-byte stdout-tail guard; the complete
+    # set still rides in walls_z and BENCH_FULL.json. Additive only:
+    # every pre-existing compact field is unchanged.
+    compact["queries"] = {}
+    compact["queries_note"] = f"slowest of {len(times)}; all in walls_z"
+    budget = 1950 - len(json.dumps(compact, separators=(",", ":")))
+    for name in sorted(times, key=times.get, reverse=True):
+        cost = len(json.dumps({name: times[name]}, separators=(",", ":")))
+        if budget - cost < 0:
+            break
+        compact["queries"][name] = times[name]
+        budget -= cost
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1950:  # never let the safety line itself truncate
         compact.pop("walls_z")

@@ -197,6 +197,90 @@ def _md5_ctor():
     return md5
 
 
+def _gram_hashes_batch(texts, k: int, ws) -> list:
+    """Per-gram md5 hash arrays for a whole Arrow batch of texts, with
+    the md5 calls DEDUPLICATED batch-wide (optimization r16, guide
+    §4.2 — hand whole batches to vectorized native code; VERDICT r15
+    #3 named the per-gram Python md5 loop as the winnow families'
+    residual wall).
+
+    The md5-per-gram value CONTRACT is untouched — every gram still
+    hashes as ``int(md5(gram_bytes).hexdigest()[:8], 16)``, the
+    engine-portable idiom the DuckDB oracle recomputes — only the CALL
+    COUNT drops: all k=8 ASCII docs' grams concatenate into one
+    (N, 8) uint8 matrix, ``np.unique`` over its uint64 view finds the
+    distinct grams (bit-exact: the view is pure reinterpretation, no
+    S8 trailing-NUL collapsing), md5 runs once per DISTINCT gram, and
+    the inverse index scatters hashes back into per-doc arrays.
+    Measured on the sf0.1 documents corpus: 18% of grams are distinct
+    within a 156-doc kernel batch (the local fan-out grain), kernel
+    wall 1.09 -> 0.63 s (tools/bench_winnow_kernel.py, bit-identical
+    output asserted).
+
+    Returns a list aligned with ``texts``: None for NULL text, an
+    empty array for shorter-than-one-gram docs, else the int64 hash
+    array in gram order. Non-ASCII or k != 8 docs take the original
+    per-gram loop (same values; all catalog call sites use k=8).
+    """
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    md5 = _md5_ctor()
+    _fb = int.from_bytes
+    empty = np.empty(0, np.int64)
+    out = [None] * len(texts)
+    bufs, idxs, counts = [], [], []
+    for j, text in enumerate(texts):
+        if text is None:
+            continue
+        t = ws.sub(" ", text.lower())
+        ng = len(t) - k + 1
+        if ng < 1:
+            out[j] = empty
+            continue
+        if k == 8 and t.isascii():
+            bufs.append(np.frombuffer(t.encode(), np.uint8))
+            idxs.append(j)
+            counts.append(ng)
+        elif t.isascii():
+            tb = t.encode()
+            out[j] = np.asarray(
+                [_fb(md5(tb[i : i + k]).digest()[:4], "big") for i in range(ng)],
+                np.int64,
+            )
+        else:
+            out[j] = np.asarray(
+                [
+                    _fb(md5(t[i : i + k].encode()).digest()[:4], "big")
+                    for i in range(ng)
+                ],
+                np.int64,
+            )
+    if bufs:
+        grams = np.concatenate(
+            [sliding_window_view(b, 8) for b in bufs], axis=0
+        )
+        keys = grams.view(np.uint64).ravel()
+        uniq, inv = np.unique(keys, return_inverse=True)
+        # tobytes, not S8 tolist: S-dtype strips trailing NUL bytes,
+        # which would truncate grams containing \x00 before hashing
+        mv = memoryview(uniq.tobytes())
+        uh = np.fromiter(
+            (
+                _fb(md5(mv[i : i + 8]).digest()[:4], "big")
+                for i in range(0, 8 * len(uniq), 8)
+            ),
+            np.int64,
+            len(uniq),
+        )
+        all_h = uh[inv]
+        off = 0
+        for j, ng in zip(idxs, counts):
+            out[j] = all_h[off : off + ng]
+            off += ng
+    return out
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str,
@@ -243,39 +327,23 @@ def winnow_fingerprints(
         # \x0b (vertical tab) and its Unicode \s adds U+00A0 etc. —
         # either would collapse characters the oracle keeps
         ws = _re.compile(r"[ \t\n\r\f]+")
-        md5 = _md5_ctor()
-        _fb = int.from_bytes
-
-        def one(text):
-            if text is None:
-                return None
-            # ASCII-equivalent of the oracle's lower + \s+ collapse
-            t = ws.sub(" ", text.lower())
-            ng = len(t) - k + 1
-            if ng < 1:
-                return []
-            # int(hexdigest()[:8], 16) == first 4 digest bytes read
-            # big-endian; byte-slice ASCII text so the per-gram cost is
-            # one md5 over a memory slice, no str slice + encode
-            if t.isascii():
-                tb = t.encode()
-                hashes = [
-                    _fb(md5(tb[i : i + k]).digest()[:4], "big")
-                    for i in range(ng)
-                ]
+        # int(hexdigest()[:8], 16) == first 4 digest bytes big-endian;
+        # the per-gram md5 calls are deduplicated batch-wide (r16)
+        out = []
+        for arr in _gram_hashes_batch(texts, k, ws):
+            if arr is None:
+                out.append(None)
+            elif len(arr) == 0:
+                out.append([])
+            elif len(arr) < w:
+                out.append([int(arr.min())])
             else:
-                hashes = [
-                    _fb(md5(t[i : i + k].encode()).digest()[:4], "big")
-                    for i in range(ng)
-                ]
-            if ng < w:
-                return [min(hashes)]
-            arr = np.asarray(hashes, dtype=np.int64)
-            return np.unique(
-                sliding_window_view(arr, w).min(axis=1)
-            ).tolist()
-
-        return texts.map(one)
+                out.append(
+                    np.unique(
+                        sliding_window_view(arr, w).min(axis=1)
+                    ).tolist()
+                )
+        return pd.Series(out, index=texts.index)
 
     # asNondeterministic: the kernel IS deterministic; the mark stops
     # the optimizer cloning it below inferred Generate/Filter nodes and
@@ -406,33 +474,22 @@ def winnow_fingerprint_positions(
         from numpy.lib.stride_tricks import sliding_window_view
 
         ws = _re.compile(r"[ \t\n\r\f]+")
-        md5 = _md5_ctor()
-        _fb = int.from_bytes
-
-        def one(text):
-            if text is None:
-                return None
-            t = ws.sub(" ", text.lower())
-            ng = len(t) - k + 1
-            if ng < 1:
-                return []
-            # same md5 value contract as winnow_fingerprints: first 4
-            # digest bytes big-endian == int(hexdigest()[:8], 16)
-            if t.isascii():
-                tb = t.encode()
-                hashes = [
-                    _fb(md5(tb[i : i + k]).digest()[:4], "big")
-                    for i in range(ng)
-                ]
-            else:
-                hashes = [
-                    _fb(md5(t[i : i + k].encode()).digest()[:4], "big")
-                    for i in range(ng)
-                ]
-            arr = np.asarray(hashes, dtype=np.int64)
+        # same md5 value contract as winnow_fingerprints: first 4
+        # digest bytes big-endian == int(hexdigest()[:8], 16); the
+        # per-gram md5 calls are deduplicated batch-wide (r16)
+        out = []
+        for arr in _gram_hashes_batch(texts, k, ws):
+            if arr is None:
+                out.append(None)
+                continue
+            ng = len(arr)
+            if ng == 0:
+                out.append([])
+                continue
             if ng < w:
                 i = int(arr.argmin())  # first-min == leftmost tie-break
-                return [(i + 1, int(arr[i]))]
+                out.append([(i + 1, int(arr[i]))])
+                continue
             # np.argmin returns the FIRST index of the window minimum —
             # exactly the leftmost tie-break window.index(min(window))
             # computed; unique(+offset) is the same selected-pos set
@@ -440,9 +497,8 @@ def winnow_fingerprint_positions(
                 sliding_window_view(arr, w).argmin(axis=1)
                 + np.arange(ng - w + 1)
             )
-            return [(int(i) + 1, int(arr[i])) for i in picked]
-
-        return texts.map(one)
+            out.append([(int(i) + 1, int(arr[i])) for i in picked])
+        return pd.Series(out, index=texts.index)
 
     # asNondeterministic: the kernel IS deterministic; the mark stops
     # the optimizer cloning it below inferred Generate/Filter nodes and

@@ -565,3 +565,61 @@ def test_ngram_heavy_hitters_counts_total_occurrences(spark):
     oracle = con.sql(QUERIES["ngram_heavy_hitters"].oracle).fetchall()
     assert [(r[0], r[1]) for r in oracle] == got
     con.close()
+
+
+def test_gram_hashes_batch_matches_per_gram_reference():
+    r"""The r16 batch-deduplicated md5 gram hashing must be bit-equal
+    to the one-md5-call-per-gram reference on every edge the kernels
+    see: NULL text, shorter-than-one-gram, exactly-one-gram, repeated
+    grams, \x00 bytes inside/ending a gram (the S-dtype trailing-NUL
+    trap the uint64 view avoids), non-ASCII docs (fallback path), and
+    a k != 8 call (generic fallback). No Spark needed — the helper is
+    a plain function over a text batch."""
+    import re
+
+    import numpy as np
+
+    from slurm2sql_spark.operators.textstats import (
+        _gram_hashes_batch,
+        _md5_ctor,
+    )
+
+    ws = re.compile(r"[ \t\n\r\f]+")
+    md5 = _md5_ctor()
+    _fb = int.from_bytes
+
+    def ref(text, k):
+        if text is None:
+            return None
+        t = ws.sub(" ", text.lower())
+        ng = len(t) - k + 1
+        if ng < 1:
+            return []
+        return [
+            _fb(md5(t[i : i + k].encode()).digest()[:4], "big")
+            for i in range(ng)
+        ]
+
+    texts = [
+        None,
+        "",
+        "tiny",                       # < one gram
+        "12345678",                   # exactly one gram
+        "aaaaaaaaaaaaaaaaaa",         # maximal gram repetition
+        "the quick brown fox jumps over the lazy dog",
+        "embedded\x00null\x00bytes here",   # \x00 inside grams
+        "ends with nul\x00\x00\x00\x00",     # \x00 at gram tails
+        "ünïcode tëxt thät is nöt ascii at all",  # fallback path
+        "white\tspace\ncollapse\fcheck\rhere",
+        "the quick brown fox jumps over the lazy dog",  # dup doc
+    ]
+    for k in (8, 5):
+        got = _gram_hashes_batch(list(texts), k, ws)
+        want = [ref(t, k) for t in texts]
+        assert len(got) == len(want)
+        for g, w_ in zip(got, want):
+            if w_ is None:
+                assert g is None
+            else:
+                assert isinstance(g, np.ndarray) or len(w_) == 0
+                assert list(g) == w_
