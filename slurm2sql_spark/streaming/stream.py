@@ -165,6 +165,13 @@ def job_state_transitions(
     an unbounded stream (an evicted job that reappears re-emits with
     ``prev_state`` NULL — same contract as first sight). Default keeps
     state forever, which is only sane for bounded/test streams.
+    Caveat for ``availableNow`` catch-up runs: ProcessingTimeTimeout
+    makes the operator request another batch unconditionally, so Spark
+    schedules no-data "cleaning up state" micro-batches forever and
+    the query never self-terminates; TTL mode is meant for continuous
+    triggers, or set ``spark.sql.streaming.noDataMicroBatches.enabled=
+    false`` so eviction fires on the next DATA batch only (measured
+    r16; the no-TTL default is unaffected).
 
     Ordering note: rows WITHIN one micro-batch arrive per-key in
     arbitrary order; transitions are taken in (End, Start, State)

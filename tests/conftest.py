@@ -24,3 +24,26 @@ def one_value(spark, expr_builder, value: str | None):
 
     df = spark.createDataFrame([(value,)], "x string")
     return df.select(expr_builder(F.col("x")).alias("out")).collect()[0]["out"]
+
+
+def pytest_collection_modifyitems(config, items):
+    """Deselect `slow`-marked property sweeps by default (VERDICT r15
+    #1: the full suite outgrew the round driver's pytest budget — the
+    driver's run truncated mid-suite with zero failures two rounds in
+    a row, turning tests_ok into noise). The default run keeps every
+    operator's contract coverage (each slow test has a faster sibling
+    exercising the same code path); the full sweep runs with
+    SPARK_GRAFT_FULL_TESTS=1 (or -m slow) and stays the bar for
+    builder-side verification before any round closes."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS"):
+        return
+    if config.getoption("-m"):
+        return  # explicit marker selection wins
+    keep, dropped = [], []
+    for item in items:
+        (dropped if item.get_closest_marker("slow") else keep).append(item)
+    if dropped:
+        items[:] = keep
+        config.hook.pytest_deselected(items=dropped)

@@ -62,6 +62,7 @@ def _ivf_build(spark, emb):
 
 
 @needs_testdata
+@pytest.mark.slow
 def test_simhash_fast_pairs_deterministic(spark):
     """The third rows-only entry: xxhash64-based simhash pairs must be
     a pure function of the data — identical across independent builds

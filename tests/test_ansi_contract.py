@@ -8,10 +8,12 @@ so a regression fails here instead of in the round gate.
 """
 
 from __future__ import annotations
+import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_every_catalog_query_survives_ansi_session(spark):
     from slurm2sql_spark import catalog
 

@@ -290,6 +290,7 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         assert got == want, f"trial {trial}: mismatch"
 
 
+@pytest.mark.slow
 def test_connected_components_local_path_matches_distributed(
     spark, monkeypatch
 ):

@@ -1,6 +1,7 @@
 """Corpus snapshot diff (operators/diffing.py)."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -103,6 +104,7 @@ def test_corpus_diff_bucketed_versions_join_without_exchange(
         spark.sql("DROP TABLE IF EXISTS cd_new")
 
 
+@pytest.mark.slow
 def test_corpus_diff_matches_dict_reference_property(spark):
     """Property: diff statuses equal a plain-Python dict diff on
     randomized version pairs (random presence + random edits)."""

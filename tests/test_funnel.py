@@ -77,6 +77,7 @@ def test_funnel_validation(spark):
         funnel_stages(ev, "user_id", "event_type", ["t"], [])
 
 
+@pytest.mark.slow
 def test_funnel_matches_python_scan_property(spark):
     """Property: the chained-window funnel equals a naive per-user
     ordered Python scan on randomized event streams."""

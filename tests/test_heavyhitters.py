@@ -111,6 +111,7 @@ def test_absent_item_corner_never_returns_wrong_topk(spark):
     assert ok == want
 
 
+@pytest.mark.slow
 def test_tied_kth_at_error_bound_raises_not_lies(spark):
     """Property sweep of the T <= D regime: for several skewed
     single-partition corpora with starved m, the protocol either
@@ -133,6 +134,7 @@ def test_tied_kth_at_error_bound_raises_not_lies(spark):
             assert got == want, f"seed {seed}"
 
 
+@pytest.mark.slow
 def test_mg_bounds_hold_across_multi_batch_prunes(spark):
     """r15 regression: with prunes interleaved between Arrow batches
     IN ONE TASK, every counter must still satisfy mg <= true <= mg+D.

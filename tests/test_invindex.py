@@ -103,6 +103,7 @@ def test_bucketed_postings_serve_term_lookup_without_exchange(
         spark.sql("DROP TABLE IF EXISTS inv_idx_t")
 
 
+@pytest.mark.slow
 def test_phrase_search_matches_python_scan_property(spark):
     """Property: the index-shaped positional intersection equals a
     naive per-doc Python scan on randomized corpora — including

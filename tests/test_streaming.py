@@ -230,6 +230,18 @@ def test_job_state_transitions_ttl_eviction(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt3")
     out = str(tmp_path / "out3")
 
+    # ProcessingTimeTimeout makes the stateful operator report
+    # shouldRunAnotherBatch=true unconditionally, so availableNow keeps
+    # scheduling no-data "cleaning up state" batches FOREVER (probed:
+    # ~1 batch/s, never terminates) and awaitTermination(120) burned
+    # its full timeout 3x (r16; 361 s of the suite's wall). Eviction
+    # itself fires inside the next DATA batch — which is what this test
+    # exercises across runs — so disabling no-data micro-batches keeps
+    # the contract while letting each availableNow run terminate in ~1 s.
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key, "true")
+    spark.conf.set(nodata_key, "false")
+
     def run_once():
         stream = read_sacct_stream(spark, str(drops), fields=FIELDS)
         q = (
@@ -241,7 +253,8 @@ def test_job_state_transitions_ttl_eviction(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        terminated = q.awaitTermination(120)
+        assert terminated, "availableNow TTL replay failed to terminate"
 
     _write_csv(
         drops / "t1.csv",
@@ -265,6 +278,7 @@ def test_job_state_transitions_ttl_eviction(spark, tmp_path):
         (r.JobID, r.prev_state, r.new_state)
         for r in spark.read.parquet(out).collect()
     )
+    spark.conf.set(nodata_key, old_nodata)
     assert rows == [
         ("300", None, "COMPLETED"),  # state evicted -> first sight again
         ("300", None, "RUNNING"),
