@@ -38,7 +38,97 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["shard_assign", "write_sharded", "shard_manifest"]
+__all__ = [
+    "shard_assign",
+    "write_sharded",
+    "shard_manifest",
+    "pack_assign_local",
+]
+
+
+def pack_assign_local(
+    rows,
+    budget: int,
+    n_shards: int,
+    n_groups: int,
+    salt: str = "",
+):
+    """Driver-local twin of ``pack_sequences -> shard_assign`` for one
+    bounded batch: given ``(id, src, n_words)`` tuples, return
+    ``(id, src, n_tokens, offset, bin, shard)`` tuples bit-identical to
+    the distributed two-window pipeline (optimization r16, guide §2.4 —
+    remove shuffles outright; the size-gated local-path pattern the r15
+    union-find landed).
+
+    A micro-batch export paid THREE exchanges over batch-sized data
+    (pack window on source, serpentine window on grp, write repartition
+    on shard); below the caller's row cap the same math is a sort + a
+    running sum + a serpentine deal in plain Python. Equivalence, piece
+    by piece (pytest-pinned against the distributed path on planted
+    distributions):
+
+    - pack: per ``src``, docs ordered by ``id`` ascending NULLS FIRST
+      (the window default); ``offset`` sums prior non-NULL ``n_words``
+      (Spark ``sum`` skips NULLs), ``bin = offset // budget``
+      (non-negative, so floor == truncation), NULL ``n_words`` stays a
+      NULL ``n_tokens``.
+    - group: ``int(md5((str(id) + salt).encode()).hexdigest()[:8], 16)
+      % n_groups`` == ``hash_bucket`` (conv/substr/md5) for the string
+      cast of any id type the gate uses; NULL id -> NULL grp, its own
+      group, exactly like the window partition on a NULL key.
+    - serpentine: rank by (size DESC, id ASC NULLS LAST) within the
+      group — Python tuple sort over ``(-size, id)`` matches Spark's
+      ordering for int ids and for str ids (UTF-8 byte order equals
+      code-point order, which is Python's str order) — then deal rank k
+      boustrophedon, same ``pos``/``swing`` arithmetic.
+
+    Ordering ties (duplicate ids) are nondeterministic in BOTH paths —
+    same contract as the distributed window.
+    """
+    from hashlib import md5 as _md5
+
+    by_src: dict = {}
+    for id_, src, nw in rows:
+        by_src.setdefault(src, []).append((id_, nw))
+    packed = []
+    for src, docs in by_src.items():
+        # NULL ids first; "" sentinel keeps the comparator total when
+        # several NULL-id rows tie (None < None raises in Python)
+        docs.sort(
+            key=lambda d: (d[0] is not None, "" if d[0] is None else d[0])
+        )
+        off = 0
+        for id_, nw in docs:
+            nt = None if nw is None else int(nw)
+            packed.append((id_, src, nt, off, off // int(budget)))
+            if nt is not None:
+                off += nt
+    by_grp: dict = {}
+    for row in packed:
+        id_ = row[0]
+        if id_ is None:
+            grp = None
+        else:
+            grp = (
+                int(_md5((str(id_) + salt).encode()).hexdigest()[:8], 16)
+                % int(n_groups)
+            )
+        by_grp.setdefault(grp, []).append(row)
+    out = []
+    for grp, members in by_grp.items():
+        members.sort(
+            key=lambda r: (
+                -(r[2] if r[2] is not None else 0),
+                r[0] is None,
+                "" if r[0] is None else r[0],
+            )
+        )
+        for rk, row in enumerate(members):
+            pos = rk % int(n_shards)
+            swing = (rk // int(n_shards)) % 2
+            shard = pos if swing == 0 else int(n_shards) - 1 - pos
+            out.append((*row, shard))
+    return out
 
 
 def shard_assign(

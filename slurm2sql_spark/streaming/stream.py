@@ -512,9 +512,18 @@ def export_stream(
     a clean restart).
 
     Scale shape per micro-batch: the quality gate is a zero-exchange
-    scan projection; packing is one window keyed by ``source_col``;
-    the shard writer is one partitioned window + one repartition —
-    all bounded-key shuffles over batch-sized (not corpus-sized) data.
+    scan projection. Below ``SPARK_GRAFT_EXPORT_LOCAL_CAP`` kept rows
+    (default 1M; 0 disables) the packing + serpentine assignment run
+    DRIVER-LOCAL on the collected ``(id, src, n_words)`` triples —
+    bit-identical by ``sharding.pack_assign_local``'s pytest-pinned
+    equivalence — so a micro-batch costs ONE zero-exchange collect plus
+    one local-relation write instead of three chained shuffles (pack
+    window on source, serpentine window on grp, write repartition;
+    optimization r16, guide §2.4 — at gate scale those exchanges were
+    pure scheduling latency over a few thousand rows). Batches above
+    the cap keep the distributed shape: one window keyed by
+    ``source_col``, one partitioned window + one repartition — all
+    bounded-key shuffles over batch-sized (not corpus-sized) data.
     Packing offsets restart per micro-batch by construction (a stream
     cannot know future arrivals); bin numbering is therefore
     batch-local while the keep decision and per-doc token counts are
@@ -523,8 +532,15 @@ def export_stream(
     Returns the ``DataStreamWriter`` (caller picks trigger/checkpoint
     and calls ``start()``).
     """
+    import os
+
+    from pyspark.sql import types as T
+
     from slurm2sql_spark.operators.packing import pack_sequences
-    from slurm2sql_spark.operators.sharding import write_sharded
+    from slurm2sql_spark.operators.sharding import (
+        pack_assign_local,
+        write_sharded,
+    )
     from slurm2sql_spark.operators.textstats import quality_filter
 
     def _export_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -535,6 +551,66 @@ def export_stream(
         kept = qf.filter(F.col("keep")).select(
             id_col, source_col, "n_words"
         )
+        out_dir = f"{path}/batch={int(batch_id)}"
+        cap = int(os.environ.get("SPARK_GRAFT_EXPORT_LOCAL_CAP", "1000000"))
+        rows = kept.limit(cap + 1).collect() if cap > 0 else None
+        if rows is not None and len(rows) <= cap:
+            import pyarrow as pa
+
+            assigned = pack_assign_local(
+                [tuple(r) for r in rows],
+                budget=budget,
+                n_shards=n_shards,
+                n_groups=n_groups,
+                salt=salt,
+            )
+            f_id, f_src = kept.schema.fields[0], kept.schema.fields[1]
+            schema = T.StructType(
+                [
+                    T.StructField("id", f_id.dataType, True),
+                    T.StructField("src", f_src.dataType, True),
+                    T.StructField("n_tokens", T.LongType(), True),
+                    T.StructField("offset", T.LongType(), True),
+                    T.StructField("bin", T.LongType(), True),
+                    T.StructField("shard", T.LongType(), True),
+                ]
+            )
+            # pa.Table input keeps createDataFrame on the Arrow path
+            # regardless of arrow.pyspark.enabled (the round driver's
+            # plain session has it off; the pickled-tuples relation
+            # measured 7.6 s to write vs 0.8 via Arrow — python-worker
+            # round trips per partition). coalesce(1): one task writes
+            # the <= n_shards dirs of a bounded batch — no exchange.
+            cols = (
+                list(zip(*assigned)) if assigned else [[]] * 6
+            )
+            pa_of = {
+                "long": pa.int64(),
+                "integer": pa.int32(),
+                "string": pa.string(),
+            }
+            tbl = pa.table(
+                {
+                    "id": pa.array(
+                        cols[0], pa_of[f_id.dataType.typeName()]
+                    ),
+                    "src": pa.array(
+                        cols[1], pa_of[f_src.dataType.typeName()]
+                    ),
+                    "n_tokens": pa.array(cols[2], pa.int64()),
+                    "offset": pa.array(cols[3], pa.int64()),
+                    "bin": pa.array(cols[4], pa.int64()),
+                    "shard": pa.array(cols[5], pa.int64()),
+                }
+            )
+            (
+                batch_df.sparkSession.createDataFrame(tbl, schema)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(out_dir)
+            )
+            return
         packed = pack_sequences(
             kept, id_col, "n_words", budget=budget, shard_col=source_col
         ).withColumnRenamed("shard", "src")
@@ -542,7 +618,7 @@ def export_stream(
             packed,
             "id",
             "n_tokens",
-            f"{path}/batch={int(batch_id)}",
+            out_dir,
             n_shards=n_shards,
             n_groups=n_groups,
             salt=salt,

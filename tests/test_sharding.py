@@ -124,3 +124,67 @@ def test_shard_manifest_order_independent_and_additive(spark):
     assert any(
         mt[s]["checksum"] != m1[s][3] for s in m1
     )
+
+
+@pytest.mark.parametrize("id_kind", ["long", "string"])
+def test_pack_assign_local_matches_distributed(spark, id_kind):
+    """pack_assign_local (the r16 driver-local micro-batch path) must
+    reproduce the distributed pack_sequences -> shard_assign chain
+    bit-for-bit on planted distributions: many tied sizes (the
+    serpentine sort's tie-break by id), several sources, a NULL
+    n_words row (NULL n_tokens, contributes nothing to offsets), and
+    both id types the gates use (long doc ids; string ids exercise the
+    UTF-8-vs-codepoint ordering argument, incl. non-ASCII)."""
+    import random
+
+    from slurm2sql_spark.operators.packing import pack_sequences
+    from slurm2sql_spark.operators.sharding import (
+        pack_assign_local,
+        shard_assign,
+    )
+
+    rng = random.Random(42)
+    n = 400
+    rows = []
+    for i in range(n):
+        if id_kind == "long":
+            id_ = i * 7 + 3
+        else:
+            # non-ASCII tail on some ids: UTF-8 byte order == codepoint
+            id_ = f"doc-{i:04d}" + ("é" if i % 9 == 0 else "")
+        src = f"s{i % 5}"
+        # heavy ties: sizes drawn from a tiny set, plus one NULL
+        nw = None if i == 37 else rng.choice([10, 50, 50, 50, 200])
+        rows.append((id_, src, nw))
+    schema = (
+        "doc_id long, source string, n_words long"
+        if id_kind == "long"
+        else "doc_id string, source string, n_words long"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    budget, n_shards, n_groups, salt = 128, 8, 4, "eq1"
+    packed = pack_sequences(
+        df, "doc_id", "n_words", budget=budget, shard_col="source"
+    ).withColumnRenamed("shard", "src")
+    extra = tuple(c for c in packed.columns if c != "id")
+    assign = shard_assign(
+        packed, "id", "n_tokens", n_shards, n_groups, salt,
+        keep_cols=extra,
+    )
+    want = sorted(
+        (
+            (r["id"], r["src"], r["n_tokens"], r["offset"], r["bin"],
+             r["shard"])
+            for r in assign.select("id", *extra, "shard").collect()
+        ),
+        key=repr,
+    )
+    got = sorted(
+        pack_assign_local(
+            rows, budget=budget, n_shards=n_shards,
+            n_groups=n_groups, salt=salt,
+        ),
+        key=repr,
+    )
+    assert got == want
